@@ -1,0 +1,144 @@
+"""Image codec + perceptual-hash kernels (pure NumPy + stdlib zlib).
+
+No image library exists in this container, and the graft's synthetic
+corpus is controlled end-to-end, so the engine defines two LOSSLESS
+wire formats for the `bytes:binary` column (decoded-pixel equality is
+therefore exact; the PSNR>=40dB gate only applies if a lossy format is
+ever added — `psnr` is provided for that check):
+
+  * fmt='raw': w*h*3 little-endian uint8 RGB, row-major;
+  * fmt='png': a real, spec-compliant PNG (8-bit RGB, filter 0), built
+    with stdlib zlib — readable by any standard decoder.
+
+Decoders for genuinely external formats (jpeg/webp/mp4 frames) are
+stubbed behind NotImplementedError: the Spark-side plumbing (binary
+column + typed metadata, mapInPandas batch shape) is identical, only
+the per-batch codec body differs.
+
+`phash64` is a 64-bit average-hash: downsample to 8x8 luma by block
+mean, threshold at the mean. Deterministic, pure NumPy.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "encode_raw",
+    "encode_png",
+    "decode_image",
+    "decode_batch",
+    "phash64",
+    "psnr",
+    "hamming64",
+]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_raw(pixels: np.ndarray) -> bytes:
+    """uint8[h,w,3] -> raw RGB bytes."""
+    return np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8[h,w,3] -> minimal spec-compliant PNG (color type 2, filter 0)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # prepend filter byte 0 to each row
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), pixels.reshape(h, w * 3)], axis=1)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """binary + metadata -> uint8[h,w,3]."""
+    if fmt == "raw":
+        return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        return _decode_png(buf, w, h)
+    # jpeg/webp/video-frame decode needs codecs not present in this
+    # container — the distributed plumbing is identical; only this
+    # per-batch body changes.
+    raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
+
+
+def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
+    assert buf[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    idat = bytearray()
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    rows = raw.reshape(h, 1 + w * 3)
+    filters = rows[:, 0]
+    if (filters != 0).any():
+        raise NotImplementedError("only filter-0 PNGs are produced by this engine")
+    return rows[:, 1:].reshape(h, w, 3)
+
+
+def decode_batch(bufs, fmts, ws, hs):
+    """Decode a batch of images -> list of uint8[h,w,3] arrays.
+
+    The loop is per-IMAGE (not per-pixel) — decode cost is dominated by
+    zlib/np.frombuffer on whole buffers, which is the right altitude
+    for a mapInPandas batch body.
+    """
+    return [
+        decode_image(b, f, int(w), int(h)) for b, f, w, h in zip(bufs, fmts, ws, hs)
+    ]
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average-hash of uint8[h,w,3]: 8x8 block-mean luma,
+    threshold at the global mean, MSB-first row-major bit order."""
+    p = pixels.astype(np.float64)
+    luma = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+    h, w = luma.shape
+    # block-mean resample to 8x8 via index binning (works for any h,w >= 8)
+    yi = (np.arange(h) * 8 // h).astype(np.int64)
+    xi = (np.arange(w) * 8 // w).astype(np.int64)
+    sums = np.zeros((8, 8))
+    counts = np.zeros((8, 8))
+    np.add.at(sums, (yi[:, None], xi[None, :]), luma)
+    np.add.at(counts, (yi[:, None], xi[None, :]), 1.0)
+    grid = sums / counts
+    bits = (grid > grid.mean()).ravel()
+    val = 0
+    for b in bits:  # 64 iterations, per image
+        val = (val << 1) | int(b)
+    # interpret as signed int64 for parquet/Spark LongType
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def hamming64(a, b):
+    """Vectorized Hamming distance between int64 hash arrays:
+    popcount of the XOR via unpackbits on the byte view."""
+    x = (np.asarray(a, np.int64) ^ np.asarray(b, np.int64)).astype(np.uint64)
+    x = np.atleast_1d(x)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=-1).sum(axis=-1)

@@ -1,0 +1,131 @@
+"""PolygonLayer: the prepared/broadcastable polygon side of every join.
+
+Mirrors the reference's Raw -> Prepared -> Validated typestate pipeline
+(src/geometry_state.rs, src/line_string.rs:34-44) at TABLE altitude:
+a layer is a list of polygons whose rings carry packed segment trees,
+plus a layer-level envelope index (the reference's Flatbush,
+src/flatbush/flatbush_impl.rs:40-63: Hilbert-sort by envelope center,
+then bottom-up pack — here reusing PackedSegTree for the packing).
+
+Small layers broadcast whole (sc.broadcast of the NumPy packs); large
+layers ship as the exploded (polygon_id, cell) cover table for the
+cell-partitioned join path. Both paths produce identical output rows
+(asserted in tests — the broadcast==partitioned equality gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels.hilbert import HilbertScaler
+from .kernels.pip import PreparedPolygon, PreparedRing, points_in_polygon
+from .kernels.segtree import PackedSegTree
+from .tiles import polyfill
+
+__all__ = ["PolygonLayer"]
+
+
+class PolygonLayer:
+    """Prepared polygon collection + envelope index.
+
+    polygons: list[PreparedPolygon]; ids: int64 array of polygon ids.
+    The envelope index keeps Hilbert-sorted order with a permutation
+    back to layer positions (the reference Flatbush's node_indices,
+    flatbush_impl.rs:15-21).
+    """
+
+    def __init__(self, ids, polygons, hilbert_sort: bool = True, degree: int = 16):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.polygons = list(polygons)
+        envs = np.array([p.envelope() for p in self.polygons], dtype=np.float64)
+        if len(envs) == 0:
+            envs = np.empty((0, 4))
+        self.xmin, self.ymin, self.xmax, self.ymax = (envs.T if len(envs) else (np.empty(0),) * 4)
+
+        if hilbert_sort and len(self.polygons) > 1:
+            exmin, eymin = self.xmin.min(), self.ymin.min()
+            exmax, eymax = self.xmax.max(), self.ymax.max()
+            scaler = HilbertScaler(exmin, eymin, exmax, eymax)
+            keys = scaler.hilbert((self.xmin + self.xmax) / 2, (self.ymin + self.ymax) / 2)
+            self.order = np.argsort(keys, kind="stable").astype(np.int64)
+        else:
+            self.order = np.arange(len(self.polygons), dtype=np.int64)
+
+        self.index = PackedSegTree.build(
+            self.xmin[self.order], self.ymin[self.order],
+            self.xmax[self.order], self.ymax[self.order], degree=degree,
+        )
+
+    # -- construction -------------------------------------------------
+
+    @classmethod
+    def from_ring_rows(cls, rows, degree: int = 16, hilbert_sort: bool = True):
+        """rows: iterable of (polygon_id, part_id, xs, ys); part 0 = shell."""
+        grouped: dict[int, list] = {}
+        for pid, part, xs, ys in rows:
+            grouped.setdefault(int(pid), []).append((int(part), xs, ys))
+        ids, polys = [], []
+        for pid in sorted(grouped):
+            parts = sorted(grouped[pid], key=lambda t: t[0])
+            rings = [(np.asarray(xs, np.float64), np.asarray(ys, np.float64)) for _, xs, ys in parts]
+            ids.append(pid)
+            polys.append(PreparedPolygon.from_arrays(rings, degree=degree))
+        return cls(ids, polys, hilbert_sort=hilbert_sort, degree=degree)
+
+    @classmethod
+    def from_wkt_file(cls, path: str, degree: int = 16):
+        """Load polygons from a reference-style WKT corpus file."""
+        from .sources.wkt import parse_wkt_file_polygons
+
+        return cls.from_ring_rows(parse_wkt_file_polygons(path), degree=degree)
+
+    def __len__(self):
+        return len(self.polygons)
+
+    # -- query --------------------------------------------------------
+
+    def candidates(self, px, py):
+        """Envelope-index probe: (point_idx, layer_pos) candidate pairs."""
+        q, s = self.index.query_point(px, py)
+        return q, self.order[s]
+
+    def pip(self, px, py, emit_exterior: bool = False):
+        """Full PIP of a point batch against the whole layer.
+
+        Returns (point_idx, polygon_id, relation int8) arrays for pairs
+        with relation != exterior (unless emit_exterior). Candidate
+        pruning via the envelope index; refine batched per polygon.
+        """
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        q, pos = self.candidates(px, py)
+        if len(q) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int8))
+        # group candidate pairs by polygon -> one batched kernel call each
+        srt = np.argsort(pos, kind="stable")
+        q, pos = q[srt], pos[srt]
+        bounds = np.flatnonzero(np.diff(pos)) + 1
+        out_q, out_id, out_rel = [], [], []
+        for chunk_q, chunk_pos in zip(np.split(q, bounds), np.split(pos, bounds)):
+            p = int(chunk_pos[0])
+            rel = points_in_polygon(px[chunk_q], py[chunk_q], self.polygons[p])
+            keep = slice(None) if emit_exterior else rel != 0
+            out_q.append(chunk_q[keep])
+            out_id.append(np.full(len(chunk_q[keep]), self.ids[p], np.int64))
+            out_rel.append(rel[keep])
+        return np.concatenate(out_q), np.concatenate(out_id), np.concatenate(out_rel)
+
+    def cover_cells(self, res: int):
+        """(polygon_id, cell) cover rows at resolution res — the equi-join
+        side of the partitioned PIP path."""
+        pids, cells = [], []
+        for pid, poly in zip(self.ids, self.polygons):
+            cs = polyfill(poly, res)
+            pids.append(np.full(len(cs), pid, np.int64))
+            cells.append(cs)
+        if not pids:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(pids), np.concatenate(cells)
+
+    def by_id(self, pid: int) -> PreparedPolygon:
+        return self.polygons[int(np.nonzero(self.ids == pid)[0][0])]

@@ -1,0 +1,111 @@
+"""Deterministic synthesis of the graft input table (FIXTURES.md F1).
+
+Schema per BASELINE.json input_hint:
+  image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+  caption:string, phash:int64  (+ derived lat:double, lng:double)
+
+Everything is seeded and index-addressable, so ANY slice of the table
+can be generated independently on any executor — `synth_partition`
+is called inside mapInPandas with disjoint index ranges, which is how
+the table scales out without a driver-side loop. An Iceberg table is a
+writer-config swap; parquet stands in locally.
+
+Geotag derivation: lng from the low 32 bits of phash, lat from the
+high 32 bits (FIXTURES.md F1). skew_frac of rows are remapped into one
+hot cell to exercise the salting path (north_rule requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .imageio import encode_png, encode_raw, phash64
+
+SEED = 42
+HOT_CELL_LAT, HOT_CELL_LNG = 48.85, 2.35  # the hot cell's anchor point
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, lat double, lng double"
+)
+
+_SIZES = (16, 32, 64)
+_FMTS = ("raw", "png")
+
+
+def synth_image(i: int, seed: int = SEED):
+    """One deterministic image row; pure function of (seed, i)."""
+    rng = np.random.default_rng(seed ^ i)
+    w = h = _SIZES[i % len(_SIZES)]
+    fmt = _FMTS[i % len(_FMTS)]
+    pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    ph = phash64(pixels)
+    buf = encode_raw(pixels) if fmt == "raw" else encode_png(pixels)
+    return w, h, fmt, pixels, ph, buf
+
+
+def _geotag(phash: np.ndarray, i: np.ndarray, skew_frac: float):
+    u = np.uint64
+    ph = phash.astype(np.int64).view(np.uint64)
+    lng = (ph & u(0xFFFFFFFF)).astype(np.float64) / 2**32 * 360.0 - 180.0
+    lat = (ph >> u(32)).astype(np.float64) / 2**32 * 180.0 - 90.0
+    if skew_frac > 0:
+        # Knuth-scramble the index so hot rows are uniformly interleaved
+        # regardless of the slice being generated
+        scram = (i.view(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        hot = scram < np.uint64(int(skew_frac * 2**32))
+        # scatter within a tight ~0.01 degree box: one res-12 cell's worth
+        lat = np.where(hot, HOT_CELL_LAT + (i % 997) * 1e-5, lat)
+        lng = np.where(hot, HOT_CELL_LNG + (i % 991) * 1e-5, lng)
+    return lat, lng
+
+
+def synth_partition(lo: int, hi: int, seed: int = SEED, skew_frac: float = 0.0) -> pd.DataFrame:
+    """Rows [lo, hi) of the synthetic image table, as a pandas frame."""
+    rows_w, rows_h, rows_fmt, rows_ph, rows_buf, rows_id, rows_cap = [], [], [], [], [], [], []
+    idx = np.arange(lo, hi, dtype=np.int64)
+    for i in idx:
+        w, h, fmt, _, ph, buf = synth_image(int(i), seed)
+        rows_w.append(w)
+        rows_h.append(h)
+        rows_fmt.append(fmt)
+        rows_ph.append(ph)
+        rows_buf.append(buf)
+        rows_id.append(f"img{int(i):012d}")
+    ph = np.asarray(rows_ph, dtype=np.int64)
+    lat, lng = _geotag(ph, idx, skew_frac)
+    for i, la, ln in zip(idx, lat, lng):
+        rows_cap.append(f"synthetic image {int(i)} at ({la:.4f},{ln:.4f})")
+    return pd.DataFrame(
+        {
+            "image_id": rows_id,
+            "bytes": rows_buf,
+            "w": np.asarray(rows_w, np.int32),
+            "h": np.asarray(rows_h, np.int32),
+            "fmt": rows_fmt,
+            "caption": rows_cap,
+            "phash": ph,
+            "lat": lat,
+            "lng": lng,
+        }
+    )
+
+
+def images_df(spark, n: int, seed: int = SEED, skew_frac: float = 0.0, slice_size: int = 2000):
+    """Distributed synthesis: the index space is split into slices and
+    each executor generates its own rows inside mapInPandas — no
+    driver-side materialization, scales to any n."""
+    from pyspark.sql import functions as F
+
+    bounds = [(lo, min(lo + slice_size, n)) for lo in range(0, n, slice_size)]
+    bdf = spark.createDataFrame(bounds, "lo long, hi long").repartition(
+        max(1, min(len(bounds), spark.sparkContext.defaultParallelism))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                yield synth_partition(int(lo), int(hi), seed, skew_frac)
+
+    return bdf.mapInPandas(gen, IMAGES_SCHEMA)

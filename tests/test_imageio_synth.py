@@ -1,0 +1,81 @@
+"""Codec round-trips, phash determinism, synthetic-table invariants."""
+
+import numpy as np
+
+from segment_rtree_spark.imageio import (
+    decode_image,
+    encode_png,
+    encode_raw,
+    hamming64,
+    phash64,
+    psnr,
+)
+from segment_rtree_spark.synth import synth_image, synth_partition
+
+
+def test_raw_roundtrip():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_raw(px), "raw", 32, 16), px)
+
+
+def test_png_roundtrip_and_standard_decoder():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    buf = encode_png(px)
+    assert np.array_equal(decode_image(buf, "png", 24, 24), px)
+    # cross-check with zlib-level inspection: our own decoder suffices,
+    # but the signature/IHDR must be spec-correct
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    assert buf[12:16] == b"IHDR"
+
+
+def test_phash_deterministic_and_locality():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    h1, h2 = phash64(px), phash64(px.copy())
+    assert h1 == h2
+    # small perturbation -> small hamming distance
+    px2 = px.copy()
+    px2[0, 0, 0] ^= 1
+    assert hamming64(h1, phash64(px2))[0] <= 4
+    # int64-representable
+    assert -(1 << 63) <= h1 < (1 << 63)
+
+
+def test_psnr():
+    a = np.zeros((8, 8, 3), np.uint8)
+    assert psnr(a, a) == float("inf")
+    b = a.copy()
+    b[0, 0, 0] = 255
+    assert 20 < psnr(a, b) < 40
+
+
+def test_synth_deterministic():
+    w, h, fmt, px, ph, buf = synth_image(7)
+    w2, h2, fmt2, px2, ph2, buf2 = synth_image(7)
+    assert (w, h, fmt, ph, buf) == (w2, h2, fmt2, ph2, buf2)
+    assert np.array_equal(px, px2)
+    # decoded pixels equal original (lossless invariant)
+    assert np.array_equal(decode_image(buf, fmt, w, h), px)
+
+
+def test_synth_partition_schema_and_slicing():
+    full = synth_partition(0, 50)
+    part = synth_partition(20, 30)
+    assert list(full.columns) == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lng",
+    ]
+    # slice-independence: rows 20..30 identical whether generated alone or not
+    a = full.iloc[20:30].reset_index(drop=True)
+    b = part.reset_index(drop=True)
+    assert a.equals(b)
+    assert (full["lat"].between(-90, 90)).all()
+    assert (full["lng"].between(-180, 180)).all()
+    assert full["image_id"].is_unique
+
+
+def test_synth_skew_mode():
+    df = synth_partition(0, 1000, skew_frac=0.2)
+    hot = df["lat"].between(48.8, 48.9) & df["lng"].between(2.3, 2.4)
+    assert 150 <= hot.sum() <= 250
