@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines.
+
+Every strategy a 100 TB dedup pass needs, each as composable
+DataFrame ops with deterministic cross-engine hashes:
+
+  * exact:        md5(text) hash -> groupBy (one shuffle on the hash)
+  * minhash LSH:  token-hash -> k minhashes -> banded bucket join;
+                  candidate pairs only ever meet inside a band bucket,
+                  so the self-join is an equi-join Catalyst hash-
+                  partitions — no all-pairs blowup at scale
+  * simhash:      64-bit sign-of-sum fingerprint via two-level agg
+  * n-gram jaccard: token trigram shingles -> inverted-index self-join
+                  -> exact Jaccard filter (the verify stage after LSH)
+  * phash near-dup: Hamming-ball pairs over the image phash column,
+                  bucketed by 16-bit prefix bands (images side)
+
+All hashes derive from md5-prefix BIGINTs, so DuckDB oracles reproduce
+results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import token_hash_expr
+
+__all__ = [
+    "exact_dups",
+    "minhash_signatures",
+    "lsh_pairs",
+    "simhash64",
+    "ngram_jaccard_pairs",
+    "phash_neardup_pairs",
+]
+
+# (a, b) parameters for the k minhash permutations h_i = (a*h + b) % P
+MINHASH_P = 100003
+TOKEN_MOD = 1048573
+MINHASH_PARAMS = [(2 * i + 3, 7 * i + 1) for i in range(8)]
+
+
+def exact_dups(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_docs, canonical_id)."""
+    return (
+        docs.select(F.md5(F.col(text)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def _tokens(docs: DataFrame, id_col: str, text: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
+    ).withColumn("h", F.expr(token_hash_expr("tok")) % TOKEN_MOD)
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """k=8 minhash values per document (one explode + one groupBy)."""
+    toks = _tokens(docs, id_col, text)
+    aggs = [
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
+              rows_per_band: int = 4) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b sharing >= 1 band).
+
+    The band key is an equi-join key: Catalyst plans a plain shuffled
+    hash join keyed on (band_idx, band_key) — at 10^12 docs this is
+    the only join shape that survives. 4 rows per band keeps the
+    collision rate low enough that bucket sizes stay bounded.
+    """
+    sig = minhash_signatures(docs, id_col, text)
+    k = len(MINHASH_PARAMS)
+    bands = []
+    for b in range(0, k, rows_per_band):
+        cols = [F.col(f"mh{i}") for i in range(b, min(b + rows_per_band, k))]
+        key = F.concat_ws("-", *[c.cast("string") for c in cols])
+        bands.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey"))
+        )
+    exploded = bands[0]
+    for other in bands[1:]:
+        exploded = exploded.unionByName(other)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """64-bit simhash: bit b set iff more than half the tokens have bit
+    b set in their hash. Two-level aggregation (doc,bit) -> doc keeps
+    the plan a pair of hash-aggs (no UDF, scales with partial aggs)."""
+    toks = _tokens(docs, id_col, text)
+    bits = toks.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"), "h"
+    ).groupBy(id_col, "bit").agg(
+        F.sum(F.expr("(h >> bit) & 1")).alias("ones"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return bits.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("ones") * 2 > F.col("n"), F.expr("cast(1 as bigint) << bit")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
+                        n: int = 3, threshold: float = 0.2) -> DataFrame:
+    """Exact Jaccard over token n-gram shingles, via inverted-index
+    self-join (only docs sharing a shingle ever meet)."""
+    shingles = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split({text},' ')) - {n}),"
+                f" i -> concat_ws(' ', slice(split({text},' '), i + 1, {n})))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
+                        id_col: str = "image_id", phash: str = "phash") -> DataFrame:
+    """Near-duplicate image pairs by phash Hamming distance.
+
+    Band trick: split the 64-bit hash into 4 x 16-bit bands; any pair
+    within Hamming <= 8 shares at least one identical band when
+    distance < 4 bands * ... (pigeonhole: distance <= max_hamming with
+    4 bands guarantees a shared band when max_hamming < 4). For the
+    general case this is a RECALL-oriented candidate generator (the
+    standard LSH trade); the exact Hamming filter verifies candidates.
+    """
+    bands = []
+    for b in range(4):
+        bands.append(
+            images.select(
+                F.col(id_col),
+                F.col(phash),
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(phash), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+            )
+        )
+    ex = bands[0]
+    for o in bands[1:]:
+        ex = ex.unionByName(o)
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{phash}").alias("ph_a"),
+            F.col(f"b.{phash}").alias("ph_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    return (
+        pairs.withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

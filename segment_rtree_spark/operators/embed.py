@@ -1,0 +1,132 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH ANN.
+
+* cosine_topk — the exactness baseline: broadcast the (small) query
+  set, fold the dot product with F.aggregate/zip_with (sequential
+  fold -> bit-exact vs the DuckDB list_reduce oracle), window top-k.
+  At scale the target side stays partitioned; only queries broadcast.
+
+* lsh_buckets — the scale path: sign-random-projection buckets from
+  deterministic arithmetic hyperplanes, computed in a NumPy kernel
+  whose accumulation order matches the SQL fold (sequential over
+  dims) so the oracle reproduces buckets exactly. ANN search = equi
+  join on bucket, refine with exact cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["cosine_topk", "lsh_buckets", "ann_topk", "hyperplane", "DIM", "N_BITS"]
+
+DIM = 64
+N_BITS = 8
+
+
+def hyperplane(i: int, dim: int = DIM) -> np.ndarray:
+    """Deterministic pseudo-random hyperplane i (exact decimal values,
+    reproducible as SQL literals)."""
+    j = np.arange(dim, dtype=np.int64)
+    return ((i * 2654435761 + j * 40503) % 1000) / 1000.0 - 0.5
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+def cosine_topk(
+    targets: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against all targets.
+
+    Output: (query_id, vec_id, score, rank). Ties break by target id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec).cast("array<double>").alias("qv")
+    )
+    t = targets.select(
+        F.col(id_col), F.col(vec).cast("array<double>").alias("tv")
+    )
+    dot = F.expr(_dot_expr("qv", "tv"))
+    nq = F.sqrt(F.expr(_dot_expr("qv", "qv")))
+    nt = F.sqrt(F.expr(_dot_expr("tv", "tv")))
+    joined = (
+        t.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))  # exclude self BEFORE ranking
+        .withColumn("score", dot / (nq * nt))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    n_bits: int = N_BITS,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector (NumPy kernel).
+
+    Accumulates the dot product SEQUENTIALLY over dimensions so the
+    result is bit-identical to the SQL fold oracle.
+    """
+    planes = np.stack([hyperplane(i, dim) for i in range(n_bits)])  # [bits, dim]
+
+    def kernel(batches):
+        for pdf in batches:
+            emb = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec]], dtype=np.float64
+            )
+            n = len(pdf)
+            bucket = np.zeros(n, dtype=np.int64)
+            for b in range(n_bits):
+                acc = np.zeros(n)
+                for d in range(dim):  # sequential: matches the SQL fold
+                    acc = acc + emb[:, d] * planes[b, d]
+                bucket |= (acc > 0.0).astype(np.int64) << b
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+
+    return vectors.mapInPandas(kernel, f"{id_col} long, bucket long")
+
+
+def ann_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_bits: int = N_BITS,
+) -> DataFrame:
+    """Approximate all-pairs top-k: bucket equi-join then exact cosine
+    refine inside each bucket. Output (query_id, vec_id, score, rank)."""
+    b = lsh_buckets(vectors, n_bits, id_col, vec)
+    v = vectors.join(b, id_col).select(
+        F.col(id_col), F.col(vec).cast("array<double>").alias("v"), "bucket"
+    )
+    a, t = v.alias("a"), v.alias("b")
+    dot = F.expr(_dot_expr("a.v", "b.v"))
+    na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
+    nb = F.sqrt(F.expr(_dot_expr("b.v", "b.v")))
+    joined = (
+        a.join(t, "bucket")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias(id_col),
+            (dot / (na * nb)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,631 @@
+"""Query registry backing __spark_entry__.py.
+
+Each entry pairs a PySpark implementation (exercising the engine's
+kernels/operators) with an independent ANSI-SQL oracle that DuckDB runs
+on the same tables. Spatial inputs are DERIVED deterministically from
+the TPC-H-ish tables by integer arithmetic that is bit-exact in both
+engines; polygon layers are literal constants shared between the
+PolygonLayer (Spark side) and a VALUES clause (oracle side).
+
+Cross-engine determinism rules used throughout:
+  * integer arithmetic (*, %, +) on BIGINT — exact both sides;
+  * double math uses IDENTICAL expression trees — IEEE 754 ops in the
+    same order produce bit-equal doubles in JVM and DuckDB;
+  * token hash: first 15 hex chars of md5 -> BIGINT (60 bits), same
+    value both engines (verified);
+  * folds (aggregate/list_reduce) run sequentially left-to-right in
+    both engines -> float dot products match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..layer import PolygonLayer
+
+# ----------------------------------------------------------------------
+# shared derivations
+# ----------------------------------------------------------------------
+
+# customer -> deterministic point cloud (lng/lat over the full domain)
+PTS_LNG = "(cast((c_custkey * 7919) % 36000 as double) / 100.0 - 180.0)"
+PTS_LAT = "(cast((c_custkey * 104729) % 18000 as double) / 100.0 - 90.0)"
+
+
+def pts_sql(table: str = "customer") -> str:
+    return (
+        f"select c_custkey as point_id, {PTS_LNG} as lng, {PTS_LAT} as lat from {table}"
+    )
+
+
+# the literal polygon layer used by the oracle-checked PIP/kNN queries:
+# ids, rings (part 0 = shell).  Shapes chosen to exercise holes, corners
+# and boundary hits within the derived point domain.
+ENTRY_LAYER_ROWS = [
+    (1, 0, [-150.0, -150.0, -60.0, -60.0, -150.0], [-80.0, -10.0, -10.0, -80.0, -80.0]),
+    (1, 1, [-130.0, -130.0, -100.0, -100.0, -130.0], [-60.0, -30.0, -30.0, -60.0, -60.0]),
+    (2, 0, [-30.0, 0.0, 30.0, -30.0], [0.0, 70.0, 0.0, 0.0]),
+    (3, 0, [60.0, 60.0, 170.0, 170.0, 60.0], [-70.0, 60.0, 60.0, -70.0, -70.0]),
+    (3, 1, [80.0, 80.0, 120.0, 120.0, 80.0], [-40.0, 20.0, 20.0, -40.0, -40.0]),
+    (3, 2, [130.0, 130.0, 160.0, 160.0, 130.0], [30.0, 50.0, 50.0, 30.0, 30.0]),
+    (4, 0, [-20.0, -20.0, 20.0, 20.0, -20.0], [75.0, 89.0, 89.0, 75.0, 75.0]),
+]
+
+
+def entry_layer() -> PolygonLayer:
+    return PolygonLayer.from_ring_rows(ENTRY_LAYER_ROWS)
+
+
+def layer_segments_values() -> str:
+    """The layer's segments as a VALUES clause:
+    (polygon_id, part_id, sx, sy, ex, ey)."""
+    rows = []
+    for pid, part, xs, ys in ENTRY_LAYER_ROWS:
+        for i in range(len(xs) - 1):
+            rows.append(
+                f"({pid},{part},{xs[i]!r},{ys[i]!r},{xs[i+1]!r},{ys[i+1]!r})"
+            )
+    return ",".join(rows)
+
+
+def pip_oracle_sql() -> str:
+    """Winding-number PIP in pure SQL — the independent oracle for the
+    kernel path (same 3-valued semantics as point_in_polygon.rs:12-74,
+    computed the brute-force way: every segment, no tree)."""
+    return f"""
+with pts as ({pts_sql()}),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+per_ring as (
+  select p.point_id, s.polygon_id, s.part_id,
+    max(case when (ex-sx)*(lat-sy) = (ey-sy)*(lng-sx)
+              and lng >= least(sx,ex) and lng <= greatest(sx,ex)
+              and lat >= least(sy,ey) and lat <= greatest(sy,ey)
+         then 1 else 0 end) as on_b,
+    sum(case when (ex-sx)*(lat-sy) = (ey-sy)*(lng-sx) then 0
+             when sy <= lat and ey > lat and (ex-sx)*(lat-sy) > (ey-sy)*(lng-sx) then 1
+             when sy > lat and ey <= lat and (ex-sx)*(lat-sy) < (ey-sy)*(lng-sx) then -1
+             else 0 end) as wn
+  from pts p cross join seg s
+  group by 1, 2, 3
+),
+ring_rel as (
+  select point_id, polygon_id, part_id,
+         case when on_b = 1 then 1 when wn <> 0 then 2 else 0 end as rel
+  from per_ring
+),
+poly_rel as (
+  select point_id, polygon_id,
+    case when shell_rel = 2 and hole_rel = 2 then 0
+         when shell_rel = 2 and hole_rel = 1 then 1
+         else shell_rel end as relcode
+  from (
+    select point_id, polygon_id,
+           max(case when part_id = 0 then rel else 0 end) as shell_rel,
+           max(case when part_id > 0 then rel else 0 end) as hole_rel
+    from ring_rel group by 1, 2
+  )
+)
+select point_id, polygon_id,
+       case relcode when 1 then 'boundary' else 'interior' end as relation
+from poly_rel where relcode > 0
+"""
+
+
+# ----------------------------------------------------------------------
+# registry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+# ----------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ..operators import dedup as _dedup  # noqa: E402
+from ..operators import embed as _embed  # noqa: E402
+from ..operators import text as _text  # noqa: E402
+from ..operators.knn_join import knn_join_centroid  # noqa: E402
+from ..operators.pip_join import pip_join_broadcast  # noqa: E402
+from ..tiles import cell_of_sql, cell_parent_sql  # noqa: E402
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr(PTS_LNG).alias("lng"),
+        F.expr(PTS_LAT).alias("lat"),
+    )
+
+
+# -- spatial -----------------------------------------------------------
+
+def q_pip_relation(spark, sf_dir):
+    return pip_join_broadcast(
+        _points(spark, sf_dir), entry_layer(), keep=["point_id"]
+    )
+
+
+def q_tile_assign(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("point_id"),
+        F.expr(
+            cell_of_sql(
+                "(cast((o_orderkey * 104729) % 18000 as double) / 100.0 - 90.0)",
+                "(cast((o_orderkey * 7919) % 36000 as double) / 100.0 - 180.0)",
+                8,
+            )
+        ).alias("cell"),
+    )
+
+
+def _tile_assign_oracle():
+    cell = cell_of_sql(
+        "(cast((o_orderkey * 104729) % 18000 as double) / 100.0 - 90.0)",
+        "(cast((o_orderkey * 7919) % 36000 as double) / 100.0 - 180.0)",
+        8,
+    )
+    return f"select o_orderkey as point_id, {cell} as cell from orders"
+
+
+def q_tile_rollup(spark, sf_dir):
+    """res-8 assignment rolled up to res-4 parents (prefix property)."""
+    base = q_tile_assign(spark, sf_dir)
+    return (
+        base.withColumn("cell4", F.expr(cell_parent_sql("cell", 4)))
+        .groupBy("cell4")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("point_id").alias("sum_ids"))
+    )
+
+
+def _tile_rollup_oracle():
+    return f"""
+with base as ({_tile_assign_oracle()})
+select {cell_parent_sql('cell', 4)} as cell4, count(*) as n,
+       sum(point_id) as sum_ids
+from base group by 1
+"""
+
+
+RECT_SQL = dict(
+    rxmin="(cast((p_partkey * 13) % 340 as double) - 170.0)",
+    rymin="(cast((p_partkey * 29) % 160 as double) - 80.0)",
+)
+RECT_SQL["rxmax"] = f"({RECT_SQL['rxmin']} + 1.0 + cast(p_partkey % 7 as double))"
+RECT_SQL["rymax"] = f"({RECT_SQL['rymin']} + 1.0 + cast(p_partkey % 5 as double))"
+
+
+def q_bbox_join(spark, sf_dir):
+    """Rect-contains-point theta join, Catalyst-planned (bbox predicate
+    pushdown — the prefilter stage of every spatial join)."""
+    rects = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.col("p_partkey").alias("rect_id"),
+            *[F.expr(v).alias(k) for k, v in RECT_SQL.items()],
+        )
+    )
+    pts = _points(spark, sf_dir)
+    cond = (
+        (F.col("lng") >= F.col("rxmin")) & (F.col("lng") <= F.col("rxmax"))
+        & (F.col("lat") >= F.col("rymin")) & (F.col("lat") <= F.col("rymax"))
+    )
+    return pts.join(F.broadcast(rects), cond).select("point_id", "rect_id")
+
+
+def _bbox_join_oracle():
+    return f"""
+with rects as (
+  select p_partkey as rect_id, {RECT_SQL['rxmin']} as rxmin, {RECT_SQL['rymin']} as rymin,
+         {RECT_SQL['rxmax']} as rxmax, {RECT_SQL['rymax']} as rymax
+  from part where p_partkey % 10 = 0
+), pts as ({pts_sql()})
+select point_id, rect_id from pts, rects
+where lng >= rxmin and lng <= rxmax and lat >= rymin and lat <= rymax
+"""
+
+
+SITES = [(i, float(((i * 37) % 360) - 180), float(((i * 53) % 170) - 85)) for i in range(1, 9)]
+
+
+def q_knn_sites(spark, sf_dir):
+    import pandas as pd
+
+    sites = spark.createDataFrame(
+        pd.DataFrame(SITES, columns=["site_id", "cx", "cy"])
+    )
+    out = knn_join_centroid(
+        _points(spark, sf_dir), sites, k=3, site_id="site_id"
+    )
+    return out.select("point_id", "site_id", "rank")
+
+
+def _knn_sites_oracle():
+    vals = ",".join(f"({i},{x!r},{y!r})" for i, x, y in SITES)
+    return f"""
+with pts as ({pts_sql()}),
+sites as (select * from (values {vals}) as t(site_id, cx, cy)),
+d as (
+  select point_id, site_id,
+         (lng - cx) * (lng - cx) + (lat - cy) * (lat - cy) as dist2
+  from pts, sites
+),
+r as (select point_id, site_id,
+             row_number() over (partition by point_id order by dist2 asc, site_id asc) as rank
+      from d)
+select point_id, site_id, cast(rank as int) as rank from r where rank <= 3
+"""
+
+
+CLIP_RECT = (-50.0, -40.0, 60.0, 45.0)
+SEG_SQL = dict(
+    sx="(cast((l_orderkey * 7) % 360 as double) - 180.0)",
+    sy="(cast((l_orderkey * 11) % 180 as double) - 90.0)",
+    ex="(cast((l_orderkey * 17) % 360 as double) - 180.0)",
+    ey="(cast((l_orderkey * 23) % 180 as double) - 90.0)",
+)
+
+
+def q_clip_segment(spark, sf_dir):
+    """Liang-Barsky kernel over lineitem-derived segments."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.geom import clip_segments
+
+    segs = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_orderkey").alias("seg_id"),
+            *[F.expr(v).alias(k) for k, v in SEG_SQL.items()],
+        )
+    )
+    xmin, ymin, xmax, ymax = CLIP_RECT
+
+    def kernel(batches):
+        for pdf in batches:
+            hit, cx0, cy0, cx1, cy1 = clip_segments(
+                xmin, ymin, xmax, ymax,
+                pdf["sx"].to_numpy(), pdf["sy"].to_numpy(),
+                pdf["ex"].to_numpy(), pdf["ey"].to_numpy(),
+            )
+            yield pd.DataFrame(
+                {
+                    "seg_id": pdf["seg_id"].to_numpy()[hit],
+                    "cx0": cx0[hit], "cy0": cy0[hit],
+                    "cx1": cx1[hit], "cy1": cy1[hit],
+                }
+            )
+
+    return segs.mapInPandas(kernel, "seg_id long, cx0 double, cy0 double, cx1 double, cy1 double")
+
+
+def _clip_segment_oracle():
+    xmin, ymin, xmax, ymax = CLIP_RECT
+    return f"""
+with segs as (
+  select l_orderkey as seg_id, {SEG_SQL['sx']} as sx, {SEG_SQL['sy']} as sy,
+         {SEG_SQL['ex']} as ex, {SEG_SQL['ey']} as ey
+  from lineitem where l_linenumber = 1
+),
+calc as (
+  select seg_id, sx, sy, ex, ey,
+    (sx >= {xmin} and sx <= {xmax} and sy >= {ymin} and sy <= {ymax}) and
+    (ex >= {xmin} and ex <= {xmax} and ey >= {ymin} and ey <= {ymax}) as bothin,
+    (sx = ex and sy = ey) as degen,
+    ex - sx as xd, ey - sy as yd
+  from segs
+),
+t as (
+  select *,
+    greatest(0.0,
+      case when -yd < 0 then (sy - {ymin}) / -yd else 0.0 end,
+      case when  xd < 0 then ({xmax} - sx) / xd else 0.0 end,
+      case when  yd < 0 then ({ymax} - sy) / yd else 0.0 end,
+      case when -xd < 0 then (sx - {xmin}) / -xd else 0.0 end) as t0,
+    least(1.0,
+      case when -yd > 0 then (sy - {ymin}) / -yd else 1.0 end,
+      case when  xd > 0 then ({xmax} - sx) / xd else 1.0 end,
+      case when  yd > 0 then ({ymax} - sy) / yd else 1.0 end,
+      case when -xd > 0 then (sx - {xmin}) / -xd else 1.0 end) as t1,
+    ((yd = 0 and sy - {ymin} < 0) or (xd = 0 and {xmax} - sx < 0) or
+     (yd = 0 and {ymax} - sy < 0) or (xd = 0 and sx - {xmin} < 0)) as prej
+  from calc
+)
+select seg_id,
+  case when bothin then sx else sx + t0 * xd end as cx0,
+  case when bothin then sy else sy + t0 * yd end as cy0,
+  case when bothin then ex else sx + t1 * xd end as cx1,
+  case when bothin then ey else sy + t1 * yd end as cy1
+from t
+where bothin or ((not degen) and (not prej) and t0 <= t1)
+"""
+
+
+def q_interval_union(spark, sf_dir):
+    """SegmentUnion analog at table level: merge overlapping per-user
+    intervals (gaps-and-islands windows)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("value").alias("s"), (F.col("value") + 3.0).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = ev.withColumn("prev_max_e", F.max("e").over(wprev)).withColumn(
+        "new_island",
+        F.when(F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w))
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start"), F.max("e").alias("end"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def _interval_union_oracle():
+    return """
+with ev as (
+  select user_id, event_id, value as s, value + 3.0 as e from events
+),
+flagged as (
+  select *,
+    max(e) over (partition by user_id order by s, event_id
+                 rows between unbounded preceding and 1 preceding) as prev_max_e
+  from ev
+),
+isl as (
+  select *, sum(case when prev_max_e is null or s > prev_max_e then 1 else 0 end)
+         over (partition by user_id order by s, event_id
+               rows between unbounded preceding and current row) as island
+  from flagged
+)
+select user_id, island, min(s) as start, max(e) as "end",
+       count(*) as n_events
+from isl group by 1, 2
+"""
+
+
+# -- text / dedup ------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return _dedup.exact_dups(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_ORACLE = """
+select md5(text) as text_hash, count(*) as n_docs, min(doc_id) as canonical_id
+from documents group by 1
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _text.with_quality(docs).select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stop", "stop_ratio"
+    )
+
+
+def _text_quality_oracle():
+    stops = ",".join(f"'{s}'" for s in _text.STOPWORDS["en"])
+    return f"""
+select doc_id,
+  length(text) as n_chars,
+  len(string_split(text, ' ')) as n_tokens,
+  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as n_punct,
+  len(list_distinct(list_intersect(string_split(text, ' '), [{stops}]))) as n_stop,
+  cast(len(list_distinct(list_intersect(string_split(text, ' '), [{stops}]))) as double)
+    / cast(len(string_split(text, ' ')) as double) as stop_ratio
+from documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return _text.with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+
+
+def _lang_id_oracle():
+    def score(lang):
+        stops = ",".join(f"'{s}'" for s in _text.STOPWORDS[lang])
+        return f"len(list_distinct(list_intersect(string_split(text, ' '), [{stops}])))"
+
+    return f"""
+select doc_id,
+  case when {score('en')} >= {score('de')} and {score('en')} >= {score('fr')} then 'en'
+       when {score('de')} >= {score('fr')} then 'de'
+       else 'fr' end as pred_lang
+from documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return _text.with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+_FINGERPRINT_ORACLE = f"""
+select doc_id, {_text.fingerprint_sql_duckdb('text')} as fingerprint from documents
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return _dedup.lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_lsh_oracle():
+    th = _text.token_hash_expr_duckdb("tok")
+    mins = ",".join(
+        f"min(((h * {a} + {b}) % {_dedup.MINHASH_P})) as mh{i}"
+        for i, (a, b) in enumerate(_dedup.MINHASH_PARAMS)
+    )
+    bands = []
+    for bidx in range(0, len(_dedup.MINHASH_PARAMS), 4):
+        cols = [f"mh{i}" for i in range(bidx, min(bidx + 4, len(_dedup.MINHASH_PARAMS)))]
+        key = "concat_ws('-', " + ", ".join(f"cast({c} as varchar)" for c in cols) + ")"
+        bands.append(f"select doc_id, {bidx} as band, {key} as bkey from sig")
+    bands_sql = " union all ".join(bands)
+    return f"""
+with toks as (
+  select doc_id, {th} % {_dedup.TOKEN_MOD} as h
+  from (select doc_id, unnest(string_split(text, ' ')) as tok from documents)
+),
+sig as (select doc_id, {mins} from toks group by doc_id),
+bands as ({bands_sql})
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from bands a join bands b on a.band = b.band and a.bkey = b.bkey
+where a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    return _dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+def _ngram_jaccard_oracle():
+    return """
+with docs as (select doc_id, string_split(text, ' ') as toks from documents
+              where len(string_split(text, ' ')) >= 3),
+sh as (
+  select distinct doc_id,
+    unnest(list_transform(range(0, len(toks) - 2),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) as sh
+  from docs
+),
+sizes as (select doc_id, count(*) as sz from sh group by 1),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+  from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select doc_a, doc_b, inter, sa.sz as sz_a, sb.sz as sz_b,
+       cast(inter as double) / cast(sa.sz + sb.sz - inter as double) as jaccard
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where cast(inter as double) / cast(sa.sz + sb.sz - inter as double) >= 0.2
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return _dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle():
+    th = _text.token_hash_expr_duckdb("tok")
+    return f"""
+with toks as (
+  select doc_id, {th} % {_dedup.TOKEN_MOD} as h
+  from (select doc_id, unnest(string_split(text, ' ')) as tok from documents)
+),
+bits as (
+  select doc_id, bit, sum((h >> bit) & 1) as ones, count(*) as n
+  from toks, (select unnest(range(0, 60)) as bit)
+  group by 1, 2
+)
+select doc_id,
+  sum(case when ones * 2 > n then (1::bigint << bit) else 0::bigint end) as simhash
+from bits group by 1
+"""
+
+
+# -- embeddings --------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _embed.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _cosine_topk_oracle():
+    dot = ("list_reduce(list_prepend(0.0::double, list_transform("
+           "list_zip({a}, {b}), p -> p[1] * p[2])), (acc, v) -> acc + v)")
+    d_qt = dot.format(a="qv", b="tv")
+    d_qq = dot.format(a="qv", b="qv")
+    d_tt = dot.format(a="tv", b="tv")
+    return f"""
+with q as (select vec_id as query_id, embedding::double[] as qv from embeddings where vec_id < 5),
+t as (select vec_id, embedding::double[] as tv from embeddings),
+scored as (
+  select query_id, vec_id, {d_qt} / (sqrt({d_qq}) * sqrt({d_tt})) as score
+  from t, q where query_id != vec_id
+),
+r as (select *, row_number() over (partition by query_id order by score desc, vec_id asc) as rank
+      from scored)
+select query_id, vec_id, score, cast(rank as int) as rank from r where rank <= 5
+"""
+
+
+def q_ann_buckets(spark, sf_dir):
+    return _embed.lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+def _ann_buckets_oracle():
+    import numpy as _np
+
+    terms = []
+    for b in range(_embed.N_BITS):
+        plane = _embed.hyperplane(b)
+        lits = ",".join(repr(float(v)) for v in plane)
+        dot = (f"list_reduce(list_prepend(0.0::double, list_transform("
+               f"list_zip(embedding::double[], [{lits}]::double[]), p -> p[1] * p[2])), "
+               f"(acc, v) -> acc + v)")
+        terms.append(f"case when {dot} > 0.0 then {1 << b}::bigint else 0::bigint end")
+    return f"select vec_id, ({' + '.join(terms)}) as bucket from embeddings"
+
+
+# -- rows-only (non-SQL-expressible) -----------------------------------
+
+def q_images_pip(spark, sf_dir):
+    """Flagship: synthetic image table -> PIP join vs the entry layer."""
+    from ..synth import images_df
+
+    imgs = images_df(spark, 2000, skew_frac=0.1)
+    return pip_join_broadcast(imgs, entry_layer(), keep=["image_id", "caption"])
+
+
+def q_phash_neardup(spark, sf_dir):
+    from ..synth import images_df
+
+    imgs = images_df(spark, 1000)
+    return _dedup.phash_neardup_pairs(imgs, max_hamming=16)
+
+
+def q_wkt_corpus_pip(spark, sf_dir):
+    """Real-geometry PIP: africa.wkt layer vs a derived point grid
+    (rows-only check; the brute-force oracle runs in pytest)."""
+    import os
+
+    wkt = os.path.join(os.path.dirname(__file__), "..", "..", "data", "wkt", "africa.wkt")
+    layer = PolygonLayer.from_wkt_file(os.path.abspath(wkt))
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr("(cast((c_custkey * 7919) % 7000 as double) / 100.0 - 20.0)").alias("lng"),
+        F.expr("(cast((c_custkey * 104729) % 7500 as double) / 100.0 - 38.0)").alias("lat"),
+    )
+    return pip_join_broadcast(pts, layer, keep=["point_id"])
+
+
+REGISTRY = {
+    "pip_relation": (q_pip_relation, pip_oracle_sql),
+    "tile_assign": (q_tile_assign, _tile_assign_oracle),
+    "tile_rollup": (q_tile_rollup, _tile_rollup_oracle),
+    "bbox_join": (q_bbox_join, _bbox_join_oracle),
+    "knn_sites": (q_knn_sites, _knn_sites_oracle),
+    "clip_segment": (q_clip_segment, _clip_segment_oracle),
+    "interval_union": (q_interval_union, _interval_union_oracle),
+    "dedup_exact": (q_dedup_exact, lambda: _DEDUP_EXACT_ORACLE),
+    "text_quality": (q_text_quality, _text_quality_oracle),
+    "lang_id": (q_lang_id, _lang_id_oracle),
+    "fingerprint": (q_fingerprint, lambda: _FINGERPRINT_ORACLE),
+    "minhash_lsh": (q_minhash_lsh, _minhash_lsh_oracle),
+    "ngram_jaccard": (q_ngram_jaccard, _ngram_jaccard_oracle),
+    "simhash": (q_simhash, _simhash_oracle),
+    "cosine_topk": (q_cosine_topk, _cosine_topk_oracle),
+    "ann_buckets": (q_ann_buckets, _ann_buckets_oracle),
+    "images_pip": (q_images_pip, None),
+    "phash_neardup": (q_phash_neardup, None),
+    "wkt_corpus_pip": (q_wkt_corpus_pip, None),
+}
