@@ -9,4 +9,13 @@ cell-partitioned PIP joins, kNN, raster<->vector tile aggregation,
 skew-aware partitioning, and checkpointed resumable jobs.
 """
 
+import os as _os
+
+# NumPy's MADV_HUGEPAGE on large buffers triggers synchronous THP
+# defrag stalls on some kernels (~200x slowdown on fresh allocations,
+# measured in this environment: 22 MB/s vs 4 GB/s). Must be set before
+# numpy is first imported — both on the driver and (via process env
+# inheritance) in every Spark Python worker.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 __version__ = "0.1.0"

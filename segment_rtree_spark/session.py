@@ -15,10 +15,12 @@ def get_spark(cores: int | None = None, app: str = "segment-rtree-spark",
     sizing follows spark.sql.files.maxPartitionBytes so 100 TB scans
     split into ~128 MB tasks.
     """
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(32, cores)
     return (
         SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -109,3 +109,62 @@ def images_df(spark, n: int, seed: int = SEED, skew_frac: float = 0.0, slice_siz
                 yield synth_partition(int(lo), int(hi), seed, skew_frac)
 
     return bdf.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# bench-grade fast synthesis (fully vectorized, raw fmt, one size)
+# ----------------------------------------------------------------------
+
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit average-hash of uint8[n,h,w,3] (h,w multiples
+    of 8). Same definition as imageio.phash64, batched."""
+    p = pixels.astype(np.float64)
+    luma = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    n, h, w = luma.shape
+    grid = luma.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+    bits = grid > grid.mean(axis=(1, 2), keepdims=True)
+    weights = (1 << np.arange(63, -1, -1)).astype(np.uint64)
+    vals = (bits.reshape(n, 64).astype(np.uint64) * weights).sum(axis=1)
+    return vals.view(np.int64)
+
+
+def synth_partition_fast(lo: int, hi: int, seed: int = SEED, skew_frac: float = 0.0,
+                         size: int = 16) -> pd.DataFrame:
+    """Bench-grade slice generator: one size, raw fmt, all-vectorized.
+    Deterministic per (seed, lo, hi) slice."""
+    n = hi - lo
+    idx = np.arange(lo, hi, dtype=np.int64)
+    rng = np.random.default_rng(seed ^ (lo * 1_000_003 + hi))
+    pixels = rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8)
+    ph = phash64_batch(pixels)
+    lat, lng = _geotag(ph, idx, skew_frac)
+    flat = pixels.reshape(n, -1)
+    return pd.DataFrame(
+        {
+            "image_id": [f"img{int(i):012d}" for i in idx],
+            "bytes": [flat[k].tobytes() for k in range(n)],
+            "w": np.full(n, size, np.int32),
+            "h": np.full(n, size, np.int32),
+            "fmt": "raw",
+            "caption": [f"synthetic image {int(i)}" for i in idx],
+            "phash": ph,
+            "lat": lat,
+            "lng": lng,
+        }
+    )
+
+
+def images_df_fast(spark, n: int, seed: int = SEED, skew_frac: float = 0.0,
+                   slice_size: int = 20000, size: int = 16):
+    """Distributed fast synthesis (see images_df)."""
+    bounds = [(lo, min(lo + slice_size, n)) for lo in range(0, n, slice_size)]
+    bdf = spark.createDataFrame(bounds, "lo long, hi long").repartition(
+        max(1, min(len(bounds), spark.sparkContext.defaultParallelism))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                yield synth_partition_fast(int(lo), int(hi), seed, skew_frac, size)
+
+    return bdf.mapInPandas(gen, IMAGES_SCHEMA)

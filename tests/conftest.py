@@ -1,3 +1,7 @@
+import os
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see segment_rtree_spark/__init__.py
+
 import pytest
 
 
