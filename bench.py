@@ -1,0 +1,133 @@
+"""Headline benchmark: one JSON line to stdout.
+
+Runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The flagship
+workload is the north-star metric: tile assignment + PIP join of a
+synthetic image+caption table against a real polygon layer
+(africa.wkt, 49 shells), reported as images/sec.
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "images_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "300000"))
+
+
+def build_layer():
+    from segment_rtree_spark.layer import PolygonLayer
+
+    wkt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "wkt", "africa.wkt")
+    return PolygonLayer.from_wkt_file(wkt)
+
+
+def bench_queries(spark, sf_dir):
+    """name -> zero-arg callable that runs the query to completion."""
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.dedup import lsh_pairs, phash_neardup_pairs
+    from segment_rtree_spark.operators.embed import cosine_topk
+    from segment_rtree_spark.operators.pip_join import (
+        pip_join_broadcast,
+        pip_join_partitioned,
+    )
+    from segment_rtree_spark.operators.tile_ops import tile_pyramid
+    from segment_rtree_spark.plans.entry_queries import REGISTRY
+    from segment_rtree_spark.synth import images_df_fast
+
+    layer = build_layer()
+    # africa spans roughly lng [-18, 52], lat [-35, 38]; remap the
+    # synthetic geotags into that window so the join has real work
+    def images(n, skew=0.0):
+        df = images_df_fast(spark, n, skew_frac=skew)
+        return df.withColumn("lng", F.col("lng") / 360.0 * 75.0 + 17.0).withColumn(
+            "lat", F.col("lat") / 180.0 * 80.0 + 1.5
+        )
+
+    imgs = images(N_IMAGES, skew=0.1).cache()
+
+    def q_pip_broadcast():
+        return pip_join_broadcast(imgs, layer, keep=["image_id"]).count()
+
+    def q_pip_partitioned():
+        return pip_join_partitioned(
+            imgs, layer, keep=["image_id"], res=6, salt_threshold=20000, n_salt=8
+        ).count()
+
+    def q_tile_pyramid():
+        return tile_pyramid(imgs, base_res=10, min_res=4).count()
+
+    def q_phash_neardup():
+        return phash_neardup_pairs(imgs.sample(0.1, seed=7), max_hamming=8).count()
+
+    def q_minhash_lsh():
+        return lsh_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet")).count()
+
+    def q_cosine_topk():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=10).count()
+
+    def q_clip_segment():
+        return REGISTRY["clip_segment"][0](spark, sf_dir).count()
+
+    return {
+        "pip_broadcast": q_pip_broadcast,
+        "pip_partitioned": q_pip_partitioned,
+        "tile_pyramid": q_tile_pyramid,
+        "phash_neardup": q_phash_neardup,
+        "minhash_lsh": q_minhash_lsh,
+        "cosine_topk": q_cosine_topk,
+        "clip_segment": q_clip_segment,
+    }, imgs
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from segment_rtree_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries, imgs = bench_queries(spark, sf_dir)
+    n_images = imgs.count()  # materialize the cache outside the timings
+
+    times = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    pip_tp = round(n_images / times["pip_broadcast"], 1)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join + tile-assignment throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "n_images": n_images,
+                "images_per_sec": pip_tp,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,10 @@ def pip_join_broadcast(
     schema = _result_schema(points, keep)
     spark = points.sparkSession
     blayer = spark.sparkContext.broadcast(layer)
+    # column-prune BEFORE the UDF: mapInPandas ships every input column
+    # through Arrow, so an unpruned image table would drag its pixel
+    # blobs through the kernel for an id-only join output
+    points = points.select(*dict.fromkeys([*keep, x, y]))
 
     def kernel(batches):
         lyr = blayer.value
@@ -95,6 +99,7 @@ def pip_join_partitioned(
     keep = list(keep) if keep is not None else [c for c in points.columns]
     schema = _result_schema(points, keep)
     spark = points.sparkSession
+    points = points.select(*dict.fromkeys([*keep, x, y]))  # prune pre-UDF
 
     pids, cells = layer.cover_cells(res)
     cover = spark.createDataFrame(

@@ -1,0 +1,77 @@
+"""Two-parallelism scaling study (the sandbox stand-in for N vs 4N
+executors): run the identical scan->tile->PIP job at local[8] and
+local[32] in fresh JVMs on the same parquet input, report throughput
+at both plus scaling efficiency = (thr_32 / thr_8) / 4.
+
+Writes results to BENCH/scaling.json and refreshes BENCH/BASELINE.md.
+Usage: python tools/scaling_bench.py [n_images]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+INPUT = "/tmp/spark_graft_scaling_images"
+
+
+def prepare_input(n):
+    from segment_rtree_spark.session import get_spark
+    from segment_rtree_spark.synth import images_df_fast
+    from pyspark.sql import functions as F
+
+    spark = get_spark(cores=32, app="scaling-prep")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = images_df_fast(spark, n, skew_frac=0.1)
+    # remap geotags into africa's window so the join has real work
+    df = df.withColumn("lng", F.col("lng") / 360.0 * 75.0 + 17.0).withColumn(
+        "lat", F.col("lat") / 180.0 * 80.0 + 1.5
+    )
+    df.repartition(64).write.mode("overwrite").parquet(INPUT)
+    spark.stop()
+
+
+def run(cores):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"), str(cores), INPUT],
+        capture_output=True, text=True, timeout=1200,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    if not os.path.exists(INPUT):
+        prepare_input(n)
+
+    results = {}
+    for cores in (8, 32):
+        results[cores] = run(cores)
+        print(results[cores])
+
+    thr8 = results[8]["images_per_sec"]
+    thr32 = results[32]["images_per_sec"]
+    eff = round(thr32 / (4 * thr8), 3)
+    summary = {
+        "job": "scan parquet -> assign_tiles(res 8) -> broadcast PIP join (africa.wkt, 49 shells)",
+        "n_images": results[32]["n_images"],
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": eff,
+        "criterion": ">= 0.8 between N and 4N parallelism",
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
