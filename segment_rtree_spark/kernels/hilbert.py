@@ -117,3 +117,71 @@ class HilbertScaler:
             np.uint32
         )
         return np.where(ok, hilbert_normalized(gx, gy), _MAXU32)
+
+
+def hilbert_sql(gx: str, gy: str, dialect: str = "duckdb", carry: str = "") -> list:
+    """Generate a SQL expression tree computing hilbert_normalized(gx, gy)
+    for integer grid columns — the cross-engine oracle of the kernel.
+
+    Chained subquery stages mirror the kernel's statement order exactly;
+    integer ops on BIGINT never overflow (no additions, values < 2^32).
+    dialect handles xor: Spark SQL uses `^`, DuckDB uses xor().
+    """
+    X = (lambda a, b: f"xor({a}, {b})") if dialect == "duckdb" else (
+        lambda a, b: f"(({a}) ^ ({b}))"
+    )
+
+    stages = [f"select ({gx}) as x, ({gy}) as y from __T__"]
+    stages.append(
+        f"select x, y, {X('x','y')} as a, {X('65535', X('x','y'))} as b, "
+        f"{X('65535','(x | y)')} as c, (x & {X('y','65535')}) as d from __T__"
+    )
+    stages.append(
+        "select x, y, (a | (b >> 1)) as a2, " + X("(a >> 1)", "a") + " as b2, "
+        + X(X("(c >> 1)", "(b & (d >> 1))"), "c") + " as c2, "
+        + X(X("(a & (c >> 1))", "(d >> 1)"), "d") + " as d2 from __T__"
+    )
+    stages.append(
+        "select x, y, "
+        + X("(a2 & (a2 >> 2))", "(b2 & (b2 >> 2))") + " as a3, "
+        + X("(a2 & (b2 >> 2))", "(b2 & (" + X("a2", "b2") + " >> 2))") + " as b3, "
+        + X("c2", X("(a2 & (c2 >> 2))", "(b2 & (d2 >> 2))")) + " as c3, "
+        + X("d2", X("(b2 & (c2 >> 2))", "((" + X("a2", "b2") + ") & (d2 >> 2))")) + " as d3 from __T__"
+    )
+    stages.append(
+        "select x, y, "
+        + X("(a3 & (a3 >> 4))", "(b3 & (b3 >> 4))") + " as a4, "
+        + X("(a3 & (b3 >> 4))", "(b3 & (" + X("a3", "b3") + " >> 4))") + " as b4, "
+        + X("c3", X("(a3 & (c3 >> 4))", "(b3 & (d3 >> 4))")) + " as c4, "
+        + X("d3", X("(b3 & (c3 >> 4))", "((" + X("a3", "b3") + ") & (d3 >> 4))")) + " as d4 from __T__"
+    )
+    stages.append(
+        "select x, y, "
+        + X("c4", X("(a4 & (c4 >> 8))", "(b4 & (d4 >> 8))")) + " as C, "
+        + X("d4", X("(b4 & (c4 >> 8))", "((" + X("a4", "b4") + ") & (d4 >> 8))")) + " as D from __T__"
+    )
+    stages.append(
+        "select " + X("x", "y") + " as i0, "
+        + "(" + X("D", "(D >> 1)") + " | "
+        + X("65535", "((" + X("x", "y") + ") | (" + X("C", "(C >> 1)") + "))")
+        + ") as i1 from __T__"
+    )
+    # interleave spreads
+    def spread(v):
+        e = v
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            e = f"(({e} | ({e} << {shift})) & {mask})"
+        return e
+
+    stages.append(f"select ((({spread('i1')}) << 1) | ({spread('i0')})) as hkey from __T__")
+    if carry:
+        stages = [st.replace("select ", f"select {carry}, ", 1) for st in stages]
+    return stages
+
+
+def hilbert_sql_query(base: str, gx: str, gy: str, dialect: str, carry: str = "") -> str:
+    """Fold the stages into one nested query over `base`."""
+    q = base
+    for st in hilbert_sql(gx, gy, dialect, carry=carry):
+        q = st.replace("__T__", f"({q})")
+    return q

@@ -629,3 +629,42 @@ REGISTRY = {
     "phash_neardup": (q_phash_neardup, None),
     "wkt_corpus_pip": (q_wkt_corpus_pip, None),
 }
+
+
+# -- hilbert key (kernel vs generated bit-twiddle SQL oracle) -----------
+
+HKEY_GX = "(c_custkey * 48271) % 65536"
+HKEY_GY = "(c_custkey * 69621) % 65536"
+
+
+def q_hilbert_key(spark, sf_dir):
+    import pandas as pd
+
+    from ..kernels.hilbert import hilbert_normalized
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr(HKEY_GX).alias("gx"),
+        F.expr(HKEY_GY).alias("gy"),
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            hk = hilbert_normalized(
+                pdf["gx"].to_numpy(np.uint32), pdf["gy"].to_numpy(np.uint32)
+            )
+            yield pd.DataFrame({"point_id": pdf["point_id"], "hkey": hk.astype(np.int64)})
+
+    return pts.mapInPandas(kernel, "point_id long, hkey long")
+
+
+def _hilbert_key_oracle():
+    from ..kernels.hilbert import hilbert_sql_query
+
+    base = f"select c_custkey as point_id, {HKEY_GX} as gx, {HKEY_GY} as gy from customer"
+    return hilbert_sql_query(base, "gx", "gy", "duckdb", carry="point_id")
+
+
+REGISTRY["hilbert_key"] = (q_hilbert_key, _hilbert_key_oracle)

@@ -27,12 +27,12 @@ def prepare_input(n):
 
     spark = get_spark(cores=32, app="scaling-prep")
     spark.sparkContext.setLogLevel("ERROR")
-    df = images_df_fast(spark, n, skew_frac=0.1)
+    df = images_df_fast(spark, n, skew_frac=0.1, size=8, slice_size=50000)
     # remap geotags into africa's window so the join has real work
     df = df.withColumn("lng", F.col("lng") / 360.0 * 75.0 + 17.0).withColumn(
         "lat", F.col("lat") / 180.0 * 80.0 + 1.5
     )
-    df.repartition(64).write.mode("overwrite").parquet(INPUT)
+    df.repartition(128).write.mode("overwrite").parquet(INPUT)
     spark.stop()
 
 
@@ -46,7 +46,7 @@ def run(cores):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
     if not os.path.exists(INPUT):
         prepare_input(n)
 

