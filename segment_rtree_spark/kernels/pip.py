@@ -187,3 +187,148 @@ def points_in_polygon(px, py, polygon: PreparedPolygon) -> np.ndarray:
             # points still Interior w.r.t. the polygon keep checking holes
             sel = sel[hrel == EXTERIOR]
     return rel
+
+
+class RingArena:
+    """All rings of a layer packed into ONE node arena.
+
+    The per-ring PackedSegTree layout is unchanged (same arithmetic
+    addressing, reference rtree.rs:235-248); rings simply concatenate,
+    with per-ring offsets, so a single level-synchronous frontier can
+    descend EVERY (point, ring) candidate pair of a batch at once —
+    kernel cost scales with total pairs, never with ring count. This is
+    what keeps per-call NumPy overhead amortized when a batch spans
+    hundreds of polygons.
+    """
+
+    __slots__ = (
+        "degree", "cxs", "cys", "coord_off", "txmin", "tymin", "txmax", "tymax",
+        "tree_off", "li_flat", "li_off", "height", "size",
+    )
+
+    def __init__(self, rings, degree: int = 16):
+        self.degree = int(degree)
+        trees = [
+            r.tree if isinstance(r, PreparedRing) and r.tree.degree == degree
+            else PackedSegTree.from_coords(r.xs, r.ys, degree=degree)
+            for r in rings
+        ]
+        self.cxs = np.concatenate([r.xs for r in rings]) if rings else np.empty(0)
+        self.cys = np.concatenate([r.ys for r in rings]) if rings else np.empty(0)
+        self.coord_off = np.cumsum([0] + [len(r.xs) for r in rings]).astype(np.int64)
+        self.txmin = np.concatenate([t.xmin for t in trees]) if trees else np.empty(0)
+        self.tymin = np.concatenate([t.ymin for t in trees]) if trees else np.empty(0)
+        self.txmax = np.concatenate([t.xmax for t in trees]) if trees else np.empty(0)
+        self.tymax = np.concatenate([t.ymax for t in trees]) if trees else np.empty(0)
+        self.tree_off = np.cumsum([0] + [len(t.xmin) for t in trees]).astype(np.int64)
+        self.li_flat = (
+            np.concatenate([t.level_indices for t in trees]) if trees else np.empty(0, np.int64)
+        )
+        self.li_off = np.cumsum([0] + [len(t.level_indices) for t in trees]).astype(np.int64)
+        self.height = np.array([t.height for t in trees], dtype=np.int64)
+        self.size = np.array([t.size for t in trees], dtype=np.int64)
+
+    def __len__(self):
+        return len(self.height)
+
+    def _node_idx(self, ring, lvl, off):
+        return self.tree_off[ring] + self.li_flat[self.li_off[ring] + lvl] + off
+
+    def query_pairs(self, px, py, pair_pt, pair_ring) -> np.ndarray:
+        """3-valued PIP for candidate pairs, all at once.
+
+        px, py: point coords; pair_pt/pair_ring: int64 pair arrays.
+        Returns int8[len(pairs)] relations (same semantics as
+        points_in_ring, incl. Claim-1 shortcut and Boundary early drop).
+        """
+        px = np.asarray(px, np.float64)
+        py = np.asarray(py, np.float64)
+        pair_pt = np.asarray(pair_pt, np.int64)
+        pair_ring = np.asarray(pair_ring, np.int64)
+        n = len(pair_pt)
+        wn = np.zeros(n, np.int64)
+        boundary = np.zeros(n, bool)
+        if n == 0:
+            return np.zeros(0, np.int8)
+
+        d = self.degree
+        ppx = px[pair_pt]
+        ppy = py[pair_pt]
+
+        # envelope pre-reject at the root + root check_point_rect
+        root_idx = self._node_idx(pair_ring, self.height[pair_ring], 0)
+        inside_env = (
+            (self.txmin[root_idx] <= ppx) & (ppx <= self.txmax[root_idx])
+            & (self.tymin[root_idx] <= ppy) & (ppy <= self.tymax[root_idx])
+        )
+        pid = np.nonzero(inside_env)[0]
+        lvl = self.height[pair_ring[pid]]
+        off = np.zeros(len(pid), np.int64)
+
+        while len(pid) > 0:
+            ring = pair_ring[pid]
+            pt = pair_pt[pid]
+            idx = self.tree_off[ring] + self.li_flat[self.li_off[ring] + lvl] + off
+
+            # Claim-1: node strictly right of the point -> chord winding
+            right = self.txmin[idx] > px[pt]
+            if right.any():
+                rp, rr, ro, rl = pid[right], ring[right], off[right], lvl[right]
+                width = d ** rl
+                low = width * ro
+                high = np.minimum(self.size[rr], width * (ro + 1))
+                c0 = self.coord_off[rr]
+                w = winding_position(
+                    px[pair_pt[rp]], py[pair_pt[rp]],
+                    self.cxs[c0 + low], self.cys[c0 + low],
+                    self.cxs[c0 + high], self.cys[c0 + high],
+                )
+                np.add.at(wn, rp[w == WN_LEFT], 1)
+                np.add.at(wn, rp[w == WN_RIGHT], -1)
+                keep = ~right
+                pid, ring, off, lvl = pid[keep], ring[keep], off[keep], lvl[keep]
+                if len(pid) == 0:
+                    break
+                pt = pair_pt[pid]
+
+            # leaves: real segment winding (may set Boundary)
+            leaf = lvl == 0
+            if leaf.any():
+                lp, lr, lo = pid[leaf], ring[leaf], off[leaf]
+                c0 = self.coord_off[lr]
+                w = winding_position(
+                    px[pair_pt[lp]], py[pair_pt[lp]],
+                    self.cxs[c0 + lo], self.cys[c0 + lo],
+                    self.cxs[c0 + lo + 1], self.cys[c0 + lo + 1],
+                )
+                boundary[lp[w == WN_ON]] = True
+                np.add.at(wn, lp[w == WN_LEFT], 1)
+                np.add.at(wn, lp[w == WN_RIGHT], -1)
+                keep = ~leaf
+                pid, ring, off, lvl = pid[keep], ring[keep], off[keep], lvl[keep]
+                if len(pid) == 0:
+                    break
+
+            # expand children passing check_point_rect
+            cl = lvl - 1
+            cp = np.repeat(pid, d)
+            cr = np.repeat(ring, d)
+            clv = np.repeat(cl, d)
+            co = (off[:, None] * d + np.arange(d, dtype=np.int64)).ravel()
+            li0 = self.li_flat[self.li_off[cr] + clv]
+            li1 = self.li_flat[self.li_off[cr] + clv + 1]
+            valid = co < (li1 - li0)
+            cp, cr, clv, co = cp[valid], cr[valid], clv[valid], co[valid]
+            cidx = self.tree_off[cr] + self.li_flat[self.li_off[cr] + clv] + co
+            cx = px[pair_pt[cp]]
+            cy = py[pair_pt[cp]]
+            keep = (
+                (cx <= self.txmax[cidx]) & (cy >= self.tymin[cidx]) & (cy <= self.tymax[cidx])
+                & ~boundary[cp]
+            )
+            pid, ring, off, lvl = cp[keep], cr[keep], co[keep], clv[keep]
+
+        out = np.zeros(n, np.int8)
+        out[(wn != 0) & ~boundary] = INTERIOR
+        out[boundary] = BOUNDARY
+        return out

@@ -56,6 +56,25 @@ class PolygonLayer:
             self.xmax[self.order], self.ymax[self.order], degree=degree,
         )
 
+        # ring arena: every ring (shells + holes) in one packed node
+        # space so PIP refinement is one batched descent per point batch
+        from .kernels.pip import RingArena
+
+        rings = []
+        self.shell_ring = np.empty(len(self.polygons), np.int64)
+        hole_rings = []
+        hole_off = [0]
+        for i, poly in enumerate(self.polygons):
+            self.shell_ring[i] = len(rings)
+            rings.append(poly.shell)
+            for h in poly.holes:
+                hole_rings.append(len(rings))
+                rings.append(h)
+            hole_off.append(len(hole_rings))
+        self.arena = RingArena(rings, degree=degree)
+        self.hole_ring_idx = np.asarray(hole_rings, dtype=np.int64)
+        self.hole_off = np.asarray(hole_off, dtype=np.int64)
+
     # -- construction -------------------------------------------------
 
     @classmethod
@@ -94,26 +113,45 @@ class PolygonLayer:
 
         Returns (point_idx, polygon_id, relation int8) arrays for pairs
         with relation != exterior (unless emit_exterior). Candidate
-        pruning via the envelope index; refine batched per polygon.
+        pruning via the envelope index, then ONE arena descent for all
+        shell pairs and one for all hole pairs — kernel cost scales
+        with pair count, not polygon count.
+
+        Hole combination is order-free (any hole Interior -> Exterior,
+        else any hole Boundary -> Boundary), equivalent to the
+        reference's first-hole-wins loop on VALID polygons (two holes
+        of a valid polygon cannot both claim a point except at a shared
+        touch point, where both say Boundary).
         """
+        from .kernels.pip import BOUNDARY, EXTERIOR, INTERIOR
+
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
         q, pos = self.candidates(px, py)
         if len(q) == 0:
             return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int8))
-        # group candidate pairs by polygon -> one batched kernel call each
-        srt = np.argsort(pos, kind="stable")
-        q, pos = q[srt], pos[srt]
-        bounds = np.flatnonzero(np.diff(pos)) + 1
-        out_q, out_id, out_rel = [], [], []
-        for chunk_q, chunk_pos in zip(np.split(q, bounds), np.split(pos, bounds)):
-            p = int(chunk_pos[0])
-            rel = points_in_polygon(px[chunk_q], py[chunk_q], self.polygons[p])
-            keep = slice(None) if emit_exterior else rel != 0
-            out_q.append(chunk_q[keep])
-            out_id.append(np.full(len(chunk_q[keep]), self.ids[p], np.int64))
-            out_rel.append(rel[keep])
-        return np.concatenate(out_q), np.concatenate(out_id), np.concatenate(out_rel)
+
+        rel = self.arena.query_pairs(px, py, q, self.shell_ring[pos])
+
+        n_holes = self.hole_off[pos + 1] - self.hole_off[pos]
+        need = (rel == INTERIOR) & (n_holes > 0)
+        if need.any():
+            sel = np.nonzero(need)[0]
+            cnt = n_holes[sel]
+            rep = np.repeat(sel, cnt)
+            # ragged gather of each polygon's hole-ring indices
+            starts = self.hole_off[pos[sel]]
+            within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+            )
+            hrings = self.hole_ring_idx[np.repeat(starts, cnt) + within]
+            hrel = self.arena.query_pairs(px, py, q[rep], hrings)
+            hmax = np.zeros(len(q), np.int8)
+            np.maximum.at(hmax, rep, hrel)
+            rel = np.where(hmax == INTERIOR, EXTERIOR, np.where(hmax == BOUNDARY, BOUNDARY, rel)).astype(np.int8)
+
+        keep = slice(None) if emit_exterior else rel != 0
+        return q[keep], self.ids[pos[keep]], rel[keep]
 
     def cover_cells(self, res: int):
         """(polygon_id, cell) cover rows at resolution res — the equi-join

@@ -79,6 +79,15 @@ def pip_join_broadcast(
     return points.mapInPandas(kernel, schema)
 
 
+def _pack_polygon(poly) -> bytes:
+    """Serialize a polygon's ring coordinate arrays (trees are rebuilt
+    executor-side and cached — coords are ~8x smaller than coords+tree)."""
+    import pickle
+
+    rings = [(r.xs, r.ys) for r in [poly.shell] + list(poly.holes)]
+    return pickle.dumps(rings, protocol=4)
+
+
 def pip_join_partitioned(
     points: DataFrame,
     layer: PolygonLayer,
@@ -92,9 +101,13 @@ def pip_join_partitioned(
 ) -> DataFrame:
     """Cell-partitioned PIP join; see module docstring.
 
-    The polygon side ships per-cell: every matched (cell) group refines
-    points only against the polygons covering that cell. `res` trades
-    cover-table size against candidate selectivity.
+    Scale design: the layer is NEVER broadcast. Each polygon's packed
+    ring coordinates ride in the (cell, polygon_id, pack) cover table;
+    points and cover co-shuffle on the cell key and meet in a cogrouped
+    applyInPandas, so a pack crosses the wire once per covering CELL
+    (not once per point, and not once per executor as a broadcast
+    would). Executors memoize unpacked polygons by id across groups.
+    `res` trades cover-table size against candidate selectivity.
     """
     keep = list(keep) if keep is not None else [c for c in points.columns]
     schema = _result_schema(points, keep)
@@ -102,68 +115,83 @@ def pip_join_partitioned(
     points = points.select(*dict.fromkeys([*keep, x, y]))  # prune pre-UDF
 
     pids, cells = layer.cover_cells(res)
+    packs = {int(pid): _pack_polygon(layer.by_id(int(pid))) for pid in set(pids.tolist())}
     cover = spark.createDataFrame(
-        pd.DataFrame({"polygon_id": pids, "cell": cells})
+        pd.DataFrame(
+            {
+                "polygon_id": pids,
+                "cell": cells,
+                "pack": [packs[int(p)] for p in pids],
+            }
+        )
     )
-    blayer = spark.sparkContext.broadcast(layer)
 
     pts = points.withColumn("cell", F.expr(cell_of_sql(y, x, res)))
 
-    join_keys = ["cell"]
+    group_keys = ["cell"]
     if salt_threshold is not None:
         # hot-cell detection: cheap pre-agg on the point side
         hot = (
             pts.groupBy("cell").count().filter(F.col("count") > salt_threshold).select("cell")
         )
         hot_cells = {r["cell"] for r in hot.collect()}
-        if hot_cells:
-            hot_arr = F.array(*[F.lit(c) for c in hot_cells])
-            pts = pts.withColumn(
-                "salt",
-                F.when(
-                    F.array_contains(hot_arr, F.col("cell")),
-                    F.pmod(F.xxhash64(*[F.col(c) for c in keep[:1]]), F.lit(n_salt)),
-                ).otherwise(F.lit(0)),
+        hot_arr = F.array(*[F.lit(c) for c in hot_cells]) if hot_cells else F.array()
+        pts = pts.withColumn(
+            "salt",
+            F.when(
+                F.array_contains(hot_arr, F.col("cell")),
+                F.pmod(F.xxhash64(*[F.col(c) for c in keep[:1] or [x]]), F.lit(n_salt)),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        salts = spark.range(n_salt).select(F.col("id").alias("salt"))
+        cover = (
+            cover.join(
+                salts,
+                F.array_contains(hot_arr, cover["cell"]) | (salts["salt"] == 0),
+                "inner",
             )
-            salts = spark.range(n_salt).select(F.col("id").alias("salt"))
-            cover = (
-                cover.join(salts, F.array_contains(hot_arr, cover["cell"]), "left")
-                .fillna({"salt": 0})
-                .withColumn("salt", F.col("salt").cast("long"))
-            )
-            join_keys = ["cell", "salt"]
-        else:
-            pts = pts.withColumn("salt", F.lit(0))
-            cover = cover.withColumn("salt", F.lit(0).cast("long"))
-            join_keys = ["cell", "salt"]
+            .withColumn("salt", F.col("salt").cast("long"))
+        )
+        group_keys = ["cell", "salt"]
 
-    matched = pts.join(F.broadcast(cover), join_keys, "inner")
+    _poly_cache: dict = {}
 
-    def kernel(batches):
-        lyr = blayer.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            outs = []
-            for pid, grp in pdf.groupby("polygon_id", sort=False):
-                poly = lyr.by_id(int(pid))
-                from ..kernels.pip import points_in_polygon
+    def refine(pts_pdf: pd.DataFrame, cov_pdf: pd.DataFrame) -> pd.DataFrame:
+        import pickle
 
-                rel = points_in_polygon(
-                    grp[x].to_numpy(dtype=np.float64),
-                    grp[y].to_numpy(dtype=np.float64),
-                    poly,
+        from ..kernels.pip import PreparedPolygon, PreparedRing, points_in_polygon
+
+        empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+            [*keep, "polygon_id", "relation"],
+            [pts_pdf[c].dtype for c in keep] + ["int64", "object"],
+        )})
+        if len(pts_pdf) == 0 or len(cov_pdf) == 0:
+            return empty
+        px = pts_pdf[x].to_numpy(np.float64)
+        py = pts_pdf[y].to_numpy(np.float64)
+        outs = []
+        for pid, pack in zip(cov_pdf["polygon_id"], cov_pdf["pack"]):
+            pid = int(pid)
+            poly = _poly_cache.get(pid)
+            if poly is None:
+                rings = pickle.loads(pack)
+                poly = PreparedPolygon(
+                    PreparedRing(*rings[0]), [PreparedRing(*r) for r in rings[1:]]
                 )
-                m = slice(None) if emit_exterior else rel != 0
-                out = grp.iloc[np.arange(len(grp))[m] if not isinstance(m, slice) else m][keep]
-                out = out.reset_index(drop=True)
-                out["polygon_id"] = int(pid)
-                out["relation"] = RELATION_NAMES[rel[m]]
-                outs.append(out)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                _poly_cache[pid] = poly
+            rel = points_in_polygon(px, py, poly)
+            m = np.ones(len(rel), bool) if emit_exterior else rel != 0
+            if not m.any():
+                continue
+            out = pts_pdf.iloc[np.nonzero(m)[0]][keep].reset_index(drop=True)
+            out["polygon_id"] = pid
+            out["relation"] = RELATION_NAMES[rel[m]]
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return matched.mapInPandas(kernel, schema)
+    return pts.groupBy(*group_keys).cogroup(cover.groupBy(*group_keys)).applyInPandas(
+        lambda l, r: refine(l, r), schema
+    )
 
 
 def pip_join(

@@ -90,7 +90,12 @@ def parse_wkt_file_polygons(path: str):
         blob = f.read()
     rows = []
     pid = 0
-    for chunk in blob.split("\n\n"):
+    # geometries separated by blank lines OR starting on fresh lines
+    chunks = re.split(
+        r"(?m)^(?=(?:POLYGON|MULTIPOLYGON|POINT|LINESTRING|MULTIPOINT|MULTILINESTRING)\b)",
+        blob,
+    )
+    for chunk in chunks:
         chunk = chunk.strip()
         if not chunk:
             continue

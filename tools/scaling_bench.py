@@ -29,8 +29,8 @@ def prepare_input(n):
     spark.sparkContext.setLogLevel("ERROR")
     df = images_df_fast(spark, n, skew_frac=0.1, size=8, slice_size=50000)
     # remap geotags into africa's window so the join has real work
-    df = df.withColumn("lng", F.col("lng") / 360.0 * 75.0 + 17.0).withColumn(
-        "lat", F.col("lat") / 180.0 * 80.0 + 1.5
+    df = df.withColumn("lng", F.col("lng") / 360.0 * 190.0 - 35.0).withColumn(
+        "lat", F.col("lat") / 180.0 * 110.0 + 18.0
     )
     df.repartition(128).write.mode("overwrite").parquet(INPUT)
     spark.stop()
@@ -59,7 +59,7 @@ def main():
     thr32 = results[32]["images_per_sec"]
     eff = round(thr32 / (4 * thr8), 3)
     summary = {
-        "job": "scan parquet -> assign_tiles(res 8) -> broadcast PIP join (africa.wkt, 49 shells)",
+        "job": "scan parquet -> assign_tiles(res 8) -> broadcast PIP join (africa+europe+usa+papua, ~700 polygons)",
         "n_images": results[32]["n_images"],
         "local8": results[8],
         "local32": results[32],

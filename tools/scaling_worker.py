@@ -23,7 +23,17 @@ def main():
     from segment_rtree_spark.session import get_spark
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    layer = PolygonLayer.from_wkt_file(os.path.join(repo, "data", "wkt", "africa.wkt"))
+    # heavy combined layer (~700 polygons, 59k vertices): africa + europe
+    # + usa-lower48 + papua, ids offset per file
+    from segment_rtree_spark.sources.wkt import parse_wkt_file_polygons
+
+    rows = []
+    base = 0
+    for f in ("africa", "europe", "usa-lower48", "papua"):
+        part = parse_wkt_file_polygons(os.path.join(repo, "data", "wkt", f + ".wkt"))
+        rows += [(base + pid, part_id, xs, ys) for pid, part_id, xs, ys in part]
+        base += 1000
+    layer = PolygonLayer.from_ring_rows(rows)
 
     spark = get_spark(cores=cores, app=f"scaling-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
