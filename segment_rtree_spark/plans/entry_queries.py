@@ -668,3 +668,93 @@ def _hilbert_key_oracle():
 
 
 REGISTRY["hilbert_key"] = (q_hilbert_key, _hilbert_key_oracle)
+
+
+# -- distance join (boundary distance, exact SQL oracle) ----------------
+
+DIST_LIMIT = 8.0
+
+
+def q_distance_join(spark, sf_dir):
+    """Points within DIST_LIMIT of each entry-layer polygon BOUNDARY
+    (the reference's Flatbush::query_within shape, flatbush_impl.rs:154-157,
+    as a distance join with exact point-segment distances)."""
+    import pandas as pd
+    import numpy as np
+
+    from ..operators.knn_join import boundary_distance
+
+    pts = _points(spark, sf_dir)
+    layer = entry_layer()
+    blayer = spark.sparkContext.broadcast(layer)
+
+    def kernel(batches):
+        lyr = blayer.value
+        for pdf in batches:
+            px = pdf["lng"].to_numpy(np.float64)
+            py = pdf["lat"].to_numpy(np.float64)
+            outs = []
+            for pid, poly in zip(lyr.ids, lyr.polygons):
+                d = boundary_distance(px, py, poly)
+                m = d <= DIST_LIMIT
+                if m.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "point_id": pdf["point_id"].to_numpy()[m],
+                                "polygon_id": int(pid),
+                                "dist": d[m],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return pts.mapInPandas(kernel, "point_id long, polygon_id long, dist double")
+
+
+def _distance_join_oracle():
+    return f"""
+with pts as ({pts_sql()}),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+segd as (
+  select p.point_id, s.polygon_id,
+    ((lng - sx) * (ex - sx) + (lat - sy) * (ey - sy)) /
+      ((ex - sx) * (ex - sx) + (ey - sy) * (ey - sy)) as t,
+    lng, lat, sx, sy, ex, ey
+  from pts p cross join seg s
+),
+clamped as (
+  select point_id, polygon_id, lng, lat, sx, sy, ex, ey,
+    case when (ex - sx) * (ex - sx) + (ey - sy) * (ey - sy) = 0.0 then 0.0
+         else least(greatest(t, 0.0), 1.0) end as tc
+  from segd
+),
+d2 as (
+  select point_id, polygon_id,
+    (lng - (sx + tc * (ex - sx))) * (lng - (sx + tc * (ex - sx)))
+      + (lat - (sy + tc * (ey - sy))) * (lat - (sy + tc * (ey - sy))) as dd
+  from clamped
+)
+select point_id, polygon_id, sqrt(min(dd)) as dist
+from d2 group by 1, 2 having sqrt(min(dd)) <= {DIST_LIMIT}
+"""
+
+
+def q_polyfill_cover(spark, sf_dir):
+    """Tile cover of the entry layer at res 6 (rows-only check; the
+    polyfill kernel is brute-force verified in pytest)."""
+    import pandas as pd
+
+    layer = entry_layer()
+    pids, cells = layer.cover_cells(6)
+    return spark.createDataFrame(
+        pd.DataFrame({"polygon_id": pids, "cell": cells})
+    )
+
+
+REGISTRY["distance_join"] = (q_distance_join, _distance_join_oracle)
+REGISTRY["polyfill_cover"] = (q_polyfill_cover, None)

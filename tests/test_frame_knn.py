@@ -1,0 +1,61 @@
+"""SpatialFrame facade + kNN broadcast operator checks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from segment_rtree_spark.frame import SpatialFrame
+from segment_rtree_spark.layer import PolygonLayer
+from segment_rtree_spark.operators.knn_join import boundary_distance, knn_join_broadcast
+
+LAYER = PolygonLayer.from_ring_rows(
+    [
+        (1, 0, [0.0, 0.0, 10.0, 10.0, 0.0], [0.0, 10.0, 10.0, 0.0, 0.0]),
+        (2, 0, [20.0, 20.0, 30.0, 30.0, 20.0], [0.0, 10.0, 10.0, 0.0, 0.0]),
+        (3, 0, [40.0, 40.0, 50.0, 50.0, 40.0], [0.0, 10.0, 10.0, 0.0, 0.0]),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    pdf = pd.DataFrame(
+        {
+            "pid": [1, 2, 3, 4],
+            "lng": [5.0, 15.0, 33.0, 100.0],
+            "lat": [5.0, 5.0, 5.0, 5.0],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_knn_ranks_and_distances(spark, pts):
+    out = knn_join_broadcast(pts, LAYER, k=2, keep=["pid"]).toPandas()
+    assert len(out) == 8
+    by = {(r.pid, r["rank"]): (r.polygon_id, r.dist) for r in out.itertuples()}
+    # point 1 is inside polygon 1 -> dist 0 rank 1
+    assert by[(1, 1)][0] == 1 and by[(1, 1)][1] == 0.0
+    # point 2 at lng 15 is 5 from poly 1 and 5 from poly 2: tie -> lower id first
+    assert by[(2, 1)][0] == 1 and by[(2, 2)][0] == 2
+    assert by[(2, 1)][1] == 5.0 == by[(2, 2)][1]
+    # point 3 at lng 33: 3 from poly 2, 7 from poly 3
+    assert by[(3, 1)] == (2, 3.0)
+    assert by[(3, 2)] == (3, 7.0)
+
+
+def test_boundary_distance_matches_manual():
+    poly = LAYER.polygons[0]
+    d = boundary_distance(np.array([5.0, -3.0, 5.0]), np.array([5.0, 5.0, 14.0]), poly)
+    assert d[0] == 5.0  # center of 10x10 square -> 5 to nearest edge
+    assert d[1] == 3.0
+    assert d[2] == 4.0
+
+
+def test_spatialframe_chain(spark, pts):
+    sf = SpatialFrame(pts)
+    out = sf.assign_tiles(res=6).with_cell_prefix().pip_join(LAYER, keep=["pid"])
+    pdf = out.toPandas()
+    assert set(pdf["pid"]) == {1}  # only point 1 is inside a polygon
+    # passthrough: filter returns a SpatialFrame
+    assert isinstance(sf.filter("pid > 1"), SpatialFrame)
+    assert sf.filter("pid > 1").count() == 3

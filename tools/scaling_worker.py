@@ -1,5 +1,5 @@
 """One scaling-study run: scan parquet images -> assign tiles -> PIP
-join vs africa layer -> count. Prints one JSON line.
+join vs the combined 4-corpus layer -> count. Prints one JSON line.
 
 Usage: python tools/scaling_worker.py <cores> <input_parquet>
 """
@@ -13,18 +13,10 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def main():
-    cores = int(sys.argv[1])
-    path = sys.argv[2]
-
-    from segment_rtree_spark.layer import PolygonLayer
-    from segment_rtree_spark.operators.pip_join import pip_join_broadcast
-    from segment_rtree_spark.operators.tile_ops import assign_tiles
-    from segment_rtree_spark.session import get_spark
-
-    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+def build_layer(repo):
     # heavy combined layer (~700 polygons, 59k vertices): africa + europe
     # + usa-lower48 + papua, ids offset per file
+    from segment_rtree_spark.layer import PolygonLayer
     from segment_rtree_spark.sources.wkt import parse_wkt_file_polygons
 
     rows = []
@@ -33,25 +25,36 @@ def main():
         part = parse_wkt_file_polygons(os.path.join(repo, "data", "wkt", f + ".wkt"))
         rows += [(base + pid, part_id, xs, ys) for pid, part_id, xs, ys in part]
         base += 1000
-    layer = PolygonLayer.from_ring_rows(rows)
+    return PolygonLayer.from_ring_rows(rows)
+
+
+def main():
+    cores = int(sys.argv[1])
+    path = sys.argv[2]
+
+    from segment_rtree_spark.operators.pip_join import pip_join_broadcast
+    from segment_rtree_spark.operators.tile_ops import assign_tiles
+    from segment_rtree_spark.session import get_spark
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    layer = build_layer(repo)
 
     spark = get_spark(cores=cores, app=f"scaling-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM AND the Python worker pool: on a real cluster the
     # pyspark daemons are long-lived, so steady-state throughput is the
-    # honest metric — a cold run would measure 32 pandas imports, not
-    # the join. The warmup touches every core (one task per core).
+    # honest metric — a cold run would measure pandas imports, not the
+    # join. The warmup touches every core.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
     spark.range(1000000).selectExpr("sum(id)").collect()
     imgs = spark.read.parquet(path)
 
     def ident(batches):
         for pdf in batches:
-            yield pdf[["image_id"]]
+            yield pdf[["phash"]]
 
-    imgs.select("image_id").repartition(cores * 2).mapInPandas(
-        ident, "image_id string"
-    ).count()
+    imgs.select("phash").repartition(cores * 2).mapInPandas(ident, "phash long").count()
 
     n = imgs.count()
     runs = []
@@ -59,7 +62,7 @@ def main():
     for _ in range(3):
         t0 = time.time()
         tiled = assign_tiles(spark.read.parquet(path), res=8)
-        n_pairs = pip_join_broadcast(tiled, layer, keep=["image_id"]).count()
+        n_pairs = pip_join_broadcast(tiled, layer, keep=["phash"]).count()
         runs.append(time.time() - t0)
     wall = min(runs)
     print(json.dumps({"cores": cores, "wall_sec": round(wall, 3), "n_images": n,
