@@ -54,7 +54,7 @@ class PackedSegTree:
                      leaves first, root last; padding slots are NaN.
     """
 
-    __slots__ = ("degree", "size", "level_indices", "xmin", "ymin", "xmax", "ymax")
+    __slots__ = ("degree", "size", "level_indices", "xmin", "ymin", "xmax", "ymax", "_current_level")
 
     def __init__(self, degree, size, level_indices, xmin, ymin, xmax, ymax):
         self.degree = int(degree)
@@ -127,7 +127,8 @@ class PackedSegTree:
 
     @property
     def height(self) -> int:
-        return len(self.level_indices) - 1
+        cl = getattr(self, "_current_level", None)
+        return (len(self.level_indices) - 1) if cl is None else cl
 
     @property
     def is_empty(self) -> bool:
@@ -310,3 +311,51 @@ class PackedSegTree:
         if self.is_empty or other.is_empty:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return self._dual_descend(other, self_join=False)
+
+
+def tree_add(tree: "PackedSegTree", max_size: int, xmin, ymin, xmax, ymax) -> bool:
+    """Incremental append of one leaf, expanding ancestors along the
+    right spine (parity: reference rtree.rs:93-117). Returns False when
+    capacity is exceeded (the reference errors).
+
+    The bulk builder covers every library call site (prepare() only uses
+    new_loaded); this exists for reference-fixture parity and for
+    "rebuild partition index incrementally" experiments. `tree` must
+    have been created with `PackedSegTree.new(degree, max_size)`.
+    """
+    if tree.size >= max_size:
+        return False
+    level, offset = 0, tree.size
+    exmin, eymin, exmax, eymax = float(xmin), float(ymin), float(xmax), float(ymax)
+    while True:
+        idx = int(tree.level_indices[level]) + offset
+        exmin = min(exmin, tree.xmin[idx]) if not np.isnan(tree.xmin[idx]) else exmin
+        eymin = min(eymin, tree.ymin[idx]) if not np.isnan(tree.ymin[idx]) else eymin
+        exmax = max(exmax, tree.xmax[idx]) if not np.isnan(tree.xmax[idx]) else exmax
+        eymax = max(eymax, tree.ymax[idx]) if not np.isnan(tree.ymax[idx]) else eymax
+        tree.xmin[idx], tree.ymin[idx] = exmin, eymin
+        tree.xmax[idx], tree.ymax[idx] = exmax, eymax
+        if offset == 0:
+            break
+        if offset == 1:  # the parent needs the other child
+            j = idx - 1
+            exmin = min(exmin, tree.xmin[j]) if not np.isnan(tree.xmin[j]) else exmin
+            eymin = min(eymin, tree.ymin[j]) if not np.isnan(tree.ymin[j]) else eymin
+            exmax = max(exmax, tree.xmax[j]) if not np.isnan(tree.xmax[j]) else exmax
+            eymax = max(eymax, tree.ymax[j]) if not np.isnan(tree.ymax[j]) else eymax
+        offset //= tree.degree
+        level += 1
+    tree._current_level = level
+    tree.size += 1
+    return True
+
+
+def tree_new(degree: int, max_size: int) -> "PackedSegTree":
+    """Preallocated empty tree for incremental adds (rtree.rs:48-61)."""
+    degree = max(2, int(degree))
+    li = calculate_level_indices(degree, max_size)
+    tree_size = int(li[-1]) + 1
+    nanarr = lambda: np.full(tree_size, np.nan)
+    t = PackedSegTree(degree, 0, li, nanarr(), nanarr(), nanarr(), nanarr())
+    t._current_level = 0
+    return t

@@ -758,3 +758,51 @@ def q_polyfill_cover(spark, sf_dir):
 
 REGISTRY["distance_join"] = (q_distance_join, _distance_join_oracle)
 REGISTRY["polyfill_cover"] = (q_polyfill_cover, None)
+
+
+# -- validity as data (rows-only; kernel goldens live in pytest) --------
+
+def q_validate_polygons(spark, sf_dir):
+    """Ring rows (valid + invalid fixtures) -> per-polygon error struct."""
+    import pandas as pd
+
+    from ..operators.validate import validate_polygons
+
+    fixture = ENTRY_LAYER_ROWS + [
+        # hole outside shell -> HoleNotValid
+        (90, 0, [0.0, 0.0, 5.0, 5.0, 0.0], [0.0, 5.0, 5.0, 0.0, 0.0]),
+        (90, 1, [20.0, 20.0, 22.0, 22.0, 20.0], [2.0, 4.0, 4.0, 2.0, 2.0]),
+        # self-intersecting shell -> SelfIntersection
+        (91, 0, [0.0, 10.0, 10.0, 0.0, 0.0], [0.0, 10.0, 0.0, 10.0, 0.0]),
+        # open ring -> NotClosed
+        (92, 0, [0.0, 1.0, 2.0], [0.0, 2.0, 0.0]),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "polygon_id": [r[0] for r in fixture],
+            "part_id": [r[1] for r in fixture],
+            "xs": [list(map(float, r[2])) for r in fixture],
+            "ys": [list(map(float, r[3])) for r in fixture],
+        }
+    )
+    rings = spark.createDataFrame(pdf)
+    return validate_polygons(rings)
+
+
+def q_pip_anti(spark, sf_dir):
+    """Points with NO containing polygon (left-anti after PIP)."""
+    pts = _points(spark, sf_dir)
+    hits = pip_join_broadcast(pts, entry_layer(), keep=["point_id"]).select("point_id")
+    return pts.join(hits, "point_id", "left_anti").select("point_id")
+
+
+def _pip_anti_oracle():
+    return f"""
+with pts as ({pts_sql()}),
+hits as (select distinct point_id from ({pip_oracle_sql()}))
+select p.point_id from pts p where p.point_id not in (select point_id from hits)
+"""
+
+
+REGISTRY["validate_polygons"] = (q_validate_polygons, None)
+REGISTRY["pip_anti"] = (q_pip_anti, _pip_anti_oracle)

@@ -141,3 +141,34 @@ def test_envelope_merges_ignore_nan_padding():
     # one leaf + degree 16 -> heavy NaN padding must not poison the root
     t = PackedSegTree.build([1.0], [2.0], [3.0], [4.0], degree=16)
     assert t.envelope() == (1.0, 2.0, 3.0, 4.0)
+
+
+def test_incremental_add_level_schedule():
+    # reference rtree.rs:288-345: degree 2, 6 point rects at (i,i);
+    # current_level follows 0,1,2,2,3,3 and every prior rect stays queryable
+    from segment_rtree_spark.kernels.segtree import tree_add, tree_new
+
+    t = tree_new(2, 6)
+    assert t.size == 0 and t.height == 0
+    expected_levels = [0, 1, 2, 2, 3, 3]
+    for i in range(6):
+        assert tree_add(t, 6, float(i), float(i), float(i), float(i))
+        assert t.size == i + 1
+        assert t.height == expected_levels[i]
+        for j in range(i + 1):
+            q, s = t.query_rect(float(j), float(j), float(j), float(j))
+            assert sorted(s.tolist()) == [j]
+    q, s = t.query_rect(0.0, 0.0, 5.0, 5.0)
+    assert sorted(s.tolist()) == [0, 1, 2, 3, 4, 5]
+    q, s = t.query_rect(1.0, 1.0, 3.0, 3.0)
+    assert sorted(s.tolist()) == [1, 2, 3]
+    assert not tree_add(t, 6, 0.0, 0.0, 0.0, 0.0)  # capacity exceeded
+
+
+def test_empty_incremental_tree():
+    from segment_rtree_spark.kernels.segtree import tree_add, tree_new
+
+    t = tree_new(2, 0)
+    q, s = t.query_point(0.0, 0.0)
+    assert len(s) == 0
+    assert not tree_add(t, 0, -10.0, -5.0, 1.0, 5.0)

@@ -59,7 +59,8 @@ def main():
     n = imgs.count()
     runs = []
     n_pairs = 0
-    for _ in range(3):
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    for _ in range(reps):
         t0 = time.time()
         tiled = assign_tiles(spark.read.parquet(path), res=8)
         n_pairs = pip_join_broadcast(tiled, layer, keep=["phash"]).count()
