@@ -1,0 +1,137 @@
+"""Multimodal (image) column operators.
+
+Images are opaque `binary` columns + typed metadata (w, h, fmt); all
+pixel work happens in Arrow-batched mapInPandas kernels that decode
+per IMAGE (never per pixel in Python — the inner loops are NumPy).
+
+Real implementations for the formats this engine controls (raw, png —
+lossless, so equality checks are exact); genuinely external codecs
+(jpeg/webp/video) raise NotImplementedError inside the same batch body:
+the distributed plumbing (schema, batching, partitioning) is identical
+and tested, only the codec call changes when the library exists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..imageio import decode_image, encode_png, encode_raw, phash64
+
+__all__ = ["with_pixel_stats", "resize_images", "sample_video_frames"]
+
+
+def with_pixel_stats(images: DataFrame) -> DataFrame:
+    """Decode and compute per-image stats: channel means, luma std,
+    recomputed phash (verifies the stored one at ingest)."""
+    schema = (
+        "image_id string, mean_r double, mean_g double, mean_b double, "
+        "luma_std double, phash_ok boolean"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            mr = np.empty(n)
+            mg = np.empty(n)
+            mb = np.empty(n)
+            ls = np.empty(n)
+            ok = np.empty(n, bool)
+            for k in range(n):
+                px = decode_image(
+                    pdf["bytes"].iloc[k], pdf["fmt"].iloc[k],
+                    int(pdf["w"].iloc[k]), int(pdf["h"].iloc[k]),
+                )
+                p = px.astype(np.float64)
+                mr[k], mg[k], mb[k] = p[..., 0].mean(), p[..., 1].mean(), p[..., 2].mean()
+                luma = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+                ls[k] = luma.std()
+                ok[k] = phash64(px) == int(pdf["phash"].iloc[k])
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                    "luma_std": ls, "phash_ok": ok,
+                }
+            )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h", "phash"]
+    return images.select(*cols).mapInPandas(kernel, schema)
+
+
+def _resize_nn(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample, pure NumPy index gather."""
+    h, w, _ = px.shape
+    yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return px[yi[:, None], xi[None, :]]
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int, fmt: str = "raw") -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode. Output keeps the
+    input schema shape (image_id, bytes, w, h, fmt)."""
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for k in range(len(pdf)):
+                px = decode_image(
+                    pdf["bytes"].iloc[k], pdf["fmt"].iloc[k],
+                    int(pdf["w"].iloc[k]), int(pdf["h"].iloc[k]),
+                )
+                rp = _resize_nn(px, out_w, out_h)
+                out.append(encode_raw(rp) if fmt == "raw" else encode_png(rp))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": out,
+                    "w": np.full(len(pdf), out_w, np.int32),
+                    "h": np.full(len(pdf), out_h, np.int32),
+                    "fmt": fmt,
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(kernel, schema)
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame sampling for video binary columns.
+
+    STUB: no video codec exists in this container. The Spark plumbing
+    (exploding one row into frame rows with typed metadata) is real and
+    tested with a deterministic fake decoder when fmt == 'fakevid'
+    (payload = concatenated raw frames); real codecs slot into
+    _decode_frames unchanged.
+    """
+    schema = "video_id string, frame_idx int, bytes binary, w int, h int, fmt string"
+
+    def _decode_frames(buf: bytes, fmt: str, w: int, h: int):
+        if fmt == "fakevid":
+            frame_size = w * h * 3
+            return [
+                buf[i : i + frame_size] for i in range(0, len(buf), frame_size)
+            ]
+        raise NotImplementedError(
+            f"video codec for fmt={fmt!r} not available in this environment"
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("video_id", "frame_idx", "bytes", "w", "h", "fmt")}
+            for k in range(len(pdf)):
+                frames = _decode_frames(
+                    pdf["bytes"].iloc[k], pdf["fmt"].iloc[k],
+                    int(pdf["w"].iloc[k]), int(pdf["h"].iloc[k]),
+                )
+                for fi in range(0, len(frames), every_n):
+                    rows["video_id"].append(pdf["video_id"].iloc[k])
+                    rows["frame_idx"].append(fi)
+                    rows["bytes"].append(frames[fi])
+                    rows["w"].append(int(pdf["w"].iloc[k]))
+                    rows["h"].append(int(pdf["h"].iloc[k]))
+                    rows["fmt"].append("raw")
+            yield pd.DataFrame(rows)
+
+    return videos.mapInPandas(kernel, schema)

@@ -32,7 +32,7 @@ def pts(spark):
 def test_knn_ranks_and_distances(spark, pts):
     out = knn_join_broadcast(pts, LAYER, k=2, keep=["pid"]).toPandas()
     assert len(out) == 8
-    by = {(r.pid, r["rank"]): (r.polygon_id, r.dist) for r in out.itertuples()}
+    by = {(r.pid, r.rank): (r.polygon_id, r.dist) for r in out.itertuples()}
     # point 1 is inside polygon 1 -> dist 0 rank 1
     assert by[(1, 1)][0] == 1 and by[(1, 1)][1] == 0.0
     # point 2 at lng 15 is 5 from poly 1 and 5 from poly 2: tie -> lower id first
