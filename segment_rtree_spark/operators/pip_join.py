@@ -95,11 +95,16 @@ def pip_join_partitioned(
     y: str = "lat",
     keep: Sequence[str] | None = None,
     emit_exterior: bool = False,
-    res: int = 7,
+    res: int | None = None,
     salt_threshold: int | None = None,
     n_salt: int = 8,
 ) -> DataFrame:
     """Cell-partitioned PIP join; see module docstring.
+
+    res=None picks the coarsest resolution whose cover averages >= ~8
+    cells per polygon — measured sweet spot between few huge cogroups
+    (res too coarse: one task drags) and per-group overhead (res too
+    fine: thousands of tiny pandas groups).
 
     Scale design: the layer is NEVER broadcast. Each polygon's packed
     ring coordinates ride in the (cell, polygon_id, pack) cover table;
@@ -114,7 +119,13 @@ def pip_join_partitioned(
     spark = points.sparkSession
     points = points.select(*dict.fromkeys([*keep, x, y]))  # prune pre-UDF
 
-    pids, cells = layer.cover_cells(res)
+    if res is None:
+        for res in range(3, 15):
+            pids, cells = layer.cover_cells(res)
+            if len(cells) >= 8 * max(1, len(layer)):
+                break
+    else:
+        pids, cells = layer.cover_cells(res)
     packs = {int(pid): _pack_polygon(layer.by_id(int(pid))) for pid in set(pids.tolist())}
     cover = spark.createDataFrame(
         pd.DataFrame(
