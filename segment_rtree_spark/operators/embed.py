@@ -130,3 +130,67 @@ def ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_centroids(vectors_pdf, k: int = 8, iters: int = 3, vec: str = "embedding"):
+    """Deterministic IVF coarse quantizer: centroids seeded from the
+    first k vectors (by id order), refined by `iters` Lloyd steps.
+    Driver-side NumPy over a SAMPLE — at scale the sample is a
+    `.limit(n)` pull, the assignment stays distributed."""
+    emb = np.stack([np.asarray(v, np.float64) for v in vectors_pdf[vec]])
+    cent = emb[:k].copy()
+    for _ in range(iters):
+        d = ((emb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = emb[m].mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    sample: int = 512,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid
+    (one mapInPandas pass with the broadcast codebook), then exact
+    cosine refine INSIDE each list (equi-join on list id). The scale
+    shape: candidate generation is a hash join on `list`, never an
+    all-pairs cross join."""
+    spark = vectors.sparkSession
+    head = vectors.select(id_col, vec).orderBy(id_col).limit(sample).toPandas()
+    cent = ivf_centroids(head, k=n_lists, vec=vec)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            emb = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
+            d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({id_col: pdf[id_col], "list": d.argmin(axis=1).astype(np.int64)})
+
+    lists = vectors.select(id_col, vec).mapInPandas(assign, f"{id_col} long, list long")
+
+    v = vectors.join(lists, id_col).select(
+        F.col(id_col), F.col(vec).cast("array<double>").alias("v"), "list"
+    )
+    a, t = v.alias("a"), v.alias("b")
+    dot = F.expr(_dot_expr("a.v", "b.v"))
+    na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
+    nb = F.sqrt(F.expr(_dot_expr("b.v", "b.v")))
+    joined = (
+        a.join(t, "list")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias(id_col),
+            (dot / (na * nb)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -59,3 +59,31 @@ def test_spatialframe_chain(spark, pts):
     # passthrough: filter returns a SpatialFrame
     assert isinstance(sf.filter("pid > 1"), SpatialFrame)
     assert sf.filter("pid > 1").count() == 3
+
+
+def test_sql_registered_functions(spark):
+    from segment_rtree_spark.functions.register import register_all
+    from segment_rtree_spark.tiles import cell_of
+    import numpy as np
+
+    register_all(spark)
+    row = spark.sql(
+        "select srs_cell_of(10.5, -20.25, 8) as c, srs_hilbert(12345, 67890) as h, "
+        "srs_hamming64(255, 0) as d"
+    ).collect()[0]
+    assert row["c"] == int(cell_of(np.array([10.5]), np.array([-20.25]), 8)[0])
+    assert row["h"] == 99_289_669
+    assert row["d"] == 8
+
+
+def test_ivf_topk_recall(spark):
+    from segment_rtree_spark.operators.embed import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, emb.limit(20), k=3).toPandas()
+    approx = ivf_topk(emb, k=3, n_lists=4).toPandas()
+    # ANN must return k results per query and achieve decent recall@3
+    got = set(zip(approx.query_id, approx.vec_id))
+    want = set(zip(exact.query_id, exact.vec_id))
+    overlap = len(got & want) / max(1, len(want))
+    assert overlap > 0.3  # same-list neighbors dominate for clustered data
