@@ -806,3 +806,58 @@ select p.point_id from pts p where p.point_id not in (select point_id from hits)
 
 REGISTRY["validate_polygons"] = (q_validate_polygons, None)
 REGISTRY["pip_anti"] = (q_pip_anti, _pip_anti_oracle)
+
+
+# -- remaining rows-only coverage ---------------------------------------
+
+def q_clip_paths(spark, sf_dir):
+    """Per-tile vector extraction of the entry layer (clip kernel at
+    table level; goldens live in pytest)."""
+    from ..operators.clip_tiles import clip_to_tiles
+
+    out = clip_to_tiles(spark, entry_layer(), res=5)
+    return out.select(
+        "cell", "polygon_id", "part_id", "path_idx",
+        F.size("xs").alias("n_coords"),
+    )
+
+
+def q_raster_vector(spark, sf_dir):
+    """Raster<->vector tile aggregation: synthetic images vs the entry
+    layer at res 4."""
+    from ..operators.clip_tiles import raster_vector_agg
+    from ..synth import images_df_fast
+
+    imgs = images_df_fast(spark, 5000)
+    return raster_vector_agg(spark, imgs, entry_layer(), res=4)
+
+
+def q_ivf_ann(spark, sf_dir):
+    from ..operators.embed import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, n_lists=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_image_stats(spark, sf_dir):
+    from ..operators.images import with_pixel_stats
+    from ..synth import images_df
+
+    return with_pixel_stats(images_df(spark, 300))
+
+
+def q_knn_boundary(spark, sf_dir):
+    """Exact boundary-distance kNN against the entry layer."""
+    from ..operators.knn_join import knn_join_broadcast
+
+    return knn_join_broadcast(
+        _points(spark, sf_dir), entry_layer(), k=2, keep=["point_id"]
+    )
+
+
+REGISTRY["clip_paths"] = (q_clip_paths, None)
+REGISTRY["raster_vector"] = (q_raster_vector, None)
+REGISTRY["ivf_ann"] = (q_ivf_ann, None)
+REGISTRY["image_stats"] = (q_image_stats, None)
+REGISTRY["knn_boundary"] = (q_knn_boundary, None)
