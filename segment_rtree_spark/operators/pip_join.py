@@ -141,9 +141,17 @@ def pip_join_partitioned(
 
     group_keys = ["cell"]
     if salt_threshold is not None:
-        # hot-cell detection: cheap pre-agg on the point side
+        # hot-cell detection on a SAMPLE: at 10^12 rows a full pre-agg
+        # pass costs as much as the join; a 2% sample finds every cell
+        # hot enough to matter (missing one never affects correctness,
+        # only balance — the salted==unsalted equality test covers it)
+        frac = 0.02
         hot = (
-            pts.groupBy("cell").count().filter(F.col("count") > salt_threshold).select("cell")
+            pts.sample(frac, seed=7)
+            .groupBy("cell")
+            .count()
+            .filter(F.col("count") > salt_threshold * frac)
+            .select("cell")
         )
         hot_cells = {r["cell"] for r in hot.collect()}
         hot_arr = F.array(*[F.lit(c) for c in hot_cells]) if hot_cells else F.array()
