@@ -31,12 +31,15 @@ CLIP_SCHEMA = (
 )
 
 
-def clip_to_tiles(spark, layer: PolygonLayer, res: int) -> DataFrame:
+def clip_to_tiles(spark, layer: PolygonLayer, res: int,
+                  num_partitions: int | None = None) -> DataFrame:
     """Exploded per-tile vector extraction of a polygon layer."""
     pids, cells = layer.cover_cells(res)
+    if num_partitions is None:
+        num_partitions = max(1, spark.sparkContext.defaultParallelism)
     cover = spark.createDataFrame(
         pd.DataFrame({"polygon_id": pids, "cell": cells})
-    ).repartition(max(1, spark.sparkContext.defaultParallelism))
+    ).repartition(num_partitions)
     blayer = spark.sparkContext.broadcast(layer)
 
     def kernel(batches):
@@ -60,7 +63,21 @@ def clip_to_tiles(spark, layer: PolygonLayer, res: int) -> DataFrame:
                         rows["path_idx"].append(pi)
                         rows["xs"].append(xs.tolist())
                         rows["ys"].append(ys.tolist())
-            yield pd.DataFrame(rows)
+            if not rows["cell"]:
+                # A batch of interior-only cells produces zero clip paths;
+                # an all-default pd.DataFrame would give xs/ys float64 dtype
+                # and Arrow can't convert that to list<double>. Skip it.
+                continue
+            yield pd.DataFrame(
+                {
+                    "cell": pd.Series(rows["cell"], dtype="int64"),
+                    "polygon_id": pd.Series(rows["polygon_id"], dtype="int64"),
+                    "part_id": pd.Series(rows["part_id"], dtype="int32"),
+                    "path_idx": pd.Series(rows["path_idx"], dtype="int32"),
+                    "xs": pd.Series(rows["xs"], dtype="object"),
+                    "ys": pd.Series(rows["ys"], dtype="object"),
+                }
+            )
 
     return cover.mapInPandas(kernel, CLIP_SCHEMA)
 

@@ -184,7 +184,7 @@ def _tile_rollup_oracle():
     return f"""
 with base as ({_tile_assign_oracle()})
 select {cell_parent_sql('cell', 4)} as cell4, count(*) as n,
-       sum(point_id) as sum_ids
+       cast(sum(point_id) as bigint) as sum_ids
 from base group by 1
 """
 
@@ -378,9 +378,9 @@ flagged as (
   from ev
 ),
 isl as (
-  select *, sum(case when prev_max_e is null or s > prev_max_e then 1 else 0 end)
+  select *, cast(sum(case when prev_max_e is null or s > prev_max_e then 1 else 0 end)
          over (partition by user_id order by s, event_id
-               rows between unbounded preceding and current row) as island
+               rows between unbounded preceding and current row) as bigint) as island
   from flagged
 )
 select user_id, island, min(s) as start, max(e) as "end",
@@ -527,7 +527,8 @@ bits as (
   group by 1, 2
 )
 select doc_id,
-  sum(case when ones * 2 > n then (1::bigint << bit) else 0::bigint end) as simhash
+  cast(sum(case when ones * 2 > n then (1::bigint << bit) else 0::bigint end)
+       as bigint) as simhash
 from bits group by 1
 """
 

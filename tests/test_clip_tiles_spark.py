@@ -47,6 +47,26 @@ def test_clip_to_tiles_matches_local(spark, layer):
                     assert key not in got
 
 
+def test_clip_to_tiles_empty_batches(spark, layer):
+    """Regression (round-1 driver crash): a cover batch whose cells are all
+    polygon-interior yields zero clip paths; the kernel must not hand Arrow
+    an untyped-empty xs/ys column (ArrowNotImplementedError at local[32]).
+    One row per partition guarantees interior-only batches exist at res 6."""
+    res = 6
+    pids, cells = layer.cover_cells(res)
+    n = len(cells)
+    assert n > 4  # sanity: enough cover cells for one-row partitions
+    wide = clip_to_tiles(spark, layer, res, num_partitions=2 * n).collect()
+    narrow = clip_to_tiles(spark, layer, res, num_partitions=1).collect()
+    key = lambda r: (r["cell"], r["polygon_id"], r["part_id"], r["path_idx"])
+    assert sorted((key(r), r["xs"], r["ys"]) for r in wide) == sorted(
+        (key(r), r["xs"], r["ys"]) for r in narrow
+    )
+    # and interior-only cells really exist (otherwise this test is vacuous)
+    cells_with_paths = {(r["cell"], r["polygon_id"]) for r in wide}
+    assert any((int(c), int(p)) not in cells_with_paths for p, c in zip(pids, cells))
+
+
 def test_raster_vector_agg(spark, layer):
     from segment_rtree_spark.synth import images_df_fast
 

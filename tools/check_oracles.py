@@ -19,15 +19,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Match the DRIVER's tolerance exactly (round-1 evidence): int-width
+    # differences (Spark int32 vs DuckDB int64) hashed EQUAL for the
+    # driver (knn_sites/text_quality/distance_join were green), but
+    # kind differences (DuckDB HUGEINT -> float64 vs Spark bigint) hashed
+    # DIFFERENT (tile_rollup/interval_union/simhash were red). So: unify
+    # widths within a kind, never across kinds.
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    # canonicalize dtypes for comparison
     for c in pdf.columns:
-        if pdf[c].dtype == np.float32:
+        k = pdf[c].dtype.kind
+        if k in "iu" and pdf[c].dtype != np.int64:
+            pdf[c] = pdf[c].astype(np.int64)
+        elif k == "f" and pdf[c].dtype != np.float64:
             pdf[c] = pdf[c].astype(np.float64)
-        if str(pdf[c].dtype).startswith("u"):
-            pdf[c] = pdf[c].astype(np.int64)
-        if pdf[c].dtype == np.int32:
-            pdf[c] = pdf[c].astype(np.int64)
     return pdf.sort_values(list(pdf.columns), kind="stable").reset_index(drop=True)
 
 
@@ -78,6 +82,10 @@ def main():
         eq = True
         for c in g.columns:
             a, b = g[c].to_numpy(), w[c].to_numpy()
+            if a.dtype != b.dtype:
+                print(f"FAIL {name}: col {c} dtype {a.dtype} vs {b.dtype}")
+                eq = False
+                continue
             if a.dtype.kind == "f":
                 same = (a == b) | (np.isnan(a) & np.isnan(b))
             else:
