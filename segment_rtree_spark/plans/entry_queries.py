@@ -56,28 +56,33 @@ def entry_layer() -> PolygonLayer:
     return PolygonLayer.from_ring_rows(ENTRY_LAYER_ROWS)
 
 
-def layer_segments_values() -> str:
-    """The layer's segments as a VALUES clause:
-    (polygon_id, part_id, sx, sy, ex, ey)."""
-    rows = []
-    for pid, part, xs, ys in ENTRY_LAYER_ROWS:
+def segments_values(rows) -> str:
+    """Ring rows (polygon_id, part_id, xs, ys) as a segments VALUES
+    clause: (polygon_id, part_id, sx, sy, ex, ey). repr() round-trips
+    float64 exactly, so the oracle sees bit-identical coordinates."""
+    out = []
+    for pid, part, xs, ys in rows:
         for i in range(len(xs) - 1):
-            rows.append(
-                f"({pid},{part},{xs[i]!r},{ys[i]!r},{xs[i+1]!r},{ys[i+1]!r})"
+            out.append(
+                f"({int(pid)},{int(part)},{xs[i]!r},{ys[i]!r},{xs[i+1]!r},{ys[i+1]!r})"
             )
-    return ",".join(rows)
+    return ",".join(out)
 
 
-def pip_oracle_sql() -> str:
-    """Winding-number PIP in pure SQL — the independent oracle for the
-    kernel path (same 3-valued semantics as point_in_polygon.rs:12-74,
-    computed the brute-force way: every segment, no tree)."""
+def layer_segments_values() -> str:
+    """The entry layer's segments as a VALUES clause."""
+    return segments_values(ENTRY_LAYER_ROWS)
+
+
+def _pip_chain(pts: str = "pts", seg: str = "seg") -> str:
+    """CTE chain per_ring -> ring_rel -> poly_rel classifying every
+    (point, polygon) pair: relcode 0=exterior, 1=boundary, 2=interior.
+    Winding-number PIP in pure SQL — the independent oracle for the
+    kernel path (same 3-valued semantics as reference
+    point_in_polygon.rs:12-74, computed the brute-force way: every
+    segment, no tree). `pts` needs (point_id, lng, lat); `seg` needs
+    (polygon_id, part_id, sx, sy, ex, ey)."""
     return f"""
-with pts as ({pts_sql()}),
-seg as (
-  select * from (values {layer_segments_values()})
-  as t(polygon_id, part_id, sx, sy, ex, ey)
-),
 per_ring as (
   select p.point_id, s.polygon_id, s.part_id,
     max(case when (ex-sx)*(lat-sy) = (ey-sy)*(lng-sx)
@@ -88,7 +93,7 @@ per_ring as (
              when sy <= lat and ey > lat and (ex-sx)*(lat-sy) > (ey-sy)*(lng-sx) then 1
              when sy > lat and ey <= lat and (ex-sx)*(lat-sy) < (ey-sy)*(lng-sx) then -1
              else 0 end) as wn
-  from pts p cross join seg s
+  from {pts} p cross join {seg} s
   group by 1, 2, 3
 ),
 ring_rel as (
@@ -107,10 +112,25 @@ poly_rel as (
            max(case when part_id > 0 then rel else 0 end) as hole_rel
     from ring_rel group by 1, 2
   )
-)
+)"""
+
+
+_PIP_RELATION_SELECT = """
 select point_id, polygon_id,
        case relcode when 1 then 'boundary' else 'interior' end as relation
 from poly_rel where relcode > 0
+"""
+
+
+def pip_oracle_sql() -> str:
+    return f"""
+with pts as ({pts_sql()}),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+{_pip_chain()}
+{_PIP_RELATION_SELECT}
 """
 
 
@@ -857,8 +877,270 @@ def q_knn_boundary(spark, sf_dir):
     )
 
 
-REGISTRY["clip_paths"] = (q_clip_paths, None)
 REGISTRY["raster_vector"] = (q_raster_vector, None)
 REGISTRY["ivf_ann"] = (q_ivf_ann, None)
 REGISTRY["image_stats"] = (q_image_stats, None)
-REGISTRY["knn_boundary"] = (q_knn_boundary, None)
+
+
+# -- round-2 oracles: knn_boundary / wkt_corpus_pip / polyfill / clip ----
+
+WKT_PTS_LNG = "(cast((c_custkey * 7919) % 7000 as double) / 100.0 - 20.0)"
+WKT_PTS_LAT = "(cast((c_custkey * 104729) % 7500 as double) / 100.0 - 38.0)"
+
+
+def _wkt_corpus_pip_oracle():
+    """Brute-force winding PIP against the REAL africa corpus: all 16k
+    segments inlined as VALUES (repr round-trips the parsed float64s),
+    so DuckDB checks the full arena-descent path on real geometry."""
+    import os
+
+    from ..sources.wkt import parse_wkt_file_polygons
+
+    wkt = os.path.join(os.path.dirname(__file__), "..", "..", "data", "wkt", "africa.wkt")
+    rows = parse_wkt_file_polygons(os.path.abspath(wkt))
+    pts = (
+        f"select c_custkey as point_id, {WKT_PTS_LNG} as lng, "
+        f"{WKT_PTS_LAT} as lat from customer"
+    )
+    return f"""
+with pts as ({pts}),
+seg as (
+  select * from (values {segments_values(rows)})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+{_pip_chain()}
+{_PIP_RELATION_SELECT}
+"""
+
+
+def _knn_boundary_oracle():
+    """Exact boundary-distance kNN: per (point, polygon) the min over
+    all ring segments of the clamped point-segment distance (identical
+    expression tree to kernels via the distance_join oracle), zeroed
+    for interior points (signed=True), then window top-k."""
+    return f"""
+with pts as ({pts_sql()}),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+{_pip_chain()},
+segd as (
+  select p.point_id, s.polygon_id,
+    ((lng - sx) * (ex - sx) + (lat - sy) * (ey - sy)) /
+      ((ex - sx) * (ex - sx) + (ey - sy) * (ey - sy)) as t,
+    lng, lat, sx, sy, ex, ey
+  from pts p cross join seg s
+),
+clamped as (
+  select point_id, polygon_id, lng, lat, sx, sy, ex, ey,
+    case when (ex - sx) * (ex - sx) + (ey - sy) * (ey - sy) = 0.0 then 0.0
+         else least(greatest(t, 0.0), 1.0) end as tc
+  from segd
+),
+d2 as (
+  select point_id, polygon_id,
+    min((lng - (sx + tc * (ex - sx))) * (lng - (sx + tc * (ex - sx)))
+      + (lat - (sy + tc * (ey - sy))) * (lat - (sy + tc * (ey - sy)))) as min_dd
+  from clamped group by 1, 2
+),
+dist as (
+  select d.point_id, d.polygon_id,
+    case when coalesce(w.relcode, 0) = 2 then 0.0 else sqrt(d.min_dd) end as dist
+  from d2 d
+  left join poly_rel w on w.point_id = d.point_id and w.polygon_id = d.polygon_id
+),
+r as (
+  select *, row_number() over (partition by point_id
+                               order by dist asc, polygon_id asc) as rank
+  from dist
+)
+select point_id, polygon_id, dist, cast(rank as int) as rank from r where rank <= 2
+"""
+
+
+def _cells_cte(res: int) -> str:
+    """All 4^res cells with ids and bounds — same closed forms as
+    tiles.cell_of/cell_bounds (Morton spread + plate-carree grid)."""
+    from ..tiles import MAX_RES, _RES_BITS, _spread_sql
+
+    n = 1 << res
+    shift = 2 * (MAX_RES - res) + _RES_BITS
+    path = f"(({_spread_sql('ix')} << 1) | {_spread_sql('iy')})"
+    lngmin = f"cast(ix as double) / {float(n)!r} * 360.0 - 180.0"
+    latmin = f"cast(iy as double) / {float(n)!r} * 180.0 - 90.0"
+    return f"""
+select ix, iy,
+  ((({path}) << {shift}) | {res}) as cell,
+  {lngmin} as lngmin, {latmin} as latmin,
+  {lngmin} + {360.0 / n!r} as lngmax, {latmin} + {180.0 / n!r} as latmax
+from (select unnest(range(0, {n})) as ix), (select unnest(range(0, {n})) as iy)
+"""
+
+
+def _clip_chain(base: str, passthru: str) -> str:
+    """CTE chain calc -> t -> cc: Liang-Barsky clip of (sx,sy)-(ex,ey)
+    against per-row rect (lngmin,latmin,lngmax,latmax) — the same
+    closed form as the clip_segment oracle, rect as columns."""
+    return f"""
+calc as (
+  select {passthru}, sx, sy, ex, ey, lngmin, latmin, lngmax, latmax,
+    ((sx >= lngmin and sx <= lngmax and sy >= latmin and sy <= latmax) and
+     (ex >= lngmin and ex <= lngmax and ey >= latmin and ey <= latmax)) as bothin,
+    (sx = ex and sy = ey) as degen,
+    ex - sx as xd, ey - sy as yd
+  from {base}
+),
+t as (
+  select *,
+    greatest(0.0,
+      case when -yd < 0 then (sy - latmin) / -yd else 0.0 end,
+      case when  xd < 0 then (lngmax - sx) / xd else 0.0 end,
+      case when  yd < 0 then (latmax - sy) / yd else 0.0 end,
+      case when -xd < 0 then (sx - lngmin) / -xd else 0.0 end) as t0,
+    least(1.0,
+      case when -yd > 0 then (sy - latmin) / -yd else 1.0 end,
+      case when  xd > 0 then (lngmax - sx) / xd else 1.0 end,
+      case when  yd > 0 then (latmax - sy) / yd else 1.0 end,
+      case when -xd > 0 then (sx - lngmin) / -xd else 1.0 end) as t1,
+    ((yd = 0 and sy - latmin < 0) or (xd = 0 and lngmax - sx < 0) or
+     (yd = 0 and latmax - sy < 0) or (xd = 0 and sx - lngmin < 0)) as prej
+  from calc
+),
+cc as (
+  select *,
+    (bothin or ((not degen) and (not prej) and t0 <= t1)) as hit,
+    case when bothin then sx else sx + t0 * xd end as cx0,
+    case when bothin then sy else sy + t0 * yd end as cy0,
+    case when bothin then ex else sx + t1 * xd end as cx1,
+    case when bothin then ey else sy + t1 * yd end as cy1
+  from t
+)"""
+
+
+def _polyfill_cover_oracle():
+    """Brute-force polyfill: cell in cover(polygon, res) iff any ring
+    segment clips nonempty against the cell rect (crossed) OR the cell
+    center is non-exterior (fully-inside cells). Equivalent to the BFS
+    kernel: an uncrossed cell is uniformly in/out, so its center
+    decides; crossed cells are kept by both."""
+    res = 6
+    return f"""
+with cells as ({_cells_cte(res)}),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+base as (
+  select c.cell, c.lngmin, c.latmin, c.lngmax, c.latmax,
+         s.polygon_id, s.sx, s.sy, s.ex, s.ey
+  from cells c cross join seg s
+),
+{_clip_chain('base', 'cell, polygon_id')},
+crossed as (select distinct polygon_id, cell from cc where hit),
+pts as (
+  select cell as point_id, (lngmin + lngmax) / 2.0 as lng,
+         (latmin + latmax) / 2.0 as lat
+  from cells
+),
+{_pip_chain()},
+center_in as (
+  select polygon_id, point_id as cell from poly_rel where relcode > 0
+)
+select polygon_id, cell from crossed
+union
+select polygon_id, cell from center_in
+"""
+
+
+def _clip_paths_oracle():
+    """Clip-kernel path reconstruction in pure SQL. Per (cell, ring):
+    every hit segment (Liang-Barsky closed form) in index order; a
+    segment CONTINUES the previous path iff the previous hit segment is
+    index-adjacent and its clip end equals its own original end vertex
+    (kernels/clip.py last_index stitching, reference clip.rs:109-163);
+    coords = 1 for a path-opening clip start + 1 when the clip end
+    differs; reconnect_loop splices last into first when the ring's
+    start point is inside the rect (clip.rs:165-177). Only crossed
+    cells produce paths, and crossed cells are always in the polyfill
+    cover, so enumerating ALL 4^res cells matches clip_to_tiles."""
+    res = 5
+    seg_rows = []
+    for pid, part, xs, ys in ENTRY_LAYER_ROWS:
+        for i in range(len(xs) - 1):
+            seg_rows.append(
+                f"({pid},{part},{i},{xs[i]!r},{ys[i]!r},{xs[i+1]!r},{ys[i+1]!r})"
+            )
+    return f"""
+with cells as ({_cells_cte(res)}),
+seg as (
+  select * from (values {','.join(seg_rows)})
+  as t(polygon_id, part_id, i, sx, sy, ex, ey)
+),
+base as (
+  select c.cell, c.lngmin, c.latmin, c.lngmax, c.latmax,
+         s.polygon_id, s.part_id, s.i, s.sx, s.sy, s.ex, s.ey
+  from cells c cross join seg s
+),
+{_clip_chain('base', 'cell, polygon_id, part_id, i')},
+kept as (select * from cc where hit),
+w as (
+  select cell, polygon_id, part_id, i, cx0, cy0, cx1, cy1,
+    lag(i)   over win as prev_i,
+    lag(cx1) over win as prev_cx1, lag(cy1) over win as prev_cy1,
+    lag(ex)  over win as prev_ex,  lag(ey)  over win as prev_ey
+  from kept
+  window win as (partition by cell, polygon_id, part_id order by i)
+),
+flagged as (
+  select *,
+    case when prev_i = i - 1 and prev_cx1 = prev_ex and prev_cy1 = prev_ey
+         then 0 else 1 end as new_path,
+    case when prev_i = i - 1 and prev_cx1 = prev_ex and prev_cy1 = prev_ey
+         then 0 else 1 end
+    + case when cx1 <> cx0 or cy1 <> cy0 then 1 else 0 end as nc
+  from w
+),
+pathed as (
+  select *,
+    cast(sum(new_path) over (partition by cell, polygon_id, part_id order by i
+             rows between unbounded preceding and current row) as bigint) - 1
+      as path_ord
+  from flagged
+),
+paths as (
+  select cell, polygon_id, part_id, path_ord,
+    cast(sum(nc) as bigint) as n_coords,
+    arg_min(cx0, i) as fx, arg_min(cy0, i) as fy,
+    arg_max(case when cx1 <> cx0 or cy1 <> cy0 then cx1 else cx0 end, i) as lx,
+    arg_max(case when cx1 <> cx0 or cy1 <> cy0 then cy1 else cy0 end, i) as ly
+  from pathed group by 1, 2, 3, 4
+),
+stats as (
+  select p0.cell, p0.polygon_id, p0.part_id, s.np,
+         (s.np > 1 and p0.fx = pl.lx and p0.fy = pl.ly) as reconnect
+  from (select cell, polygon_id, part_id, count(*) as np
+        from paths group by 1, 2, 3) s
+  join paths p0 on p0.cell = s.cell and p0.polygon_id = s.polygon_id
+               and p0.part_id = s.part_id and p0.path_ord = 0
+  join paths pl on pl.cell = s.cell and pl.polygon_id = s.polygon_id
+               and pl.part_id = s.part_id and pl.path_ord = s.np - 1
+)
+select p.cell, p.polygon_id, cast(p.part_id as int) as part_id,
+  cast(p.path_ord as int) as path_idx,
+  cast(case when f.reconnect and p.path_ord = 0
+            then p.n_coords + pl.n_coords - 1
+            else p.n_coords end as int) as n_coords
+from paths p
+join stats f on f.cell = p.cell and f.polygon_id = p.polygon_id
+            and f.part_id = p.part_id
+left join paths pl on pl.cell = p.cell and pl.polygon_id = p.polygon_id
+                  and pl.part_id = p.part_id and pl.path_ord = f.np - 1
+where not (f.reconnect and p.path_ord = f.np - 1)
+"""
+
+
+REGISTRY["clip_paths"] = (q_clip_paths, _clip_paths_oracle)
+REGISTRY["knn_boundary"] = (q_knn_boundary, _knn_boundary_oracle)
+REGISTRY["wkt_corpus_pip"] = (q_wkt_corpus_pip, _wkt_corpus_pip_oracle)
+REGISTRY["polyfill_cover"] = (q_polyfill_cover, _polyfill_cover_oracle)
