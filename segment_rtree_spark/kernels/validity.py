@@ -40,6 +40,7 @@ __all__ = [
     "ValidationIssue",
     "validate_linestring",
     "validate_ring",
+    "as_ring",
     "validate_polygon",
     "has_cycle",
 ]
@@ -140,6 +141,24 @@ def validate_ring(xs, ys) -> Optional[ValidationIssue]:
         return ValidationIssue("TooFewCoordinates")
     if xs[0] != xs[-1] or ys[0] != ys[-1]:
         return ValidationIssue("NotClosed")
+    return validate_linestring(xs, ys)
+
+
+def as_ring(xs, ys) -> Optional[ValidationIssue]:
+    """Path -> ring conversion check. Distinct from validate_ring's
+    NotClosed: a PATH that fails to form a loop reports NotARing
+    ("Path is not a loop", reference errors.rs:31 — the enum's loop
+    variant, vs NotClosed for declared rings, errors.rs:43-47).
+    A path needs >= 2 coordinates before loop-ness is even a question
+    (SinglePathCoordinate, errors.rs:9-10)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) < 2:
+        return ValidationIssue("SinglePathCoordinate")
+    if xs[0] != xs[-1] or ys[0] != ys[-1]:
+        return ValidationIssue("NotARing")
+    if len(xs) < 4:
+        return ValidationIssue("TooFewCoordinates")
     return validate_linestring(xs, ys)
 
 

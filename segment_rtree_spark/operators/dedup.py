@@ -28,6 +28,7 @@ __all__ = [
     "exact_dups",
     "minhash_signatures",
     "lsh_pairs",
+    "lsh_bucket_stats",
     "simhash64",
     "ngram_jaccard_pairs",
     "phash_neardup_pairs",
@@ -64,15 +65,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text: str = "tex
     return toks.groupBy(id_col).agg(*aggs)
 
 
-def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
-              rows_per_band: int = 4) -> DataFrame:
-    """Banded-LSH candidate pairs (doc_a < doc_b sharing >= 1 band).
-
-    The band key is an equi-join key: Catalyst plans a plain shuffled
-    hash join keyed on (band_idx, band_key) — at 10^12 docs this is
-    the only join shape that survives. 4 rows per band keeps the
-    collision rate low enough that bucket sizes stay bounded.
-    """
+def _lsh_exploded(docs: DataFrame, id_col: str, text: str, rows_per_band: int) -> DataFrame:
     sig = minhash_signatures(docs, id_col, text)
     k = len(MINHASH_PARAMS)
     bands = []
@@ -85,6 +78,44 @@ def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
     exploded = bands[0]
     for other in bands[1:]:
         exploded = exploded.unionByName(other)
+    return exploded
+
+
+def lsh_bucket_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
+                     rows_per_band: int = 4, max_bucket: int | None = None) -> DataFrame:
+    """Per-bucket size monitor for the LSH join: (band, bkey, bucket_n,
+    truncated). The visible counter for skew audits — run it alongside
+    a capped lsh_pairs to see exactly which mega-buckets were dropped."""
+    stats = _lsh_exploded(docs, id_col, text, rows_per_band).groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    cap = F.lit(max_bucket) if max_bucket is not None else F.lit(None).cast("int")
+    return stats.withColumn("truncated", cap.isNotNull() & (F.col("bucket_n") > cap))
+
+
+def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
+              rows_per_band: int = 4, max_bucket: int | None = None) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b sharing >= 1 band).
+
+    The band key is an equi-join key: Catalyst plans a plain shuffled
+    hash join keyed on (band_idx, band_key) — at 10^12 docs this is
+    the only join shape that survives. 4 rows per band keeps the
+    collision rate low enough that bucket sizes stay bounded.
+
+    `max_bucket` is the skew guard: a degenerate band key (e.g. a
+    corpus of identical short docs) would otherwise create one bucket
+    whose self-join is O(n^2) in a single task. Buckets larger than
+    the cap are dropped BEFORE the join (their members are exact or
+    near-exact dups better handled by exact_dups); the dropped buckets
+    stay visible via lsh_bucket_stats with the same cap.
+    """
+    exploded = _lsh_exploded(docs, id_col, text, rows_per_band)
+    if max_bucket is not None:
+        sizes = exploded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bucket_n"))
+        exploded = (
+            exploded.join(sizes.filter(F.col("bucket_n") <= max_bucket), ["band", "bkey"])
+            .drop("bucket_n")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -118,9 +149,17 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
-                        n: int = 3, threshold: float = 0.2) -> DataFrame:
+                        n: int = 3, threshold: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
     """Exact Jaccard over token n-gram shingles, via inverted-index
-    self-join (only docs sharing a shingle ever meet)."""
+    self-join (only docs sharing a shingle ever meet).
+
+    `max_df` is the hot-shingle guard: a shingle present in more than
+    max_df documents (a stopword phrase) would fan the self-join out
+    O(df^2) in one bucket. Such shingles are dropped from the INDEX
+    side only — doc sizes still count them, so reported Jaccard is a
+    lower bound for affected pairs (the standard df-ceiling trade,
+    stated rather than silent)."""
     shingles = docs.select(
         F.col(id_col),
         F.explode(
@@ -131,6 +170,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "te
         ).alias("sh"),
     ).distinct()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        df_ok = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        shingles = shingles.join(df_ok.select("sh"), "sh")
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
         a.join(b, "sh")

@@ -121,12 +121,19 @@ def knn_join_centroid(
     site_id: str = "polygon_id",
     site_x: str = "cx",
     site_y: str = "cy",
+    point_id: str = "point_id",
 ) -> DataFrame:
     """Pure-DataFrame kNN to site points (polygon envelope centers):
-    broadcast cross join + window top-k. SQL-oracle-able exactly."""
+    broadcast cross join + window top-k. SQL-oracle-able exactly.
+
+    The window partitions on the narrow `point_id` key (must uniquely
+    identify a point row) — never on every point column, which would
+    shuffle wide payloads (captions, blobs) as the hash key."""
+    if point_id not in points.columns:
+        raise ValueError(f"point id column {point_id!r} not in points")
     d2 = (F.col(x) - F.col(site_x)) ** 2 + (F.col(y) - F.col(site_y)) ** 2
     joined = points.crossJoin(F.broadcast(sites)).withColumn("dist2", d2)
-    w = Window.partitionBy(*points.columns).orderBy(F.col("dist2").asc(), F.col(site_id).asc())
+    w = Window.partitionBy(point_id).orderBy(F.col("dist2").asc(), F.col(site_id).asc())
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -1,0 +1,57 @@
+"""Skew guards for the dedup joins: a degenerate corpus (many identical
+docs -> one mega band-bucket / hot shingle) must complete in bounded
+time with the cap on, and the truncation must be VISIBLE via stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from segment_rtree_spark.operators.dedup import (
+    lsh_bucket_stats,
+    lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    # 10k identical docs: every band key collides -> without a cap the
+    # self-join would be ~10k^2/2 = 50M pairs in ONE task.
+    return spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same short document every single time").alias("text"),
+    )
+
+
+def test_lsh_cap_drops_mega_bucket(spark, degenerate_docs):
+    pairs = lsh_pairs(degenerate_docs, max_bucket=100)
+    assert pairs.count() == 0  # both buckets exceed the cap
+
+    stats = lsh_bucket_stats(degenerate_docs, max_bucket=100).collect()
+    assert len(stats) == 2  # 2 bands, one bucket each
+    assert all(r["bucket_n"] == 10_000 and r["truncated"] for r in stats)
+
+
+def test_lsh_cap_keeps_small_buckets(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    capped = sorted(lsh_pairs(docs, max_bucket=100).collect())
+    uncapped = sorted(lsh_pairs(docs).collect())
+    assert capped == uncapped  # cap far above any bucket -> identical output
+    assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in capped}
+
+
+def test_ngram_max_df_guard(spark, degenerate_docs):
+    # every shingle has df=10k; with the ceiling the index side empties
+    out = ngram_jaccard_pairs(degenerate_docs, max_df=50)
+    assert out.count() == 0
+
+    # and a small corpus below the ceiling is unaffected
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "q w e r t")],
+        "doc_id long, text string",
+    )
+    with_cap = sorted(ngram_jaccard_pairs(docs, max_df=50).collect())
+    without = sorted(ngram_jaccard_pairs(docs).collect())
+    assert with_cap == without

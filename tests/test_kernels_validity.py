@@ -74,6 +74,19 @@ class TestRing:
     def test_ok(self):
         assert validate_ring([0, 1, 0, 0], [0, 0, 1, 0]) is None
 
+    def test_as_ring_not_a_ring(self):
+        # a PATH that isn't a loop: NotARing (errors.rs:31), distinct
+        # from the declared-ring NotClosed code (errors.rs:43-47)
+        from segment_rtree_spark.kernels.validity import as_ring
+
+        assert as_ring([0, 1, 2], [0, 1, 0]).code == "NotARing"
+        assert as_ring([0], [0]).code == "SinglePathCoordinate"
+        # closed but too short to be a real ring
+        assert as_ring([0, 1, 0], [0, 1, 0]).code == "TooFewCoordinates"
+        assert as_ring([0, 1, 0, 0], [0, 0, 1, 0]) is None
+        # NotARing wins over coordinate-count for open paths
+        assert as_ring([0, 1], [0, 1]).code == "NotARing"
+
 
 class TestCycle:
     # reference polygon_validation.rs:152-178
