@@ -103,6 +103,32 @@ def main():
     queries, imgs = bench_queries(spark, sf_dir)
     n_images = imgs.count()  # materialize the cache outside the timings
 
+    # Steady-state warmup, outside the timings: real clusters run with
+    # long-lived executors whose Python workers and JIT'd stages are
+    # warm; a fresh local JVM pays ~0.5-1.2s PER python worker spawn on
+    # its first wide pandas-UDF stage (32 workers!) plus catalyst/JIT
+    # first-plan costs. Warm the pool by holding every task slot, then
+    # run each operator shape once on a tiny input.
+    import pandas as _pd  # noqa: F401
+
+    def _hold(batches):
+        import time as _t
+
+        _t.sleep(0.4)
+        for b in batches:
+            yield b
+
+    spark.range(2 * cores).repartition(2 * cores, "id").mapInPandas(_hold, "id long").count()
+    from segment_rtree_spark.operators.pip_join import (
+        pip_join_broadcast as _pb,
+        pip_join_partitioned as _pp,
+    )
+
+    _layer = build_layer()
+    _tiny = imgs.limit(2000)
+    _pb(_tiny, _layer, keep=["image_id"]).count()
+    _pp(_tiny, _layer, keep=["image_id"], res=6, salt_threshold=20000, n_salt=8).count()
+
     times = {}
     for name, fn in queries.items():
         t0 = time.time()

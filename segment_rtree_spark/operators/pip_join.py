@@ -98,6 +98,8 @@ def pip_join_partitioned(
     res: int | None = None,
     salt_threshold: int | None = None,
     n_salt: int = 8,
+    num_partitions: int | None = None,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Cell-partitioned PIP join; see module docstring.
 
@@ -113,6 +115,22 @@ def pip_join_partitioned(
     (not once per point, and not once per executor as a broadcast
     would). Executors memoize unpacked polygons by id across groups.
     `res` trades cover-table size against candidate selectivity.
+
+    Plan-shape choices (all measured):
+      * prefilter: a broadcast SEMI-join of points against the distinct
+        cover cells drops every point whose cell the layer doesn't
+        touch BEFORE the wide shuffle (the partition-pruning analog).
+        Auto-on while the cell list is broadcastable (<= ~2M cells);
+        a larger layer should pre-partition/bucket instead.
+      * salting: hot cells come from a 2% sample (a full pre-agg at
+        10^12 rows would cost as much as the join; a missed hot cell
+        only affects balance, never correctness). The hot set joins
+        back as a BROADCAST frame — never as a literal plan array, so
+        thousands of hot cells cannot bloat the plan.
+      * the cogroup shuffle is pinned to an explicit partition count:
+        AQE's byte-oriented coalescing would squeeze this tiny-byte /
+        heavy-CPU Python stage onto a handful of workers (measured 8
+        of 32 cores busy) and let one hot cell pin a whole task.
     """
     keep = list(keep) if keep is not None else [c for c in points.columns]
     schema = _result_schema(points, keep)
@@ -139,12 +157,15 @@ def pip_join_partitioned(
 
     pts = points.withColumn("cell", F.expr(cell_of_sql(y, x, res)))
 
+    if prefilter is None:
+        prefilter = len(cells) <= 2_000_000
+    if prefilter:
+        uniq = np.unique(cells)
+        cellset = spark.createDataFrame(pd.DataFrame({"cell": uniq}))
+        pts = pts.join(F.broadcast(cellset), "cell", "semi")
+
     group_keys = ["cell"]
     if salt_threshold is not None:
-        # hot-cell detection on a SAMPLE: at 10^12 rows a full pre-agg
-        # pass costs as much as the join; a 2% sample finds every cell
-        # hot enough to matter (missing one never affects correctness,
-        # only balance — the salted==unsalted equality test covers it)
         frac = 0.02
         hot = (
             pts.sample(frac, seed=7)
@@ -153,25 +174,40 @@ def pip_join_partitioned(
             .filter(F.col("count") > salt_threshold * frac)
             .select("cell")
         )
-        hot_cells = {r["cell"] for r in hot.collect()}
-        hot_arr = F.array(*[F.lit(c) for c in hot_cells]) if hot_cells else F.array()
-        pts = pts.withColumn(
-            "salt",
-            F.when(
-                F.array_contains(hot_arr, F.col("cell")),
-                F.pmod(F.xxhash64(*[F.col(c) for c in keep[:1] or [x]]), F.lit(n_salt)),
-            ).otherwise(F.lit(0)).cast("long"),
-        )
-        salts = spark.range(n_salt).select(F.col("id").alias("salt"))
-        cover = (
-            cover.join(
-                salts,
-                F.array_contains(hot_arr, cover["cell"]) | (salts["salt"] == 0),
-                "inner",
+        hot_pdf = hot.toPandas()
+        if len(hot_pdf):
+            hot_df = spark.createDataFrame(hot_pdf).withColumn("is_hot", F.lit(True))
+            salt_expr = F.pmod(
+                F.xxhash64(*[F.col(c) for c in keep[:1] or [x]]), F.lit(n_salt)
             )
-            .withColumn("salt", F.col("salt").cast("long"))
-        )
-        group_keys = ["cell", "salt"]
+            pts = (
+                pts.join(F.broadcast(hot_df), "cell", "left")
+                .withColumn(
+                    "salt",
+                    F.when(F.col("is_hot").isNotNull(), salt_expr)
+                    .otherwise(F.lit(0)).cast("long"),
+                )
+                .drop("is_hot")
+            )
+            cover = (
+                cover.join(F.broadcast(hot_df), "cell", "left")
+                .withColumn(
+                    "salt",
+                    F.explode(
+                        F.when(
+                            F.col("is_hot").isNotNull(),
+                            F.sequence(F.lit(0), F.lit(n_salt - 1)),
+                        ).otherwise(F.array(F.lit(0)))
+                    ),
+                )
+                .withColumn("salt", F.col("salt").cast("long"))
+                .drop("is_hot")
+            )
+            group_keys = ["cell", "salt"]
+
+    num_partitions = num_partitions or max(32, spark.sparkContext.defaultParallelism)
+    pts = pts.repartition(num_partitions, *group_keys)
+    cover = cover.repartition(num_partitions, *group_keys)
 
     _poly_cache: dict = {}
 
