@@ -40,20 +40,28 @@ def _point_segment_dist2(px, py, x0, y0, x1, y1):
     return (px - cx) ** 2 + (py - cy) ** 2
 
 
-def boundary_distance(px, py, polygon):
+def boundary_distance(px, py, polygon, chunk: int = 1 << 22):
     """Exact distance from each point to a polygon's boundary (all rings).
 
-    Brute over the ring's segments per batch — vectorized (points x
-    segments handled per-ring with broadcasting in manageable chunks).
-    """
-    px = np.asarray(px, np.float64)[:, None]
-    py = np.asarray(py, np.float64)[:, None]
-    best = np.full(px.shape[0], np.inf)
+    Vectorized points x segments per ring, with the point axis CHUNKED
+    so the dense intermediate never exceeds ~`chunk` elements — a 10^5
+    point batch against a 10^4-segment ring peaks at ~32 MB instead of
+    materializing an 8 GB matrix."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    n = px.shape[0]
+    best = np.full(n, np.inf)
     for ring in [polygon.shell] + list(polygon.holes):
-        d2 = _point_segment_dist2(
-            px, py, ring.xs[None, :-1], ring.ys[None, :-1], ring.xs[None, 1:], ring.ys[None, 1:]
-        )
-        best = np.minimum(best, d2.min(axis=1))
+        nseg = max(1, len(ring.xs) - 1)
+        step = max(1, chunk // nseg)
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            d2 = _point_segment_dist2(
+                px[s:e, None], py[s:e, None],
+                ring.xs[None, :-1], ring.ys[None, :-1],
+                ring.xs[None, 1:], ring.ys[None, 1:],
+            )
+            best[s:e] = np.minimum(best[s:e], d2.min(axis=1))
     return np.sqrt(best)
 
 
@@ -78,35 +86,105 @@ def knn_join_broadcast(
     kk = int(k)
 
     def kernel(batches):
+        from ..kernels.pip import points_in_polygon, INTERIOR
+
+        lyr = blayer.value
+        m = len(lyr)
+        kc = min(kk, m)
+        if m:
+            # initial search radius sized so ~kc envelopes land in the
+            # box if polygons were uniform over the layer envelope
+            w = float(np.nanmax(lyr.xmax) - np.nanmin(lyr.xmin))
+            h = float(np.nanmax(lyr.ymax) - np.nanmin(lyr.ymin))
+            r0 = max((w + h) / (2.0 * max(1.0, np.sqrt(m / max(1, kc)))), 1e-9)
+
+        def exact_dists(px, py, apt, apos):
+            """Exact signed boundary distance for candidate pairs,
+            grouped by polygon so each polygon's kernel runs once."""
+            d = np.empty(len(apt))
+            order = np.argsort(apos, kind="stable")
+            srt_pos = apos[order]
+            starts = np.flatnonzero(np.concatenate([[True], srt_pos[1:] != srt_pos[:-1]]))
+            for si, s in enumerate(starts):
+                e = starts[si + 1] if si + 1 < len(starts) else len(srt_pos)
+                sel = order[s:e]
+                poly = lyr.polygons[int(srt_pos[s])]
+                spx, spy = px[apt[sel]], py[apt[sel]]
+                dd = boundary_distance(spx, spy, poly)
+                if signed:
+                    dd = np.where(points_in_polygon(spx, spy, poly) == INTERIOR, 0.0, dd)
+                d[sel] = dd
+            return d
+
         for pdf in batches:
-            lyr = blayer.value
             n = len(pdf)
-            if n == 0:
+            if n == 0 or m == 0:
                 continue
             px = pdf[x].to_numpy(np.float64)
             py = pdf[y].to_numpy(np.float64)
-            m = len(lyr)
-            # distance matrix points x polygons (layers are broadcast-
-            # small by construction; candidates pruning would go here
-            # for very large layers)
-            dmat = np.empty((n, m))
-            for j, poly in enumerate(lyr.polygons):
-                d = boundary_distance(px, py, poly)
-                if signed:
-                    from ..kernels.pip import points_in_polygon, INTERIOR
 
-                    inside = points_in_polygon(px, py, poly) == INTERIOR
-                    d = np.where(inside, 0.0, d)
-                dmat[:, j] = d
-            kc = min(kk, m)
-            # top-k per row; ties broken by polygon id for determinism
-            order = np.lexsort((np.broadcast_to(lyr.ids, dmat.shape), dmat), axis=1)[:, :kc]
-            rows = np.repeat(np.arange(n), kc)
-            cols = order.ravel()
-            out = pdf.iloc[rows][keep].reset_index(drop=True)
-            out["polygon_id"] = lyr.ids[cols]
-            out["dist"] = dmat[rows, cols]
-            out["rank"] = np.tile(np.arange(1, kc + 1, dtype=np.int32), n)
+            # Expanding-radius candidate search on the layer envelope
+            # index (the reference query_within pattern,
+            # flatbush_impl.rs:154-157): a polygon whose envelope
+            # misses the radius-box has boundary distance > r, so a
+            # point with kc exact hits <= r is FINALIZED — its true
+            # top-k cannot include an unseen polygon. Cost scales with
+            # candidates-in-radius, not layer size.
+            out_pt, out_id, out_d = [], [], []
+            active = np.arange(n, dtype=np.int64)
+            radius = np.full(n, r0)
+            for _ in range(64):
+                if len(active) == 0:
+                    break
+                r = radius[active]
+                q, pos = lyr.index.query_rect(
+                    px[active] - r, py[active] - r, px[active] + r, py[active] + r
+                )
+                apt = active[q]
+                apos = lyr.order[pos]
+                d = exact_dists(px, py, apt, apos) if len(apt) else np.empty(0)
+
+                # candidate count per active point; points whose box
+                # already sees every polygon finalize unconditionally
+                cand = np.zeros(n, np.int64)
+                np.add.at(cand, apt, 1)
+                hits = np.zeros(n, np.int64)
+                if len(apt):
+                    np.add.at(hits, apt, (d <= radius[apt]).astype(np.int64))
+                fin = np.zeros(n, bool)
+                fin[active] = (hits[active] >= kc) | (cand[active] >= m)
+
+                if fin.any() and len(apt):
+                    sel = fin[apt]
+                    fpt, fpos, fd = apt[sel], apos[sel], d[sel]
+                    fids = lyr.ids[fpos]
+                    o = np.lexsort((fids, fd, fpt))
+                    fpt, fids, fd = fpt[o], fids[o], fd[o]
+                    # rank within point, keep first kc
+                    grp_start = np.concatenate([[True], fpt[1:] != fpt[:-1]])
+                    idx = np.arange(len(fpt))
+                    rank = idx - np.maximum.accumulate(np.where(grp_start, idx, -1))
+                    keep_m = rank < kc
+                    out_pt.append(fpt[keep_m])
+                    out_id.append(fids[keep_m])
+                    out_d.append(fd[keep_m])
+
+                radius[active] *= 2.0
+                active = active[~fin[active]]
+
+            rpt = np.concatenate(out_pt) if out_pt else np.empty(0, np.int64)
+            rid = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+            rd = np.concatenate(out_d) if out_d else np.empty(0)
+            o = np.lexsort((rid, rd, rpt))
+            rpt, rid, rd = rpt[o], rid[o], rd[o]
+            grp_start = np.concatenate([[True], rpt[1:] != rpt[:-1]]) if len(rpt) else np.empty(0, bool)
+            idx = np.arange(len(rpt))
+            rank = (idx - np.maximum.accumulate(np.where(grp_start, idx, -1))).astype(np.int32) + 1 if len(rpt) else np.empty(0, np.int32)
+
+            out = pdf.iloc[rpt][keep].reset_index(drop=True)
+            out["polygon_id"] = rid
+            out["dist"] = rd
+            out["rank"] = rank
             yield out
 
     return points.mapInPandas(kernel, schema)

@@ -51,6 +51,42 @@ def test_boundary_distance_matches_manual():
     assert d[2] == 4.0
 
 
+def test_knn_pruned_matches_dense_on_corpus(spark):
+    """The expanding-radius index-pruned kNN must equal the dense
+    all-polygons scan (which the reference's query_within would also
+    refine to) on real geometry — africa + uk, 300 scattered points."""
+    from segment_rtree_spark.kernels.pip import points_in_polygon, INTERIOR
+    from segment_rtree_spark.sources.wkt import parse_wkt_file_polygons
+
+    rows = list(parse_wkt_file_polygons("data/wkt/africa.wkt"))
+    off = max(r[0] for r in rows) + 1
+    rows += [(pid + off, part, xs, ys)
+             for pid, part, xs, ys in parse_wkt_file_polygons("data/wkt/uk.wkt")]
+    layer = PolygonLayer.from_ring_rows(rows)
+
+    rng = np.random.default_rng(11)
+    px = rng.uniform(-25.0, 60.0, 300)
+    py = rng.uniform(-40.0, 62.0, 300)
+    pdf = pd.DataFrame({"pid": np.arange(300), "lng": px, "lat": py})
+    out = knn_join_broadcast(spark.createDataFrame(pdf), layer, k=3, keep=["pid"]).toPandas()
+    out = out.sort_values(["pid", "rank"]).reset_index(drop=True)
+
+    # dense local oracle
+    dmat = np.empty((300, len(layer)))
+    for j, poly in enumerate(layer.polygons):
+        d = boundary_distance(px, py, poly)
+        inside = points_in_polygon(px, py, poly) == INTERIOR
+        dmat[:, j] = np.where(inside, 0.0, d)
+    order = np.lexsort((np.broadcast_to(layer.ids, dmat.shape), dmat), axis=1)[:, :3]
+    assert len(out) == 900
+    for i in range(300):
+        got = out[out.pid == i]
+        want_ids = layer.ids[order[i]]
+        want_d = dmat[i, order[i]]
+        assert list(got["polygon_id"]) == list(want_ids), i
+        assert np.array_equal(got["dist"].to_numpy(), want_d), i
+
+
 def test_spatialframe_chain(spark, pts):
     sf = SpatialFrame(pts)
     out = sf.assign_tiles(res=6).with_cell_prefix().pip_join(LAYER, keep=["pid"])
