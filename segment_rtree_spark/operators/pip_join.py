@@ -38,7 +38,13 @@ from ..kernels.pip import RELATION_NAMES
 from ..layer import PolygonLayer
 from ..tiles import cell_of_sql
 
-__all__ = ["pip_join_broadcast", "pip_join_partitioned", "pip_join"]
+__all__ = [
+    "pip_join_broadcast",
+    "pip_join_partitioned",
+    "pip_join_partitioned_rings",
+    "cover_from_rings",
+    "pip_join",
+]
 
 
 def _result_schema(points: DataFrame, keep: Sequence[str]) -> str:
@@ -155,13 +161,42 @@ def pip_join_partitioned(
         )
     )
 
-    pts = points.withColumn("cell", F.expr(cell_of_sql(y, x, res)))
-
     if prefilter is None:
         prefilter = len(cells) <= 2_000_000
-    if prefilter:
-        uniq = np.unique(cells)
-        cellset = spark.createDataFrame(pd.DataFrame({"cell": uniq}))
+    cellset = (
+        spark.createDataFrame(pd.DataFrame({"cell": np.unique(cells)}))
+        if prefilter
+        else None
+    )
+    return _pip_cogroup(
+        points, cover, res, keep, schema, x, y, emit_exterior,
+        salt_threshold, n_salt, num_partitions, cellset,
+    )
+
+
+def _pip_cogroup(
+    points: DataFrame,
+    cover: DataFrame,
+    res: int,
+    keep: Sequence[str],
+    schema: str,
+    x: str,
+    y: str,
+    emit_exterior: bool,
+    salt_threshold: int | None,
+    n_salt: int,
+    num_partitions: int | None,
+    cellset: DataFrame | None,
+) -> DataFrame:
+    """Shared back half of the partitioned PIP join: cell assignment,
+    optional semi prefilter, hot-cell salting, pinned co-shuffle,
+    cogrouped winding refine. `cover` is any (polygon_id, cell, pack)
+    DataFrame — driver-built for broadcastable layers, executor-built
+    (cover_from_rings) when the layer itself is a table."""
+    spark = points.sparkSession
+    pts = points.withColumn("cell", F.expr(cell_of_sql(y, x, res)))
+
+    if cellset is not None:
         pts = pts.join(F.broadcast(cellset), "cell", "semi")
 
     group_keys = ["cell"]
@@ -246,6 +281,80 @@ def pip_join_partitioned(
 
     return pts.groupBy(*group_keys).cogroup(cover.groupBy(*group_keys)).applyInPandas(
         lambda l, r: refine(l, r), schema
+    )
+
+
+COVER_SCHEMA = "polygon_id long, cell long, pack binary"
+
+
+def cover_from_rings(rings: DataFrame, res: int) -> DataFrame:
+    """DISTRIBUTED polyfill: (polygon_id, part_id, xs, ys) ring rows ->
+    (polygon_id, cell, pack) cover rows, BFS-refined per polygon inside
+    applyInPandas. No PolygonLayer ever exists on the driver, so the
+    partitioned PIP path works for layers of any cardinality — the
+    10^6-polygon case the driver-side cover_cells loop can't serve."""
+    from ..tiles import polyfill as _polyfill
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pickle
+
+        from ..kernels.pip import PreparedPolygon
+
+        pdf = pdf.sort_values("part_id")
+        arrs = [
+            (np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+            for xs, ys in zip(pdf["xs"], pdf["ys"])
+        ]
+        poly = PreparedPolygon.from_arrays(arrs)
+        cells = _polyfill(poly, res)
+        pack = pickle.dumps(arrs, protocol=4)
+        pid = int(pdf["polygon_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "polygon_id": np.full(len(cells), pid, np.int64),
+                "cell": cells,
+                "pack": [pack] * len(cells),
+            }
+        )
+
+    return rings.groupBy("polygon_id").applyInPandas(gen, COVER_SCHEMA)
+
+
+def pip_join_partitioned_rings(
+    points: DataFrame,
+    rings: DataFrame,
+    res: int,
+    x: str = "lng",
+    y: str = "lat",
+    keep: Sequence[str] | None = None,
+    emit_exterior: bool = False,
+    salt_threshold: int | None = None,
+    n_salt: int = 8,
+    num_partitions: int | None = None,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Partitioned PIP join where the polygon side is a TABLE of ring
+    rows (polygon_id, part_id, xs, ys) — e.g. read_wkt_rings output —
+    with the polyfill cover built executor-side (cover_from_rings).
+    Identical output rows to pip_join_partitioned/broadcast (tested).
+
+    The cover feeds both the semi prefilter and the cogroup, so it is
+    persisted for the lifetime of the returned plan; callers doing
+    many joins against the same layer should build cover_from_rings
+    once and reuse it. `res` must be explicit here: auto-picking would
+    need cover sizes, i.e. a polyfill pass per candidate res."""
+    keep = list(keep) if keep is not None else [c for c in points.columns]
+    schema = _result_schema(points, keep)
+    points = points.select(*dict.fromkeys([*keep, x, y]))
+
+    cover = cover_from_rings(rings, res)
+    from pyspark import StorageLevel
+
+    cover = cover.persist(StorageLevel.MEMORY_AND_DISK)
+    cellset = cover.select("cell").distinct() if prefilter else None
+    return _pip_cogroup(
+        points, cover, res, keep, schema, x, y, emit_exterior,
+        salt_threshold, n_salt, num_partitions, cellset,
     )
 
 
