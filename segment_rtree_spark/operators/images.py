@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame
 
 from ..imageio import decode_image, encode_png, encode_raw, phash64
 
-__all__ = ["with_pixel_stats", "resize_images", "sample_video_frames"]
+__all__ = [
+    "with_pixel_stats",
+    "with_pixel_stats_exact",
+    "resize_images",
+    "sample_video_frames",
+]
 
 
 def with_pixel_stats(images: DataFrame) -> DataFrame:
@@ -53,6 +58,57 @@ def with_pixel_stats(images: DataFrame) -> DataFrame:
                     "image_id": pdf["image_id"],
                     "mean_r": mr, "mean_g": mg, "mean_b": mb,
                     "luma_std": ls, "phash_ok": ok,
+                }
+            )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h", "phash"]
+    return images.select(*cols).mapInPandas(kernel, schema)
+
+
+def with_pixel_stats_exact(images: DataFrame) -> DataFrame:
+    """Integer-exact per-image stats over the ARITHMETIC image table:
+    channel means as exact-integer-sum / n (order-independent, so a
+    SQL oracle reproduces them bit-for-bit), integer-luma power sums
+    (S1, S2 — variance is derivable exactly downstream), and phash_ok
+    verifying decode->hash against the stored column. This is the
+    oracle-visible twin of with_pixel_stats: it validates the whole
+    binary round trip (synth -> png/raw encode -> decode -> stats)
+    against a pure-arithmetic recomputation."""
+    from ..synth import phash_arith
+
+    schema = (
+        "image_id string, mean_r double, mean_g double, mean_b double, "
+        "luma_s1 long, luma_s2 long, phash_ok boolean"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            mr = np.empty(n)
+            mg = np.empty(n)
+            mb = np.empty(n)
+            s1 = np.empty(n, np.int64)
+            s2 = np.empty(n, np.int64)
+            ok = np.empty(n, bool)
+            for k in range(n):
+                px = decode_image(
+                    pdf["bytes"].iloc[k], pdf["fmt"].iloc[k],
+                    int(pdf["w"].iloc[k]), int(pdf["h"].iloc[k]),
+                )
+                p = px.astype(np.int64)
+                npx = float(p.shape[0] * p.shape[1])
+                mr[k] = float(p[..., 0].sum()) / npx
+                mg[k] = float(p[..., 1].sum()) / npx
+                mb[k] = float(p[..., 2].sum()) / npx
+                lum = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+                s1[k] = lum.sum()
+                s2[k] = (lum * lum).sum()
+                ok[k] = int(phash_arith(px[None, ...])[0]) == int(pdf["phash"].iloc[k])
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                    "luma_s1": s1, "luma_s2": s2, "phash_ok": ok,
                 }
             )
 

@@ -600,17 +600,20 @@ def _ann_buckets_oracle():
 # -- rows-only (non-SQL-expressible) -----------------------------------
 
 def q_images_pip(spark, sf_dir):
-    """Flagship: synthetic image table -> PIP join vs the entry layer."""
-    from ..synth import images_df
+    """Flagship: synthetic image table -> PIP join vs the entry layer.
 
-    imgs = images_df(spark, 2000, skew_frac=0.1)
+    Uses the ARITHMETIC image table so the whole pipeline (pixel synth
+    -> png/raw encode -> geotag -> PIP) has a DuckDB oracle."""
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 2000, skew_frac=0.1)
     return pip_join_broadcast(imgs, entry_layer(), keep=["image_id", "caption"])
 
 
 def q_phash_neardup(spark, sf_dir):
-    from ..synth import images_df
+    from ..synth import images_df_arith
 
-    imgs = images_df(spark, 1000)
+    imgs = images_df_arith(spark, 1000)
     return _dedup.phash_neardup_pairs(imgs, max_hamming=16)
 
 
@@ -847,9 +850,9 @@ def q_raster_vector(spark, sf_dir):
     """Raster<->vector tile aggregation: synthetic images vs the entry
     layer at res 4."""
     from ..operators.clip_tiles import raster_vector_agg
-    from ..synth import images_df_fast
+    from ..synth import images_df_arith
 
-    imgs = images_df_fast(spark, 5000)
+    imgs = images_df_arith(spark, 5000)
     return raster_vector_agg(spark, imgs, entry_layer(), res=4)
 
 
@@ -862,10 +865,10 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def q_image_stats(spark, sf_dir):
-    from ..operators.images import with_pixel_stats
-    from ..synth import images_df
+    from ..operators.images import with_pixel_stats_exact
+    from ..synth import images_df_arith
 
-    return with_pixel_stats(images_df(spark, 300))
+    return with_pixel_stats_exact(images_df_arith(spark, 300))
 
 
 def q_knn_boundary(spark, sf_dir):
@@ -1053,7 +1056,7 @@ select polygon_id, cell from center_in
 """
 
 
-def _clip_paths_oracle():
+def _clip_paths_sql(res: int) -> str:
     """Clip-kernel path reconstruction in pure SQL. Per (cell, ring):
     every hit segment (Liang-Barsky closed form) in index order; a
     segment CONTINUES the previous path iff the previous hit segment is
@@ -1064,7 +1067,6 @@ def _clip_paths_oracle():
     start point is inside the rect (clip.rs:165-177). Only crossed
     cells produce paths, and crossed cells are always in the polyfill
     cover, so enumerating ALL 4^res cells matches clip_to_tiles."""
-    res = 5
     seg_rows = []
     for pid, part, xs, ys in ENTRY_LAYER_ROWS:
         for i in range(len(xs) - 1):
@@ -1140,7 +1142,110 @@ where not (f.reconnect and p.path_ord = f.np - 1)
 """
 
 
-REGISTRY["clip_paths"] = (q_clip_paths, _clip_paths_oracle)
+REGISTRY["clip_paths"] = (q_clip_paths, lambda: _clip_paths_sql(5))
 REGISTRY["knn_boundary"] = (q_knn_boundary, _knn_boundary_oracle)
 REGISTRY["wkt_corpus_pip"] = (q_wkt_corpus_pip, _wkt_corpus_pip_oracle)
 REGISTRY["polyfill_cover"] = (q_polyfill_cover, _polyfill_cover_oracle)
+
+
+# -- round-2 oracles: the ARITHMETIC image table (synth.images_df_arith)
+# makes the image pipeline itself oracle-visible: DuckDB recomputes
+# pixels -> integer phash -> geotag from range(n) (synth.arith_images_sql)
+# while Spark decodes the actual (png|raw) bytes — the comparison
+# checks the full binary round trip, not just the join.
+
+def _arith_imgs_cte(n: int, skew: float = 0.0) -> str:
+    from ..synth import arith_images_sql
+
+    return arith_images_sql(n, skew)
+
+
+def _images_pip_oracle():
+    return f"""
+with imgs as ({_arith_imgs_cte(2000, 0.1)}),
+pts as (select i as point_id, lng, lat from imgs),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+{_pip_chain()}
+select m.image_id, 'image ' || cast(m.i as varchar) as caption,
+       r.polygon_id,
+       case relcode when 1 then 'boundary' else 'interior' end as relation
+from poly_rel r join imgs m on m.i = r.point_id
+where relcode > 0
+"""
+
+
+def _image_stats_oracle():
+    step = ("((((((i * 2654435761 + {k} * 97) & 2147483647) * 48271) "
+            "& 2147483647) >> 7) % 256)")
+    r = step.format(k="(p * 3 + 0)")
+    g = step.format(k="(p * 3 + 1)")
+    b = step.format(k="(p * 3 + 2)")
+    lum = f"(299 * {r} + 587 * {g} + 114 * {b})"
+    return f"""
+with imgs as ({_arith_imgs_cte(300)}),
+px as (
+  select i, p, {r} as r, {g} as g, {b} as b, {lum} as lum
+  from (select i from imgs), (select unnest(range(0, 64)) as p)
+)
+select m.image_id,
+  cast(sum(x.r) as double) / 64.0 as mean_r,
+  cast(sum(x.g) as double) / 64.0 as mean_g,
+  cast(sum(x.b) as double) / 64.0 as mean_b,
+  cast(sum(x.lum) as bigint) as luma_s1,
+  cast(sum(x.lum * x.lum) as bigint) as luma_s2,
+  true as phash_ok
+from px x join imgs m on m.i = x.i
+group by 1
+"""
+
+
+def _phash_neardup_oracle():
+    bands = " union all ".join(
+        f"select i, {b} as band, (phash >> {b * 16}) & 65535 as bkey from imgs"
+        for b in range(4)
+    )
+    return f"""
+with imgs as ({_arith_imgs_cte(1000)}),
+bands as ({bands}),
+pairs as (
+  select distinct a.i as ia, b.i as ib
+  from bands a join bands b on a.band = b.band and a.bkey = b.bkey
+  where a.i < b.i
+)
+select ma.image_id as id_a, mb.image_id as id_b,
+       cast(bit_count(xor(ma.phash, mb.phash)) as int) as hamming
+from pairs p
+join imgs ma on ma.i = p.ia
+join imgs mb on mb.i = p.ib
+where bit_count(xor(ma.phash, mb.phash)) <= 16
+"""
+
+
+def _raster_vector_oracle():
+    cell = cell_of_sql("lat", "lng", 4)
+    return f"""
+with imgs as ({_arith_imgs_cte(5000)}),
+raster as (select {cell} as cell, count(*) as n_images from imgs group by 1),
+paths as ({_clip_paths_sql(4)}),
+vector as (
+  select cell, count(*) as n_paths,
+         count(distinct polygon_id) as n_polygons,
+         cast(sum(n_coords) as bigint) as total_vertices
+  from paths group by 1
+)
+select coalesce(r.cell, v.cell) as cell,
+       coalesce(r.n_images, 0) as n_images,
+       coalesce(v.n_paths, 0) as n_paths,
+       coalesce(v.n_polygons, 0) as n_polygons,
+       coalesce(v.total_vertices, 0) as total_vertices
+from raster r full outer join vector v on r.cell = v.cell
+"""
+
+
+REGISTRY["images_pip"] = (q_images_pip, _images_pip_oracle)
+REGISTRY["image_stats"] = (q_image_stats, _image_stats_oracle)
+REGISTRY["phash_neardup"] = (q_phash_neardup, _phash_neardup_oracle)
+REGISTRY["raster_vector"] = (q_raster_vector, _raster_vector_oracle)

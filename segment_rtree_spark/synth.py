@@ -112,8 +112,141 @@ def images_df(spark, n: int, seed: int = SEED, skew_frac: float = 0.0, slice_siz
 
 
 # ----------------------------------------------------------------------
-# bench-grade fast synthesis (fully vectorized, raw fmt, one size)
+# ORACLE-grade arithmetic synthesis (every derived value SQL-exact)
 # ----------------------------------------------------------------------
+#
+# The PCG-based synth above is great for bench realism but its pixels
+# cannot be regenerated in SQL, so image queries over it are invisible
+# to the DuckDB correctness gate. This variant derives EVERYTHING from
+# closed-form integer arithmetic (31-bit LCG pixels, integer-luma
+# 60-bit average hash, geotag from hash bits), so an oracle can
+# recompute the whole pipeline — synthesis -> (png|raw) encode ->
+# decode -> hash -> geotag -> join — from `range(n)` alone. Every
+# intermediate stays < 2^53 (exact in both engines; DuckDB BIGINT
+# multiply would raise on 64-bit overflow, so operands are masked to
+# 31 bits between steps).
+
+ARITH_SIZE = 8  # 8x8 px, one avg-hash grid cell per pixel
+
+
+def arith_pixels(idx: np.ndarray, size: int = ARITH_SIZE) -> np.ndarray:
+    """uint8[n, size, size, 3]: pix = (((i*2654435761 + k*97) & (2^31-1))
+    * 48271 & (2^31-1)) >> 7 mod 256, k = flat pixel index."""
+    idx = np.asarray(idx, np.int64)
+    k = np.arange(size * size * 3, dtype=np.int64)
+    a = (idx[:, None] * 2654435761 + k[None, :] * 97) & 0x7FFFFFFF
+    b = (a * 48271) & 0x7FFFFFFF
+    return ((b >> 7) % 256).astype(np.uint8).reshape(len(idx), size, size, 3)
+
+
+def phash_arith(pixels: np.ndarray) -> np.ndarray:
+    """60-bit integer average hash of uint8[n, 8, 8, 3].
+
+    Integer luma 299r+587g+114b per cell; bit p (p < 60) set iff
+    64*lum > total. Bits 60-63 stay clear so the value is positive in
+    BOTH engines' int64 (no sign/overflow traps in << or geotag math).
+    """
+    p = pixels.astype(np.int64)
+    lum = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]  # (n,8,8)
+    flat = lum.reshape(len(pixels), 64)
+    total = flat.sum(axis=1, keepdims=True)
+    bits = (64 * flat) > total
+    weights = np.concatenate(
+        [np.int64(1) << np.arange(60, dtype=np.int64), np.zeros(4, np.int64)]
+    )
+    return (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+
+
+def geotag_arith(ph: np.ndarray, idx: np.ndarray, skew_frac: float = 0.0):
+    """lng from hash bits 0-29, lat from bits 30-59; optional hot-cell
+    remap with the same Knuth scramble as _geotag."""
+    lng = (ph & 0x3FFFFFFF).astype(np.float64) / 1073741824.0 * 360.0 - 180.0
+    lat = ((ph >> 30) & 0x3FFFFFFF).astype(np.float64) / 1073741824.0 * 180.0 - 90.0
+    if skew_frac > 0:
+        scram = (idx * 2654435761) & 0xFFFFFFFF
+        hot = scram < int(skew_frac * 2**32)
+        lat = np.where(hot, HOT_CELL_LAT + (idx % 997).astype(np.float64) * 1e-05, lat)
+        lng = np.where(hot, HOT_CELL_LNG + (idx % 991).astype(np.float64) * 1e-05, lng)
+    return lat, lng
+
+
+def synth_partition_arith(lo: int, hi: int, skew_frac: float = 0.0) -> pd.DataFrame:
+    """Rows [lo, hi) of the arithmetic image table. fmt alternates
+    raw/png by index so both decode paths run under the oracle."""
+    idx = np.arange(lo, hi, dtype=np.int64)
+    pixels = arith_pixels(idx)
+    ph = phash_arith(pixels)
+    lat, lng = geotag_arith(ph, idx, skew_frac)
+    bufs, fmts = [], []
+    for j, i in enumerate(idx):
+        if i % 2 == 0:
+            bufs.append(encode_raw(pixels[j]))
+            fmts.append("raw")
+        else:
+            bufs.append(encode_png(pixels[j]))
+            fmts.append("png")
+    return pd.DataFrame(
+        {
+            "image_id": [f"img{int(i):012d}" for i in idx],
+            "bytes": bufs,
+            "w": np.full(len(idx), ARITH_SIZE, np.int32),
+            "h": np.full(len(idx), ARITH_SIZE, np.int32),
+            "fmt": fmts,
+            "caption": [f"image {int(i)}" for i in idx],
+            "phash": ph,
+            "lat": lat,
+            "lng": lng,
+        }
+    )
+
+
+def images_df_arith(spark, n: int, skew_frac: float = 0.0, slice_size: int = 2000):
+    """Distributed arithmetic synthesis (see images_df)."""
+    bounds = [(lo, min(lo + slice_size, n)) for lo in range(0, n, slice_size)]
+    bdf = spark.createDataFrame(bounds, "lo long, hi long").repartition(
+        max(1, min(len(bounds), spark.sparkContext.defaultParallelism))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                yield synth_partition_arith(int(lo), int(hi), skew_frac)
+
+    return bdf.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def arith_images_sql(n: int, skew_frac: float = 0.0) -> str:
+    """DuckDB CTE regenerating the arithmetic image table's DERIVED
+    columns (i, image_id, phash, lat, lng) from range(n) — the
+    independent recomputation the oracle joins against. Returns a
+    fragment usable as `with imgs as (<this>) ...`."""
+    step = ("((((((i * 2654435761 + {k} * 97) & 2147483647) * 48271) "
+            "& 2147483647) >> 7) % 256)")
+    r = step.format(k="(p * 3 + 0)")
+    g = step.format(k="(p * 3 + 1)")
+    b = step.format(k="(p * 3 + 2)")
+    lum = f"(299 * ({r}) + 587 * ({g}) + 114 * ({b}))"
+    lng = "cast(ph & 1073741823 as double) / 1073741824.0 * 360.0 - 180.0"
+    lat = "cast((ph >> 30) & 1073741823 as double) / 1073741824.0 * 180.0 - 90.0"
+    if skew_frac > 0:
+        thr = int(skew_frac * 2**32)
+        hot = f"((i * 2654435761) & 4294967295) < {thr}"
+        lat = (f"case when {hot} then {HOT_CELL_LAT!r} + "
+               f"cast(i % 997 as double) * 1e-05 else {lat} end")
+        lng = (f"case when {hot} then {HOT_CELL_LNG!r} + "
+               f"cast(i % 991 as double) * 1e-05 else {lng} end")
+    return f"""
+select i, printf('img%012d', i) as image_id, ph as phash, {lat} as lat, {lng} as lng
+from (
+  select i, cast(sum(case when 64 * {lum} > total and p < 60
+                then (1::bigint << cast(p as int)) else 0::bigint end) as bigint) as ph
+  from (
+    select i, p, sum({lum}) over (partition by i) as total
+    from (select unnest(range(0, {n})) as i), (select unnest(range(0, 64)) as p)
+  )
+  group by i
+)
+"""
 
 def phash64_batch(pixels: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit average-hash of uint8[n,h,w,3] (h,w multiples
