@@ -18,7 +18,17 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "lsh_buckets", "ann_topk", "hyperplane", "DIM", "N_BITS"]
+__all__ = [
+    "cosine_topk",
+    "lsh_buckets",
+    "ann_topk",
+    "hyperplane",
+    "ivf_topk",
+    "ivf_topk_fixed",
+    "ivf_centroid_fixed",
+    "DIM",
+    "N_BITS",
+]
 
 DIM = 64
 N_BITS = 8
@@ -121,6 +131,61 @@ def ann_topk(
     nb = F.sqrt(F.expr(_dot_expr("b.v", "b.v")))
     joined = (
         a.join(t, "bucket")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias(id_col),
+            (dot / (na * nb)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_centroid_fixed(j: int, dim: int = DIM) -> np.ndarray:
+    """Deterministic closed-form centroid j (exact decimal values,
+    reproducible as SQL literals — the coarse-quantizer analog of
+    hyperplane())."""
+    d = np.arange(dim, dtype=np.int64)
+    return ((j * 2654435761 + d * 40503) % 2000) / 1000.0 - 1.0
+
+
+def ivf_topk_fixed(
+    vectors: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a FIXED closed-form coarse quantizer.
+
+    List assignment is a pure Catalyst expression: sequential-fold
+    squared-L2 to each literal centroid, collected into an array,
+    argmin via array_position(array_min) (first match = lowest list on
+    ties) — no UDF anywhere, and a DuckDB oracle reproduces the whole
+    ANN path bit-for-bit. ivf_topk (k-means) learns better centroids;
+    this is its oracle-visible twin with the identical join shape
+    (equi-join on list, exact cosine refine, window top-k)."""
+    v0 = vectors.select(
+        F.col(id_col), F.col(vec).cast("array<double>").alias("v")
+    )
+    d_exprs = []
+    for j in range(n_lists):
+        lits = ",".join(repr(float(x)) for x in ivf_centroid_fixed(j))
+        d_exprs.append(
+            f"aggregate(zip_with(v, array({lits}), (x, y) -> (x - y) * (x - y)), "
+            f"cast(0 as double), (acc, u) -> acc + u)"
+        )
+    darr = "array(" + ",".join(d_exprs) + ")"
+    assign = f"cast(array_position({darr}, array_min({darr})) - 1 as bigint)"
+    v = v0.withColumn("list", F.expr(assign))
+
+    a, t = v.alias("a"), v.alias("b")
+    dot = F.expr(_dot_expr("a.v", "b.v"))
+    na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
+    nb = F.sqrt(F.expr(_dot_expr("b.v", "b.v")))
+    joined = (
+        a.join(t, "list")
         .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("query_id"),

@@ -857,9 +857,12 @@ def q_raster_vector(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    from ..operators.embed import ivf_topk
+    """IVF ANN with the fixed closed-form coarse quantizer (the
+    oracle-visible twin of ivf_topk; same join shape, SQL-exact
+    assignment). The k-means variant keeps its recall pytest."""
+    from ..operators.embed import ivf_topk_fixed
 
-    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, n_lists=8).select(
+    return ivf_topk_fixed(_t(spark, sf_dir, "embeddings"), k=5, n_lists=8).select(
         "query_id", "vec_id", "rank"
     )
 
@@ -1249,3 +1252,73 @@ REGISTRY["images_pip"] = (q_images_pip, _images_pip_oracle)
 REGISTRY["image_stats"] = (q_image_stats, _image_stats_oracle)
 REGISTRY["phash_neardup"] = (q_phash_neardup, _phash_neardup_oracle)
 REGISTRY["raster_vector"] = (q_raster_vector, _raster_vector_oracle)
+
+
+def _ivf_ann_oracle():
+    from ..operators.embed import DIM, ivf_centroid_fixed
+
+    d_exprs = []
+    for j in range(8):
+        lits = ",".join(repr(float(x)) for x in ivf_centroid_fixed(j, DIM))
+        d_exprs.append(
+            f"list_reduce(list_prepend(0.0::double, list_transform("
+            f"list_zip(tv, [{lits}]::double[]), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+            f"(acc, u) -> acc + u)"
+        )
+    darr = "[" + ",".join(d_exprs) + "]"
+    dot = ("list_reduce(list_prepend(0.0::double, list_transform("
+           "list_zip({a}, {b}), p -> p[1] * p[2])), (acc, v) -> acc + v)")
+    return f"""
+with v as (
+  select vec_id, embedding::double[] as tv,
+         cast(list_position({darr}, list_aggregate({darr}, 'min')) - 1 as bigint) as list
+  from embeddings
+),
+scored as (
+  select a.vec_id as query_id, b.vec_id,
+    {dot.format(a='a.tv', b='b.tv')} /
+      (sqrt({dot.format(a='a.tv', b='a.tv')}) * sqrt({dot.format(a='b.tv', b='b.tv')})) as score
+  from v a join v b on a.list = b.list and a.vec_id <> b.vec_id
+),
+r as (select query_id, vec_id,
+             row_number() over (partition by query_id order by score desc, vec_id asc) as rank
+      from scored)
+select query_id, vec_id, cast(rank as int) as rank from r where rank <= 5
+"""
+
+
+def _validate_polygons_oracle():
+    """Golden expected output for the FIXED validation fixture, each
+    row hand-derived from reference semantics:
+      1-4  entry-layer polygons: valid (src/polygon_validation.rs)
+      90   hole [20,22]x[2,4] outside shell [0,5]^2 -> HoleNotValid
+           (polygon_validation.rs hole-containment probe)
+      91   bowtie shell: segments 0 ((0,0)-(10,10)) and 2
+           ((10,0)-(0,10)) cross at (5,5) -> SelfIntersection(0,2)
+           (line_string.rs:93-143; only improper pair, so precedence
+           is trivial)
+      92   open 3-coordinate ring -> NotClosed (linear_ring.rs:13-21;
+           len >= 3 so TooFewCoordinates does not fire first)
+    """
+    rows = [
+        "(1::bigint, null, null, null, null, null, null, null)",
+        "(2::bigint, null, null, null, null, null, null, null)",
+        "(3::bigint, null, null, null, null, null, null, null)",
+        "(4::bigint, null, null, null, null, null, null, null)",
+        "(90::bigint, 'HoleNotValid', -1, -1, null, null, null, null)",
+        "(91::bigint, 'SelfIntersection', 0, 2, 5.0, 5.0, null, null)",
+        "(92::bigint, 'NotClosed', -1, -1, null, null, null, null)",
+    ]
+    return f"""
+select polygon_id, cast(error_code as varchar) as error_code,
+       cast(first_index as int) as first_index,
+       cast(second_index as int) as second_index,
+       cast(err_x as double) as err_x, cast(err_y as double) as err_y,
+       cast(err_x2 as double) as err_x2, cast(err_y2 as double) as err_y2
+from (values {','.join(rows)})
+as t(polygon_id, error_code, first_index, second_index, err_x, err_y, err_x2, err_y2)
+"""
+
+
+REGISTRY["ivf_ann"] = (q_ivf_ann, _ivf_ann_oracle)
+REGISTRY["validate_polygons"] = (q_validate_polygons, _validate_polygons_oracle)
