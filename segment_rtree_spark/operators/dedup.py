@@ -66,19 +66,23 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text: str = "tex
 
 
 def _lsh_exploded(docs: DataFrame, id_col: str, text: str, rows_per_band: int) -> DataFrame:
+    """One row per (doc, band) with the band key.
+
+    Single-pass banding: the bands explode from ONE signature
+    computation via explode(array(struct...)). The union-per-band
+    formulation would make Catalyst recompute the whole
+    tokenize->explode->groupBy signature pipeline once PER BAND — at
+    10^12 docs that multiplies the dominant cost by the band count."""
     sig = minhash_signatures(docs, id_col, text)
     k = len(MINHASH_PARAMS)
-    bands = []
+    entries = []
     for b in range(0, k, rows_per_band):
         cols = [F.col(f"mh{i}") for i in range(b, min(b + rows_per_band, k))]
         key = F.concat_ws("-", *[c.cast("string") for c in cols])
-        bands.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey"))
-        )
-    exploded = bands[0]
-    for other in bands[1:]:
-        exploded = exploded.unionByName(other)
-    return exploded
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
 
 
 def lsh_bucket_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
@@ -206,19 +210,19 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
     general case this is a RECALL-oriented candidate generator (the
     standard LSH trade); the exact Hamming filter verifies candidates.
     """
-    bands = []
-    for b in range(4):
-        bands.append(
-            images.select(
-                F.col(id_col),
-                F.col(phash),
-                F.lit(b).alias("band"),
-                F.shiftright(F.col(phash), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
-            )
+    # single-pass banding (explode, not union-per-band): the input may
+    # be an expensive synthesized/decoded table; a 4-way union would
+    # rescan it 4 times
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(phash), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
         )
-    ex = bands[0]
-    for o in bands[1:]:
-        ex = ex.unionByName(o)
+        for b in range(4)
+    ]
+    ex = images.select(
+        F.col(id_col), F.col(phash), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, phash, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, ["band", "bkey"])
