@@ -22,6 +22,7 @@ __all__ = [
     "cosine_topk",
     "lsh_buckets",
     "ann_topk",
+    "embedding_neardup_pairs",
     "hyperplane",
     "ivf_topk",
     "ivf_topk_fixed",
@@ -140,6 +141,39 @@ def ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, score) with
+    cosine >= threshold, candidates from a sign-LSH bucket equi-join
+    (never all-pairs — near-identical vectors share all hyperplane
+    signs, so a coarse n_bits bucket has high recall at high
+    thresholds; the exact cosine filter keeps precision exact)."""
+    b = lsh_buckets(vectors, n_bits, id_col, vec)
+    v = vectors.join(b, id_col).select(
+        F.col(id_col), F.col(vec).cast("array<double>").alias("v"), "bucket"
+    )
+    a, t = v.alias("a"), v.alias("b")
+    dot = F.expr(_dot_expr("a.v", "b.v"))
+    na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
+    nb = F.sqrt(F.expr(_dot_expr("b.v", "b.v")))
+    return (
+        a.join(t, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (na * nb)).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )
 
 
 def ivf_centroid_fixed(j: int, dim: int = DIM) -> np.ndarray:

@@ -1322,3 +1322,45 @@ as t(polygon_id, error_code, first_index, second_index, err_x, err_y, err_x2, er
 
 REGISTRY["ivf_ann"] = (q_ivf_ann, _ivf_ann_oracle)
 REGISTRY["validate_polygons"] = (q_validate_polygons, _validate_polygons_oracle)
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH-bucketed candidates +
+    exact cosine refine) — the embedding flavor of the dedup suite.
+    The synthetic embeddings top out near cosine 0.51, so the
+    \"near-dup\" threshold is set where the table has pairs."""
+    from ..operators.embed import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_bits=4
+    )
+
+
+def _embed_neardup_oracle():
+    dot = ("list_reduce(list_prepend(0.0::double, list_transform("
+           "list_zip({a}, {b}), p -> p[1] * p[2])), (acc, v) -> acc + v)")
+    terms = []
+    for b in range(4):
+        plane = _embed.hyperplane(b)
+        lits = ",".join(repr(float(v)) for v in plane)
+        d = dot.format(a="tv", b=f"[{lits}]::double[]")
+        terms.append(f"case when {d} > 0.0 then {1 << b}::bigint else 0::bigint end")
+    score = dot.format(a="a.tv", b="b.tv")
+    norm = (f"(sqrt({dot.format(a='a.tv', b='a.tv')}) * "
+            f"sqrt({dot.format(a='b.tv', b='b.tv')}))")
+    return f"""
+with v as (
+  select vec_id, embedding::double[] as tv,
+         ({' + '.join(terms)}) as bucket
+  from embeddings
+),
+pairs as (
+  select distinct a.vec_id as id_a, b.vec_id as id_b,
+         {score} / {norm} as score
+  from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
+)
+select id_a, id_b, score from pairs where score >= 0.35
+"""
+
+
+REGISTRY["embed_neardup"] = (q_embed_neardup, _embed_neardup_oracle)
