@@ -14,6 +14,51 @@ from segment_rtree_spark.tiles import cell_of_sql
 SCHEMA = "image_id string, lat double, lng double, ts timestamp"
 
 
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Stateful streaming dedup: first batch wins across micro-batches,
+    min-id wins within one; counts accumulate in state."""
+    from segment_rtree_spark.streaming.dedup_stream import streaming_first_seen
+
+    src = str(tmp_path / "dsrc")
+    drop1 = pd.DataFrame({"doc_id": [10, 11, 12, 13], "text": ["a", "b", "a", "c"]})
+    drop2 = pd.DataFrame({"doc_id": [1, 20, 21], "text": ["a", "d", "b"]})
+    import time
+
+    spark.createDataFrame(drop1).write.parquet(src)  # file 1
+    time.sleep(1.1)  # file-source orders batches by mod time
+    spark.createDataFrame(drop2).write.mode("append").parquet(src)  # file 2
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_first_seen(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_updates")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from dedup_updates").toPandas()
+
+    # final state per hash: canonical = min id of the EARLIEST batch
+    # containing the hash, n_seen = total occurrences
+    import hashlib
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()
+    final = rows.sort_values("n_seen").groupby("text_hash").last()
+    # 'a': batch1 has ids 10,12 -> canonical 10 (NOT the later, smaller 1)
+    assert final.loc[h("a")]["canonical_id"] == 10
+    assert final.loc[h("a")]["n_seen"] == 3
+    assert final.loc[h("b")]["canonical_id"] == 11 and final.loc[h("b")]["n_seen"] == 2
+    assert final.loc[h("c")]["canonical_id"] == 13 and final.loc[h("c")]["n_seen"] == 1
+    assert final.loc[h("d")]["canonical_id"] == 20 and final.loc[h("d")]["n_seen"] == 1
+    # is_new fired exactly once per hash
+    assert rows.groupby("text_hash")["is_new"].sum().eq(1).all()
+
+
 def test_stream_matches_batch(spark, tmp_path):
     rng = np.random.default_rng(2)
     n = 5000

@@ -43,40 +43,84 @@ def prepare_input(n):
     spark.stop()
 
 
-def run(cores):
+def run(cores, path=INPUT):
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"), str(cores), INPUT],
+        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"), str(cores), path],
         capture_output=True, text=True, timeout=1200,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
+def prepare_quarter():
+    """Deterministic first-quarter slice of the input for weak scaling."""
+    from segment_rtree_spark.session import get_spark
+
+    spark = get_spark(cores=32, app="scaling-prep-q")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(INPUT)
+    n = df.count()
+    cut = f"img{n // 4:012d}"
+    df.where(f"image_id < '{cut}'").repartition(32).write.mode("overwrite").parquet(
+        INPUT + "_quarter"
+    )
+    spark.stop()
+
+
+JOB = ("scan parquet -> assign_tiles(res 8) -> broadcast PIP join "
+       "(africa+europe+usa+papua, ~700 polygons, dense-europe points)")
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
     if not os.path.exists(INPUT):
         prepare_input(n)
+    mode = os.environ.get("SCALING_MODE", "strong")
 
-    results = {}
-    for cores in (CORES_N, CORES_4N):
-        results[cores] = run(cores)
-        print(results[cores])
-
-    thr_n = results[CORES_N]["images_per_sec"]
-    thr_4n = results[CORES_4N]["images_per_sec"]
-    eff = round(thr_4n / (4 * thr_n), 3)
-    summary = {
-        "job": "scan parquet -> assign_tiles(res 8) -> broadcast PIP join (africa+europe+usa+papua, ~700 polygons, dense-europe points)",
-        "parallelism": {"N": CORES_N, "4N": CORES_4N},
-        "n_images": results[CORES_4N]["n_images"],
-        "localN": results[CORES_N],
-        "local4N": results[CORES_4N],
-        "scaling_efficiency": eff,
-        "criterion": ">= 0.8 between N and 4N parallelism",
-        "pass": eff >= 0.8,
-    }
+    if mode == "weak":
+        # Weak scaling: work per core held constant (quarter input on N
+        # cores vs full input on 4N). On a bandwidth-capped single box
+        # this is the fair complement to the strong study: a real
+        # cluster adds memory channels with every executor, a box does
+        # not, so strong scaling conflates plan shape with the host's
+        # bandwidth ceiling. Ideal weak efficiency = 1.0 (equal walls).
+        if not os.path.exists(INPUT + "_quarter"):
+            prepare_quarter()
+        rn = run(CORES_N, INPUT + "_quarter")
+        print(rn)
+        r4 = run(CORES_4N, INPUT)
+        print(r4)
+        eff = round(rn["wall_sec"] / r4["wall_sec"], 3)
+        summary = {
+            "job": JOB, "mode": "weak",
+            "parallelism": {"N": CORES_N, "4N": CORES_4N},
+            "localN_quarter_input": rn, "local4N_full_input": r4,
+            "weak_scaling_efficiency": eff,
+            "criterion": ">= 0.8 (wall_N / wall_4N at constant work/core)",
+            "pass": eff >= 0.8,
+        }
+        out = os.path.join(REPO, "BENCH", "scaling_weak.json")
+    else:
+        results = {}
+        for cores in (CORES_N, CORES_4N):
+            results[cores] = run(cores)
+            print(results[cores])
+        thr_n = results[CORES_N]["images_per_sec"]
+        thr_4n = results[CORES_4N]["images_per_sec"]
+        eff = round(thr_4n / (4 * thr_n), 3)
+        summary = {
+            "job": JOB,
+            "parallelism": {"N": CORES_N, "4N": CORES_4N},
+            "n_images": results[CORES_4N]["n_images"],
+            "localN": results[CORES_N],
+            "local4N": results[CORES_4N],
+            "scaling_efficiency": eff,
+            "criterion": ">= 0.8 between N and 4N parallelism",
+            "pass": eff >= 0.8,
+        }
+        out = os.path.join(REPO, "BENCH", "scaling.json")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 
