@@ -24,9 +24,11 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     drop2 = pd.DataFrame({"doc_id": [1, 20, 21], "text": ["a", "d", "b"]})
     import time
 
-    spark.createDataFrame(drop1).write.parquet(src)  # file 1
+    # one part-file per drop: maxFilesPerTrigger=1 makes each FILE a
+    # micro-batch, so a multi-file drop would split a batch
+    spark.createDataFrame(drop1).coalesce(1).write.parquet(src)
     time.sleep(1.1)  # file-source orders batches by mod time
-    spark.createDataFrame(drop2).write.mode("append").parquet(src)  # file 2
+    spark.createDataFrame(drop2).coalesce(1).write.mode("append").parquet(src)
 
     stream = spark.readStream.schema("doc_id long, text string").option(
         "maxFilesPerTrigger", 1
