@@ -1364,3 +1364,94 @@ select id_a, id_b, score from pairs where score >= 0.35
 
 
 REGISTRY["embed_neardup"] = (q_embed_neardup, _embed_neardup_oracle)
+
+
+# -- point<->point radius join + zonal statistics ------------------------
+
+RADIUS = 1.5  # degrees; res 6 grid (5.6 x 2.8 deg cells) covers it
+
+SUP_LNG = "(cast((s_suppkey * 6151) % 36000 as double) / 100.0 - 180.0)"
+SUP_LAT = "(cast((s_suppkey * 911) % 18000 as double) / 100.0 - 90.0)"
+
+
+def q_point_distance_join(spark, sf_dir):
+    """Supplier points within RADIUS of customer points — two large
+    point tables, grid-stencil equi-join, zero UDF."""
+    from ..operators.point_join import point_distance_join
+
+    cust = _points(spark, sf_dir).withColumnRenamed("point_id", "a_id")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("b_id"),
+        F.expr(SUP_LNG).alias("lng"),
+        F.expr(SUP_LAT).alias("lat"),
+    )
+    return point_distance_join(supp, cust, RADIUS, a_id="b_id", b_id="a_id")
+
+
+def _point_distance_join_oracle():
+    from ..operators.point_join import radius_res
+
+    res = radius_res(RADIUS)
+    n = 1 << res
+    gx = lambda c: (f"greatest(0, least(cast(floor((({c}) + 180.0) / 360.0 * {n}) "
+                    f"as bigint), {n - 1}))")
+    gy = lambda c: (f"greatest(0, least(cast(floor((({c}) + 90.0) / 180.0 * {n}) "
+                    f"as bigint), {n - 1}))")
+    return f"""
+with cust as (
+  select c_custkey as a_id, {PTS_LNG} as bx, {PTS_LAT} as by,
+         {gx(PTS_LNG)} as ix, {gy(PTS_LAT)} as iy
+  from customer
+),
+supp as (
+  select s_suppkey as b_id, {SUP_LNG} as ax, {SUP_LAT} as ay,
+         {gx(SUP_LNG)} as ix0, {gy(SUP_LAT)} as iy0
+  from supplier
+),
+stenciled as (
+  select b_id, ax, ay, ix0 + dx.d as ix, iy0 + dy.d as iy
+  from supp,
+       (select unnest([-1, 0, 1]) as d) dx,
+       (select unnest([-1, 0, 1]) as d) dy
+  where ix0 + dx.d >= 0 and ix0 + dx.d < {n}
+    and iy0 + dy.d >= 0 and iy0 + dy.d < {n}
+)
+select s.b_id, c.a_id,
+       sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) as dist
+from stenciled s join cust c on s.ix = c.ix and s.iy = c.iy
+where (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= {RADIUS!r} * {RADIUS!r}
+"""
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Per-polygon zonal statistics over the customer point cloud
+    (count, boundary count, integer-exact value aggregates)."""
+    from ..operators.point_join import zonal_stats
+
+    pts = _points(spark, sf_dir).withColumn("val", F.col("point_id") % 97)
+    return zonal_stats(pts, entry_layer(), values=["val"])
+
+
+def _zonal_stats_oracle():
+    return f"""
+with pts0 as ({pts_sql()}),
+pts as (select point_id, lng, lat, point_id % 97 as val from pts0),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+{_pip_chain()}
+select r.polygon_id,
+  count(*) as n_points,
+  cast(sum(case when relcode = 1 then 1 else 0 end) as bigint) as n_boundary,
+  cast(sum(p.val) as bigint) as sum_val,
+  min(p.val) as min_val,
+  max(p.val) as max_val
+from poly_rel r join pts p on p.point_id = r.point_id
+where r.relcode > 0
+group by 1
+"""
+
+
+REGISTRY["point_distance_join"] = (q_point_distance_join, _point_distance_join_oracle)
+REGISTRY["zonal_stats"] = (q_zonal_stats, _zonal_stats_oracle)
