@@ -1455,3 +1455,136 @@ group by 1
 
 REGISTRY["point_distance_join"] = (q_point_distance_join, _point_distance_join_oracle)
 REGISTRY["zonal_stats"] = (q_zonal_stats, _zonal_stats_oracle)
+
+
+# -- polygon<->polygon overlap join --------------------------------------
+
+# B layer designed against ENTRY_LAYER_ROWS: 101 crosses polygon 1's
+# edges; 102 sits strictly inside polygon 3 (outside its holes); 103
+# contains polygon 4 AND touches polygon 2's apex (0,70) on its bottom
+# edge; 104 hides inside polygon 1's hole (no pair); 105 is disjoint;
+# 106 hides inside polygon 3's second hole (no pair).
+ENTRY_LAYER_B_ROWS = [
+    (101, 0, [-70.0, -70.0, -50.0, -50.0, -70.0], [-20.0, 0.0, 0.0, -20.0, -20.0]),
+    (102, 0, [65.0, 65.0, 75.0, 75.0, 65.0], [-60.0, -50.0, -50.0, -60.0, -60.0]),
+    (103, 0, [-25.0, -25.0, 25.0, 25.0, -25.0], [70.0, 90.0, 90.0, 70.0, 70.0]),
+    (104, 0, [-125.0, -125.0, -105.0, -105.0, -125.0], [-55.0, -35.0, -35.0, -55.0, -55.0]),
+    (105, 0, [40.0, 40.0, 50.0, 50.0, 40.0], [75.0, 85.0, 85.0, 75.0, 75.0]),
+    (106, 0, [135.0, 135.0, 155.0, 155.0, 135.0], [35.0, 45.0, 45.0, 35.0, 35.0]),
+]
+
+
+def entry_layer_b() -> PolygonLayer:
+    return PolygonLayer.from_ring_rows(ENTRY_LAYER_B_ROWS)
+
+
+def q_polygon_overlap(spark, sf_dir):
+    """Dual-layer overlap join (query_other_intersections at table
+    altitude): cover-cell candidates + exact dual-tree refine."""
+    from ..operators.overlay import polygon_overlap_join
+
+    return polygon_overlap_join(spark, entry_layer(), entry_layer_b(), res=6)
+
+
+def _seg_intersect_pred() -> str:
+    """Segment x segment intersection predicate — the reference
+    intersect_segments branches (utils.rs:73-126) as pure SQL over
+    columns (sx,sy,ex,ey) x (qx,qy,rx,ry). Doubles divide to inf/nan
+    harmlessly in the unused branch."""
+    dax, day = "(ex - sx)", "(ey - sy)"
+    dbx, dby = "(rx - qx)", "(ry - qy)"
+    offx, offy = "(qx - sx)", "(qy - sy)"
+    cross_ab = f"({dax} * {dby} - {day} * {dbx})"
+    off_x_da = f"({offx} * {day} - {offy} * {dax})"
+    off_x_db = f"({offx} * {dby} - {offy} * {dbx})"
+    da2 = f"({dax} * {dax} + {day} * {day})"
+    t0 = f"(({offx} * {dax} + {offy} * {day}) / {da2})"
+    t1 = f"({t0} + ({dax} * {dbx} + {day} * {dby}) / {da2})"
+    ta = f"({off_x_db} / {cross_ab})"
+    tb = f"({off_x_da} / {cross_ab})"
+    return f"""
+case when {cross_ab} = 0.0 then
+  {off_x_da} = 0.0 and not (least({t0}, {t1}) > 1.0 or greatest({t0}, {t1}) < 0.0)
+else
+  0.0 <= {ta} and {ta} <= 1.0 and 0.0 <= {tb} and {tb} <= 1.0
+end"""
+
+
+def _polygon_overlap_oracle():
+    vals_b = segments_values(ENTRY_LAYER_B_ROWS)
+    verts_a = ",".join(
+        f"({pid},{xs[0]!r},{ys[0]!r})" for pid, part, xs, ys in ENTRY_LAYER_ROWS
+        if part == 0
+    )
+    verts_b = ",".join(
+        f"({pid},{xs[0]!r},{ys[0]!r})" for pid, part, xs, ys in ENTRY_LAYER_B_ROWS
+        if part == 0
+    )
+    return f"""
+with sega as (
+  select * from (values {layer_segments_values()})
+  as t(a_id, part_id, sx, sy, ex, ey)
+),
+segb as (
+  select * from (values {vals_b})
+  as t(b_id, part_id, qx, qy, rx, ry)
+),
+bnd as (
+  select distinct a.a_id, b.b_id
+  from sega a cross join segb b
+  where {_seg_intersect_pred()}
+),
+-- containment probes: first shell vertex of each polygon vs the OTHER layer
+pts as (select * from (values {verts_a}) as t(point_id, lng, lat)),
+seg as (select b_id as polygon_id, part_id, qx as sx, qy as sy, rx as ex, ry as ey
+        from segb),
+{_pip_chain()},
+a_in_b as (
+  select point_id as a_id, polygon_id as b_id from poly_rel where relcode = 2
+),
+ptsb as (select * from (values {verts_b}) as t(point_id, lng, lat)),
+per_ring_b as (
+  select p.point_id, s.a_id as polygon_id, s.part_id,
+    max(case when (ex-sx)*(lat-sy) = (ey-sy)*(lng-sx)
+              and lng >= least(sx,ex) and lng <= greatest(sx,ex)
+              and lat >= least(sy,ey) and lat <= greatest(sy,ey)
+         then 1 else 0 end) as on_b,
+    sum(case when (ex-sx)*(lat-sy) = (ey-sy)*(lng-sx) then 0
+             when sy <= lat and ey > lat and (ex-sx)*(lat-sy) > (ey-sy)*(lng-sx) then 1
+             when sy > lat and ey <= lat and (ex-sx)*(lat-sy) < (ey-sy)*(lng-sx) then -1
+             else 0 end) as wn
+  from ptsb p cross join sega s
+  group by 1, 2, 3
+),
+ring_rel_b as (
+  select point_id, polygon_id, part_id,
+         case when on_b = 1 then 1 when wn <> 0 then 2 else 0 end as rel
+  from per_ring_b
+),
+poly_rel_b as (
+  select point_id, polygon_id,
+    case when shell_rel = 2 and hole_rel = 2 then 0
+         when shell_rel = 2 and hole_rel = 1 then 1
+         else shell_rel end as relcode
+  from (
+    select point_id, polygon_id,
+           max(case when part_id = 0 then rel else 0 end) as shell_rel,
+           max(case when part_id > 0 then rel else 0 end) as hole_rel
+    from ring_rel_b group by 1, 2
+  )
+),
+b_in_a as (
+  select polygon_id as a_id, point_id as b_id from poly_rel_b where relcode = 2
+)
+select a_id, b_id, 'boundary' as relation from bnd
+union all
+select a_id, b_id, 'a_in_b' from a_in_b x
+where not exists (select 1 from bnd where bnd.a_id = x.a_id and bnd.b_id = x.b_id)
+union all
+select a_id, b_id, 'b_in_a' from b_in_a y
+where not exists (select 1 from bnd where bnd.a_id = y.a_id and bnd.b_id = y.b_id)
+  and not exists (select 1 from a_in_b z where z.a_id = y.a_id and z.b_id = y.b_id)
+"""
+
+
+REGISTRY["polygon_overlap"] = (q_polygon_overlap, _polygon_overlap_oracle)
