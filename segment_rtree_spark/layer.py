@@ -166,4 +166,10 @@ class PolygonLayer:
         return np.concatenate(pids), np.concatenate(cells)
 
     def by_id(self, pid: int) -> PreparedPolygon:
-        return self.polygons[int(np.nonzero(self.ids == pid)[0][0])]
+        # lazy id->position map: per-pair lookups (overlap join, cover
+        # build) would otherwise linear-scan the id array per call
+        m = getattr(self, "_id_pos", None)
+        if m is None:
+            m = {int(i): k for k, i in enumerate(self.ids)}
+            self._id_pos = m
+        return self.polygons[m[int(pid)]]

@@ -26,6 +26,27 @@ def test_overlap_res_invariance(spark):
     assert r5 == r7
 
 
+def test_overlap_packed_matches_broadcast(spark):
+    """The no-broadcast (packs-ride-covers) path equals the broadcast
+    path — on the fixture AND on real geometry."""
+    from segment_rtree_spark.layer import PolygonLayer
+    from segment_rtree_spark.operators.overlay import polygon_overlap_join_packed
+
+    a, b = entry_layer(), entry_layer_b()
+    got = sorted(map(tuple, polygon_overlap_join_packed(spark, a, b, res=6).collect()))
+    want = sorted(map(tuple, polygon_overlap_join(spark, a, b, res=6).collect()))
+    assert got == want
+
+    # real geometry: africa self-join (uk.wkt etc. are PLANAR-coordinate
+    # corpora outside the lat/lng tile domain — tile-partitioned paths
+    # are degree-domain by design; broadcast PIP serves planar corpora)
+    africa = PolygonLayer.from_wkt_file("data/wkt/africa.wkt")
+    g2 = sorted(map(tuple, polygon_overlap_join_packed(spark, africa, africa, res=5).collect()))
+    w2 = sorted(map(tuple, polygon_overlap_join(spark, africa, africa, res=5).collect()))
+    assert g2 == w2
+    assert len(g2) >= len(africa.ids)  # at least every self-pair
+
+
 def test_overlap_self_join_corpus(spark):
     """africa vs africa: every polygon at least meets itself
     ('boundary' — identical segments intersect), and neighbors sharing
