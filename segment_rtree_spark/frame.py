@@ -87,6 +87,25 @@ class SpatialFrame:
             knn_join_broadcast(self.df, layer, k=k, x=self.x, y=self.y, keep=keep, **kw)
         )
 
+    def distance_join(self, other: "SpatialFrame | DataFrame", radius: float,
+                      a_id: str = "a_id", b_id: str = "b_id", **kw) -> "SpatialFrame":
+        """All pairs within `radius` against another point frame
+        (grid-stencil equi-join; neither side broadcasts)."""
+        from .operators.point_join import point_distance_join
+
+        odf = other.df if isinstance(other, SpatialFrame) else other
+        return self._wrap(
+            point_distance_join(self.df, odf, radius, a_id=a_id, b_id=b_id,
+                                x=self.x, y=self.y, **kw)
+        )
+
+    def zonal_stats(self, layer: PolygonLayer,
+                    values: Sequence[str] = (), **kw) -> "SpatialFrame":
+        """Per-polygon statistics over the frame's points."""
+        from .operators.point_join import zonal_stats
+
+        return self._wrap(zonal_stats(self.df, layer, values=values, x=self.x, y=self.y, **kw))
+
     # -- raster <-> vector -------------------------------------------------
 
     def raster_vector_agg(self, layer: PolygonLayer, res: int) -> "SpatialFrame":

@@ -97,6 +97,18 @@ def test_spatialframe_chain(spark, pts):
     assert sf.filter("pid > 1").count() == 3
 
 
+def test_spatialframe_distance_and_zonal(spark, pts):
+    sf = SpatialFrame(pts.withColumnRenamed("pid", "a_id"))
+    other = pts.selectExpr("pid as b_id", "lng + 1.0 as lng", "lat as lat")
+    pairs = sf.distance_join(other, radius=2.0).toPandas()
+    # each shifted twin is exactly 1.0 away -> at least the 4 self pairs
+    assert {(r.a_id, r.b_id) for r in pairs.itertuples()} >= {(i, i) for i in range(1, 5)}
+
+    z = SpatialFrame(pts.withColumnRenamed("pid", "point_id")).zonal_stats(LAYER)
+    zp = z.toPandas()
+    assert zp[zp.polygon_id == 1].iloc[0]["n_points"] == 1  # point 1 inside poly 1
+
+
 def test_sql_registered_functions(spark):
     from segment_rtree_spark.functions.register import register_all
     from segment_rtree_spark.tiles import cell_of
