@@ -211,33 +211,47 @@ def _pip_cogroup(
         )
         hot_pdf = hot.toPandas()
         if len(hot_pdf):
-            hot_df = spark.createDataFrame(hot_pdf).withColumn("is_hot", F.lit(True))
             salt_expr = F.pmod(
                 F.xxhash64(*[F.col(c) for c in keep[:1] or [x]]), F.lit(n_salt)
             )
-            pts = (
-                pts.join(F.broadcast(hot_df), "cell", "left")
-                .withColumn(
+            salt_seq = F.sequence(F.lit(0), F.lit(n_salt - 1))
+            if len(hot_pdf) <= 64:
+                # a handful of hot cells: a literal isin beats two
+                # broadcast joins + generators in plan and wall time
+                is_hot = F.col("cell").isin([int(c) for c in hot_pdf["cell"]])
+                pts = pts.withColumn(
                     "salt",
-                    F.when(F.col("is_hot").isNotNull(), salt_expr)
-                    .otherwise(F.lit(0)).cast("long"),
+                    F.when(is_hot, salt_expr).otherwise(F.lit(0)).cast("long"),
                 )
-                .drop("is_hot")
-            )
-            cover = (
-                cover.join(F.broadcast(hot_df), "cell", "left")
-                .withColumn(
+                cover = cover.withColumn(
                     "salt",
-                    F.explode(
-                        F.when(
-                            F.col("is_hot").isNotNull(),
-                            F.sequence(F.lit(0), F.lit(n_salt - 1)),
-                        ).otherwise(F.array(F.lit(0)))
-                    ),
+                    F.explode(F.when(is_hot, salt_seq).otherwise(F.array(F.lit(0)))),
+                ).withColumn("salt", F.col("salt").cast("long"))
+            else:
+                # thousands of hot cells: join a broadcast frame, never
+                # a literal plan array (round-1 plan-bloat lesson)
+                hot_df = spark.createDataFrame(hot_pdf).withColumn("is_hot", F.lit(True))
+                pts = (
+                    pts.join(F.broadcast(hot_df), "cell", "left")
+                    .withColumn(
+                        "salt",
+                        F.when(F.col("is_hot").isNotNull(), salt_expr)
+                        .otherwise(F.lit(0)).cast("long"),
+                    )
+                    .drop("is_hot")
                 )
-                .withColumn("salt", F.col("salt").cast("long"))
-                .drop("is_hot")
-            )
+                cover = (
+                    cover.join(F.broadcast(hot_df), "cell", "left")
+                    .withColumn(
+                        "salt",
+                        F.explode(
+                            F.when(F.col("is_hot").isNotNull(), salt_seq)
+                            .otherwise(F.array(F.lit(0)))
+                        ),
+                    )
+                    .withColumn("salt", F.col("salt").cast("long"))
+                    .drop("is_hot")
+                )
             group_keys = ["cell", "salt"]
 
     num_partitions = num_partitions or max(32, spark.sparkContext.defaultParallelism)
