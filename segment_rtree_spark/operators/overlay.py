@@ -29,7 +29,11 @@ from ..kernels.geom import intersect_segments
 from ..kernels.pip import INTERIOR, points_in_polygon
 from ..layer import PolygonLayer
 
-__all__ = ["polygon_overlap_join", "polygon_overlap_join_packed"]
+__all__ = [
+    "polygon_overlap_join",
+    "polygon_overlap_join_packed",
+    "polygon_overlap_join_rings",
+]
 
 
 def _rings(poly):
@@ -136,7 +140,45 @@ def polygon_overlap_join_packed(
         .groupBy("a_id", "b_id")
         .agg(F.first("pack_a_id").alias("pa"), F.first("pack_b_id").alias("pb"))
     )
+    return _refine_packed_pairs(pairs)
 
+
+def polygon_overlap_join_rings(
+    spark,
+    rings_a: DataFrame,
+    rings_b: DataFrame,
+    res: int = 6,
+) -> DataFrame:
+    """Overlap join where BOTH polygon sides are ring-row TABLES
+    (polygon_id, part_id, xs, ys): covers+packs built executor-side
+    (cover_from_rings), so no polygon layer ever exists on the driver
+    — the fully table-native form. Same output as
+    polygon_overlap_join (tested)."""
+    from pyspark import StorageLevel
+
+    from .pip_join import cover_from_rings
+
+    cov_a = (
+        cover_from_rings(rings_a, res)
+        .withColumnRenamed("polygon_id", "a_id")
+        .withColumnRenamed("pack", "pa")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cov_b = (
+        cover_from_rings(rings_b, res)
+        .withColumnRenamed("polygon_id", "b_id")
+        .withColumnRenamed("pack", "pb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = (
+        cov_a.join(cov_b, "cell")
+        .groupBy("a_id", "b_id")
+        .agg(F.first("pa").alias("pa"), F.first("pb").alias("pb"))
+    )
+    return _refine_packed_pairs(pairs)
+
+
+def _refine_packed_pairs(pairs: DataFrame) -> DataFrame:
     _memo: dict = {}
 
     def kernel(batches):

@@ -47,6 +47,38 @@ def test_overlap_packed_matches_broadcast(spark):
     assert len(g2) >= len(africa.ids)  # at least every self-pair
 
 
+def test_overlap_rings_matches_broadcast(spark):
+    """Fully table-native overlay (both sides ring DataFrames, covers
+    built executor-side) equals the broadcast path."""
+    import pandas as pd
+
+    from segment_rtree_spark.operators.overlay import polygon_overlap_join_rings
+    from segment_rtree_spark.plans.entry_queries import (
+        ENTRY_LAYER_B_ROWS,
+        ENTRY_LAYER_ROWS,
+    )
+
+    def rings_df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "polygon_id": [r[0] for r in rows],
+                    "part_id": [r[1] for r in rows],
+                    "xs": [list(map(float, r[2])) for r in rows],
+                    "ys": [list(map(float, r[3])) for r in rows],
+                }
+            )
+        )
+
+    got = sorted(map(tuple, polygon_overlap_join_rings(
+        spark, rings_df(ENTRY_LAYER_ROWS), rings_df(ENTRY_LAYER_B_ROWS), res=6
+    ).collect()))
+    want = sorted(map(tuple, polygon_overlap_join(
+        spark, entry_layer(), entry_layer_b(), res=6
+    ).collect()))
+    assert got == want
+
+
 def test_overlap_self_join_corpus(spark):
     """africa vs africa: every polygon at least meets itself
     ('boundary' — identical segments intersect), and neighbors sharing
