@@ -1588,3 +1588,65 @@ where not exists (select 1 from bnd where bnd.a_id = y.a_id and bnd.b_id = y.b_i
 
 
 REGISTRY["polygon_overlap"] = (q_polygon_overlap, _polygon_overlap_oracle)
+
+
+# -- geometry measures (shoelace area / perimeter, pure Catalyst) --------
+
+def _rings_values_sql() -> str:
+    """Both fixture layers' rings as a VALUES clause with list-literal
+    coordinates (polygon_id, part_id, xs, ys)."""
+    rows = []
+    for pid, part, xs, ys in ENTRY_LAYER_ROWS + ENTRY_LAYER_B_ROWS:
+        xl = "[" + ",".join(repr(float(v)) for v in xs) + "]::double[]"
+        yl = "[" + ",".join(repr(float(v)) for v in ys) + "]::double[]"
+        rows.append(f"({pid},{part},{xl},{yl})")
+    return ",".join(rows)
+
+
+def q_geom_measures(spark, sf_dir):
+    """Per-ring signed shoelace area and perimeter — scalar geometry
+    functions as pure Catalyst folds (no UDF). Per-RING output keeps
+    every float a sequential fold (no unordered cross-row sums), so
+    the oracle is bit-exact."""
+    import pandas as pd
+
+    from ..functions.measures import ring_area_sql, ring_perimeter_sql
+
+    rows = ENTRY_LAYER_ROWS + ENTRY_LAYER_B_ROWS
+    rings = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "polygon_id": [r[0] for r in rows],
+                "part_id": [r[1] for r in rows],
+                "xs": [list(map(float, r[2])) for r in rows],
+                "ys": [list(map(float, r[3])) for r in rows],
+            }
+        )
+    )
+    return rings.select(
+        "polygon_id",
+        "part_id",
+        F.expr(ring_area_sql()).alias("ring_area"),
+        F.expr(ring_perimeter_sql()).alias("perimeter"),
+    )
+
+
+def _geom_measures_oracle():
+    from ..functions.measures import (
+        ring_area_sql_duckdb,
+        ring_perimeter_sql_duckdb,
+    )
+
+    return f"""
+with rings as (
+  select * from (values {_rings_values_sql()})
+  as t(polygon_id, part_id, xs, ys)
+)
+select polygon_id, part_id,
+       {ring_area_sql_duckdb()} as ring_area,
+       {ring_perimeter_sql_duckdb()} as perimeter
+from rings
+"""
+
+
+REGISTRY["geom_measures"] = (q_geom_measures, _geom_measures_oracle)
