@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tiles import cell_of_sql
 
-__all__ = ["stream_images", "streaming_tile_counts", "run_to_completion"]
+__all__ = [
+    "stream_images",
+    "streaming_tile_counts",
+    "streaming_pip_counts",
+    "run_to_completion",
+]
 
 
 def stream_images(spark: SparkSession, source_dir: str, schema: str) -> DataFrame:
@@ -37,6 +42,28 @@ def streaming_tile_counts(
         .groupBy(F.window(F.col(ts_col), window).alias("win"), "cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("win_start"), "cell", "n")
+    )
+
+
+def streaming_pip_counts(
+    points: DataFrame,
+    layer,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming point-in-polygon: the broadcast PIP kernel is a
+    stateless mapInPandas transformation, so it runs unchanged inside
+    Structured Streaming; per-polygon hit counts aggregate in
+    event-time windows behind a watermark."""
+    from ..operators.pip_join import pip_join_broadcast
+
+    hits = pip_join_broadcast(points, layer, keep=[ts_col])
+    return (
+        hits.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "polygon_id", "relation")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "polygon_id", "relation", "n")
     )
 
 

@@ -61,6 +61,51 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     assert rows.groupby("text_hash")["is_new"].sum().eq(1).all()
 
 
+def test_streaming_pip_matches_batch(spark, tmp_path):
+    """Streaming PIP (broadcast kernel inside readStream) drained with
+    availableNow equals the batch join + aggregation."""
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.operators.pip_join import pip_join_broadcast
+    from segment_rtree_spark.streaming.tile_stream import (
+        run_to_completion,
+        stream_images,
+        streaming_pip_counts,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{k}" for k in range(n)],
+            "lat": rng.uniform(-90, 90, n),
+            "lng": rng.uniform(-180, 180, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 3600, n), "s"),
+        }
+    )
+    src = str(tmp_path / "psrc")
+    spark.createDataFrame(pdf).write.parquet(src)
+    layer = entry_layer()
+
+    result = streaming_pip_counts(stream_images(spark, src, SCHEMA), layer)
+    run_to_completion(result, str(tmp_path / "pckpt"), table="pip_counts")
+    got = spark.sql(
+        "select polygon_id, relation, sum(n) as n from pip_counts group by 1, 2"
+    ).toPandas().sort_values(["polygon_id", "relation"]).reset_index(drop=True)
+
+    want = (
+        pip_join_broadcast(spark.read.parquet(src), layer, keep=["image_id"])
+        .groupBy("polygon_id", "relation")
+        .count()
+        .toPandas()
+        .sort_values(["polygon_id", "relation"])
+        .reset_index(drop=True)
+    )
+    assert got["polygon_id"].tolist() == want["polygon_id"].tolist()
+    assert got["relation"].tolist() == want["relation"].tolist()
+    assert got["n"].tolist() == want["count"].tolist()
+
+
 def test_stream_matches_batch(spark, tmp_path):
     rng = np.random.default_rng(2)
     n = 5000
