@@ -498,6 +498,49 @@ where a.doc_id < b.doc_id
 """
 
 
+def q_lsh_components(spark, sf_dir):
+    return _dedup.lsh_components(_t(spark, sf_dir, "documents"))
+
+
+def _lsh_components_oracle():
+    """Min-reachable-id connected components over the SAME star-edge
+    graph, as a DuckDB recursive CTE (enumerate reachable sets, then
+    min per node — fine at oracle scale; Spark side is the iterative
+    min-propagation that scales)."""
+    th = _text.token_hash_expr_duckdb("tok")
+    mins = ",".join(
+        f"min(((h * {a} + {b}) % {_dedup.MINHASH_P})) as mh{i}"
+        for i, (a, b) in enumerate(_dedup.MINHASH_PARAMS)
+    )
+    bands = []
+    for bidx in range(0, len(_dedup.MINHASH_PARAMS), 4):
+        cols = [f"mh{i}" for i in range(bidx, min(bidx + 4, len(_dedup.MINHASH_PARAMS)))]
+        key = "concat_ws('-', " + ", ".join(f"cast({c} as varchar)" for c in cols) + ")"
+        bands.append(f"select doc_id, {bidx} as band, {key} as bkey from sig")
+    bands_sql = " union all ".join(bands)
+    return f"""
+with recursive toks as (
+  select doc_id, {th} % {_dedup.TOKEN_MOD} as h
+  from (select doc_id, unnest(string_split(text, ' ')) as tok from documents)
+),
+sig as (select doc_id, {mins} from toks group by doc_id),
+bands as ({bands_sql}),
+roots as (select band, bkey, min(doc_id) as root from bands group by band, bkey),
+star as (
+  select distinct r.root as src, b.doc_id as dst
+  from bands b join roots r on b.band = r.band and b.bkey = r.bkey
+  where b.doc_id <> r.root
+),
+und as (select src, dst from star union select dst as src, src as dst from star),
+reach as (
+  select doc_id as node, doc_id as r from documents
+  union
+  select reach.node, e.dst from reach join und e on e.src = reach.r
+)
+select node as doc_id, min(r) as component from reach group by node
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= 3
@@ -645,6 +688,7 @@ REGISTRY = {
     "lang_id": (q_lang_id, _lang_id_oracle),
     "fingerprint": (q_fingerprint, lambda: _FINGERPRINT_ORACLE),
     "minhash_lsh": (q_minhash_lsh, _minhash_lsh_oracle),
+    "lsh_components": (q_lsh_components, _lsh_components_oracle),
     "ngram_jaccard": (q_ngram_jaccard, _ngram_jaccard_oracle),
     "simhash": (q_simhash, _simhash_oracle),
     "cosine_topk": (q_cosine_topk, _cosine_topk_oracle),

@@ -55,3 +55,49 @@ def test_ngram_max_df_guard(spark, degenerate_docs):
     with_cap = sorted(ngram_jaccard_pairs(docs, max_df=50).collect())
     without = sorted(ngram_jaccard_pairs(docs).collect())
     assert with_cap == without
+
+
+def _uf_components(pairs, nodes):
+    """Driver-side union-find oracle over an explicit pair list."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_lsh_components_equal_pair_graph(spark):
+    """Star edges preserve bucket connectivity: components from the
+    O(n)-edge star graph == union-find over the full O(n^2) pair list."""
+    from segment_rtree_spark.operators.dedup import lsh_components
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    nodes = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    pairs = [(r["doc_a"], r["doc_b"]) for r in lsh_pairs(docs).collect()]
+    expected = _uf_components(pairs, nodes)
+
+    got = {
+        r["doc_id"]: r["component"]
+        for r in lsh_components(docs).collect()
+    }
+    assert got == expected
+
+
+def test_lsh_components_respects_bucket_cap(spark, degenerate_docs):
+    from segment_rtree_spark.operators.dedup import lsh_components
+
+    # with every bucket over the cap no edges survive: all singletons
+    out = lsh_components(degenerate_docs, max_bucket=100)
+    assert out.filter(F.col("doc_id") != F.col("component")).count() == 0
+    assert out.count() == 10_000
