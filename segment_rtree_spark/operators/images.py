@@ -24,6 +24,7 @@ __all__ = [
     "with_pixel_stats_exact",
     "resize_images",
     "sample_video_frames",
+    "psnr_refine_pairs",
 ]
 
 
@@ -191,3 +192,68 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return videos.mapInPandas(kernel, schema)
+
+
+def psnr_refine_pairs(pairs: DataFrame, images: DataFrame,
+                      id_col: str = "image_id",
+                      psnr_db: float = 40.0) -> DataFrame:
+    """Exact-pixel verification of candidate near-duplicate pairs.
+
+    The second stage of the image dedup pipeline: cheap phash bands
+    (`dedup.phash_neardup_pairs`) generate candidates, this decodes
+    ONLY the candidate pairs and computes the integer sum of squared
+    RGB differences over the real codec path (raw/png). The verdict
+    `psnr_ok` (PSNR >= psnr_db) is decided by cross-multiplication —
+    PSNR >= T  <=>  sse * 10^(T/10) <= 255^2 * n_vals — so for integer
+    10^(T/10) no float log enters the result and it reproduces
+    bit-for-bit cross-engine. This is the input_hint per-row invariant
+    (decoded-pixel closeness at a dB threshold) as an operator.
+
+    Plan shape: two shuffle equi-joins on the id (broadcastable when
+    the candidate list is small), then one Arrow-batched kernel over
+    the joined rows; only candidates are ever decoded, so cost scales
+    with the band collision rate, not the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    mult = 10.0 ** (psnr_db / 10.0)
+    a = images.select(
+        F.col(id_col).alias("id_a"), F.col("bytes").alias("bytes_a"),
+        F.col("fmt").alias("fmt_a"), F.col("w").alias("w_a"), F.col("h").alias("h_a"),
+    )
+    b = images.select(
+        F.col(id_col).alias("id_b"), F.col("bytes").alias("bytes_b"),
+        F.col("fmt").alias("fmt_b"), F.col("w").alias("w_b"), F.col("h").alias("h_b"),
+    )
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            sse = np.zeros(n, np.int64)
+            nv = np.zeros(n, np.int32)
+            for r in range(n):
+                pa = decode_image(
+                    pdf["bytes_a"].iloc[r], pdf["fmt_a"].iloc[r],
+                    int(pdf["w_a"].iloc[r]), int(pdf["h_a"].iloc[r]),
+                ).astype(np.int64)
+                pb = decode_image(
+                    pdf["bytes_b"].iloc[r], pdf["fmt_b"].iloc[r],
+                    int(pdf["w_b"].iloc[r]), int(pdf["h_b"].iloc[r]),
+                ).astype(np.int64)
+                sse[r] = int(((pa - pb) ** 2).sum())
+                nv[r] = pa.size
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].astype(str),
+                    "id_b": pdf["id_b"].astype(str),
+                    "sse": sse,
+                    "n_vals": nv,
+                    "psnr_ok": sse * mult <= 65025.0 * nv,
+                }
+            )
+
+    return joined.mapInPandas(
+        kernel,
+        "id_a string, id_b string, sse long, n_vals int, psnr_ok boolean",
+    )

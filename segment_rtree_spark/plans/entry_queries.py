@@ -1292,9 +1292,62 @@ from raster r full outer join vector v on r.cell = v.cell
 """
 
 
+def q_psnr_refine(spark, sf_dir):
+    """Image dedup second stage: phash-band candidates -> decode both
+    payloads (raw/png codec path) -> integer SSE verdict at 20 dB.
+    20 dB (not the lossy-ingest 40 dB default) because arithmetic
+    pixels are white-noise-like: it splits the candidates into a
+    discriminating true/false mix instead of all-false."""
+    from ..operators.images import psnr_refine_pairs
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 400)
+    cands = _dedup.phash_neardup_pairs(imgs, max_hamming=8)
+    return psnr_refine_pairs(cands, imgs, psnr_db=20.0)
+
+
+def _psnr_refine_oracle():
+    """Same bands + hamming filter as _phash_neardup_oracle, then the
+    exact pixel SSE recomputed from the closed-form pixel formula
+    (pix(i,k), k = flat RGB index in 0..191) — the decode path checked
+    against pure arithmetic, pair by pair."""
+    bands = " union all ".join(
+        f"select i, {b} as band, (phash >> {b * 16}) & 65535 as bkey from imgs"
+        for b in range(4)
+    )
+    pix = ("((((({i} * 2654435761 + ks.k * 97) & 2147483647) * 48271)"
+           " & 2147483647) >> 7) % 256")
+    pa, pb = pix.format(i="p.ia"), pix.format(i="p.ib")
+    return f"""
+with imgs as ({_arith_imgs_cte(400)}),
+bands as ({bands}),
+pairs as (
+  select distinct a.i as ia, b.i as ib
+  from bands a join bands b on a.band = b.band and a.bkey = b.bkey
+  where a.i < b.i
+),
+near as (
+  select p.ia, p.ib from pairs p
+  join imgs ma on ma.i = p.ia join imgs mb on mb.i = p.ib
+  where bit_count(xor(ma.phash, mb.phash)) <= 8
+),
+sse as (
+  select p.ia, p.ib,
+         cast(sum((({pa}) - ({pb})) * (({pa}) - ({pb}))) as bigint) as sse
+  from near p cross join (select unnest(range(0, 192)) as k) ks
+  group by p.ia, p.ib
+)
+select ma.image_id as id_a, mb.image_id as id_b, s.sse,
+       cast(192 as int) as n_vals,
+       s.sse * 100.0 <= 65025.0 * 192 as psnr_ok
+from sse s join imgs ma on ma.i = s.ia join imgs mb on mb.i = s.ib
+"""
+
+
 REGISTRY["images_pip"] = (q_images_pip, _images_pip_oracle)
 REGISTRY["image_stats"] = (q_image_stats, _image_stats_oracle)
 REGISTRY["phash_neardup"] = (q_phash_neardup, _phash_neardup_oracle)
+REGISTRY["psnr_refine"] = (q_psnr_refine, _psnr_refine_oracle)
 REGISTRY["raster_vector"] = (q_raster_vector, _raster_vector_oracle)
 
 

@@ -60,3 +60,30 @@ def test_video_unknown_codec_raises(spark):
     vids = spark.createDataFrame(pdf)
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         sample_video_frames(vids).collect()
+
+
+def test_psnr_refine_identical_and_distinct(spark):
+    """sse=0 / psnr_ok for a self-pair; cross-engine integer verdict
+    logic for a distinct pair (checked against a local recompute)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.images import psnr_refine_pairs
+    from segment_rtree_spark.synth import images_df_arith, arith_pixels
+
+    imgs = images_df_arith(spark, 4)
+    pairs = spark.createDataFrame(
+        [("img000000000001", "img000000000001"),
+         ("img000000000001", "img000000000002")],
+        "id_a string, id_b string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in psnr_refine_pairs(pairs, imgs).collect()}
+
+    self_pair = rows[("img000000000001", "img000000000001")]
+    assert self_pair["sse"] == 0 and self_pair["psnr_ok"]
+
+    px = arith_pixels(np.arange(4)).astype(np.int64)
+    want = int(((px[1] - px[2]) ** 2).sum())
+    cross = rows[("img000000000001", "img000000000002")]
+    assert cross["sse"] == want and cross["n_vals"] == 192
+    assert cross["psnr_ok"] == (want * 10000.0 <= 65025.0 * 192)
