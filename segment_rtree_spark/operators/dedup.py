@@ -31,6 +31,8 @@ __all__ = [
     "lsh_bucket_stats",
     "lsh_star_edges",
     "lsh_components",
+    "label_propagate",
+    "phash_components",
     "simhash64",
     "ngram_jaccard_pairs",
     "phash_neardup_pairs",
@@ -184,12 +186,26 @@ def lsh_components(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
     (keep doc_id == component).
     """
     edges = lsh_star_edges(docs, id_col, text, rows_per_band, max_bucket)
-    und = edges.union(
+    nodes = docs.select(F.col(id_col).alias("node"))
+    return label_propagate(nodes, edges, max_iter).select(
+        F.col("node").alias(id_col), F.col("label").alias("component")
+    )
+
+
+def label_propagate(nodes: DataFrame, edges: DataFrame,
+                    max_iter: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    nodes(node) + edges(src, dst) [treated as undirected] ->
+    (node, label) with label = min node id reachable. Each iteration
+    is one shuffle on the edge key; every frame localCheckpoints so
+    lineage stays flat across rounds (on a cluster: rdd checkpoint to
+    durable storage). Shared by lsh_components (docs) and
+    phash_components (images)."""
+    und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = docs.select(F.col(id_col).alias("node")).withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(max_iter):
         nbr = (
             und.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -202,10 +218,50 @@ def lsh_components(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         ).localCheckpoint()
         if new.join(labels, ["node", "label"], "left_anti").isEmpty():
-            labels = new
-            break
+            return new
         labels = new
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    return labels
+
+
+def phash_components(images: DataFrame, id_col: str = "image_id",
+                     phash: str = "phash", max_hamming: int = 8,
+                     max_iter: int = 50) -> DataFrame:
+    """Image near-duplicate clusters: (image_id, component) with
+    component = the minimum image id in the cluster.
+
+    The 10^12-image shape, in two levels:
+      1. byte-identical perceptual hashes collapse FIRST (distinct on
+         the 64-bit phash) — a million identical crops become ONE node
+         below, so degenerate corpora cannot re-create the quadratic
+         bucket problem;
+      2. the band join + exact Hamming verify runs over DISTINCT hash
+         values only, and min-label propagation clusters the values;
+         each image then inherits the min image id of its cluster.
+
+    Unlike `lsh_components` (bucket connectivity IS the doc-dedup
+    semantic), image clusters propagate only through VERIFIED pairs
+    (hamming <= max_hamming), matching phash_neardup_pairs exactly.
+    """
+    ph = images.select(F.col(phash).alias("ph"), F.col(id_col))
+    distinct_ph = ph.select("ph").distinct()
+    pairs = phash_neardup_pairs(
+        distinct_ph.withColumn("pid", F.col("ph")),
+        max_hamming=max_hamming, id_col="pid", phash="ph",
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = label_propagate(
+        distinct_ph.select(F.col("ph").alias("node")), edges, max_iter
+    )
+    rep = (
+        ph.join(comp, ph["ph"] == comp["node"])
+        .groupBy("label")
+        .agg(F.min(id_col).alias("component"))
+    )
+    return (
+        ph.join(comp, ph["ph"] == comp["node"])
+        .join(rep, "label")
+        .select(id_col, "component")
+    )
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:

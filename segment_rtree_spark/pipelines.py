@@ -1,0 +1,51 @@
+"""End-to-end training-data curation pipelines.
+
+The composition layer: each stage is an operator this engine already
+oracles individually (tile/PIP region filter, caption filters, phash
+near-dup clustering); `curate_images` chains them in the order a
+100 TB curation job runs them — cheap row-local filters first, the
+clustering join last over the already-reduced survivor set.
+
+Plan shape at scale: the PIP region filter is a broadcast join (zero
+image-side shuffle), the caption filter is pure Catalyst, and the
+near-dup stage shuffles only the REGION-PASSING subset on the 64-bit
+phash (distinct-value collapse first, so degenerate corpora stay
+linear) — the full-width image bytes are never shuffled at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .layer import PolygonLayer
+from .operators.dedup import phash_components
+from .operators.pip_join import pip_join_broadcast
+
+__all__ = ["curate_images"]
+
+
+def curate_images(images: DataFrame, layer: PolygonLayer,
+                  min_caption_tokens: int = 2,
+                  max_hamming: int = 8) -> DataFrame:
+    """Region filter -> caption filter -> near-dup cluster -> keep one
+    representative per cluster.
+
+    Returns the curated set: (image_id, caption, n_regions,
+    cluster_size) where n_regions counts containing/boundary polygons
+    and cluster_size is how many surviving images the kept
+    representative stands for (1 = unique).
+    """
+    hits = pip_join_broadcast(images, layer, keep=["image_id"])
+    nreg = hits.groupBy("image_id").agg(F.count(F.lit(1)).alias("n_regions"))
+    ok = (
+        images.join(nreg, "image_id")
+        .filter(F.size(F.split(F.col("caption"), " ")) >= min_caption_tokens)
+    )
+    comp = phash_components(ok, max_hamming=max_hamming)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        ok.join(comp, "image_id")
+        .filter(F.col("image_id") == F.col("component"))
+        .join(sizes, "component")
+        .select("image_id", "caption", "n_regions", "cluster_size")
+    )

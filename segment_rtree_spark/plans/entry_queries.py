@@ -1344,10 +1344,125 @@ from sse s join imgs ma on ma.i = s.ia join imgs mb on mb.i = s.ib
 """
 
 
+def q_phash_components(spark, sf_dir):
+    """Image near-dup clusters: distinct-phash collapse -> banded
+    hamming pairs among distinct values -> min-label propagation."""
+    from ..synth import images_df_arith
+
+    return _dedup.phash_components(images_df_arith(spark, 400), max_hamming=1)
+
+
+def _phash_components_oracle():
+    bands = " union all ".join(
+        f"select phash, {b} as band, (phash >> {b * 16}) & 65535 as bkey from ph"
+        for b in range(4)
+    )
+    return f"""
+with recursive imgs as ({_arith_imgs_cte(400)}),
+ph as (select distinct phash from imgs),
+bands as ({bands}),
+near as (
+  select distinct a.phash as src, b.phash as dst
+  from bands a join bands b on a.band = b.band and a.bkey = b.bkey
+  where a.phash < b.phash and bit_count(xor(a.phash, b.phash)) <= 1
+),
+und as (select src, dst from near union select dst as src, src as dst from near),
+reach as (
+  select phash as node, phash as r from ph
+  union
+  select reach.node, e.dst from reach join und e on e.src = reach.r
+),
+comp as (select node, min(r) as label from reach group by node),
+rep as (
+  select c.label, min(i.image_id) as component
+  from imgs i join comp c on i.phash = c.node
+  group by c.label
+)
+select i.image_id, r.component
+from imgs i
+join comp c on i.phash = c.node
+join rep r on r.label = c.label
+"""
+
+
 REGISTRY["images_pip"] = (q_images_pip, _images_pip_oracle)
 REGISTRY["image_stats"] = (q_image_stats, _image_stats_oracle)
 REGISTRY["phash_neardup"] = (q_phash_neardup, _phash_neardup_oracle)
 REGISTRY["psnr_refine"] = (q_psnr_refine, _psnr_refine_oracle)
+REGISTRY["phash_components"] = (q_phash_components, _phash_components_oracle)
+
+
+def q_curate_images(spark, sf_dir):
+    """End-to-end curation: PIP region filter -> caption filter ->
+    phash-component dedup, one representative per cluster. Every
+    stage individually oracled elsewhere; this checks the COMPOSITION
+    (the caption stage is trivially-passing on 2-token arith captions
+    — documented, the region and dedup stages do the real work)."""
+    from ..pipelines import curate_images
+    from ..synth import images_df_arith
+
+    return curate_images(
+        images_df_arith(spark, 2000, skew_frac=0.1), entry_layer(), max_hamming=1
+    )
+
+
+def _curate_images_oracle():
+    bands = " union all ".join(
+        f"select phash, {b} as band, (phash >> {b * 16}) & 65535 as bkey from ph"
+        for b in range(4)
+    )
+    return f"""
+with recursive imgs as ({_arith_imgs_cte(2000, 0.1)}),
+pts as (select i as point_id, lng, lat from imgs),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+{_pip_chain()}
+, nreg as (
+  select point_id as i, count(*) as n_regions from poly_rel
+  where relcode > 0 group by 1
+),
+ok as (
+  select m.i, m.image_id, m.phash, n.n_regions
+  from imgs m join nreg n on n.i = m.i
+  where len(string_split('image ' || cast(m.i as varchar), ' ')) >= 2
+),
+ph as (select distinct phash from ok),
+bands as ({bands}),
+near as (
+  select distinct a.phash as src, b.phash as dst
+  from bands a join bands b on a.band = b.band and a.bkey = b.bkey
+  where a.phash < b.phash and bit_count(xor(a.phash, b.phash)) <= 1
+),
+und as (select src, dst from near union select dst as src, src as dst from near),
+reach as (
+  select phash as node, phash as r from ph
+  union
+  select reach.node, e.dst from reach join und e on e.src = reach.r
+),
+comp as (select node, min(r) as label from reach group by node),
+rep as (
+  select c.label, min(o.image_id) as component
+  from ok o join comp c on o.phash = c.node
+  group by c.label
+),
+sizes as (
+  select r.component, count(*) as cluster_size
+  from ok o join comp c on o.phash = c.node join rep r on r.label = c.label
+  group by 1
+)
+select o.image_id, 'image ' || cast(o.i as varchar) as caption,
+       o.n_regions, s.cluster_size
+from ok o
+join comp c on o.phash = c.node
+join rep r on r.label = c.label
+join sizes s on s.component = r.component
+where o.image_id = r.component
+"""
+
+
+REGISTRY["curate_images"] = (q_curate_images, _curate_images_oracle)
 REGISTRY["raster_vector"] = (q_raster_vector, _raster_vector_oracle)
 
 

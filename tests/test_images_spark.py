@@ -87,3 +87,36 @@ def test_psnr_refine_identical_and_distinct(spark):
     cross = rows[("img000000000001", "img000000000002")]
     assert cross["sse"] == want and cross["n_vals"] == 192
     assert cross["psnr_ok"] == (want * 10000.0 <= 65025.0 * 192)
+
+
+def test_phash_components_vs_pair_union_find(spark):
+    """Cluster labels == union-find over the verified near-dup pair
+    list computed on the FULL image set (not just distinct hashes)."""
+    from segment_rtree_spark.operators.dedup import (
+        phash_components,
+        phash_neardup_pairs,
+    )
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 300)
+    ids = [r["image_id"] for r in imgs.select("image_id").collect()]
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in phash_neardup_pairs(imgs, max_hamming=8).collect()
+    ]
+    parent = {n: n for n in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in ids}
+
+    got = {r["image_id"]: r["component"] for r in phash_components(imgs).collect()}
+    assert got == expected
