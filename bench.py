@@ -80,6 +80,11 @@ def bench_queries(spark, sf_dir):
     def q_clip_segment():
         return REGISTRY["clip_segment"][0](spark, sf_dir).count()
 
+    def q_curate_images():
+        from segment_rtree_spark.pipelines import curate_images
+
+        return curate_images(imgs, layer, max_hamming=1).count()
+
     return {
         "pip_broadcast": q_pip_broadcast,
         "pip_partitioned": q_pip_partitioned,
@@ -88,6 +93,7 @@ def bench_queries(spark, sf_dir):
         "minhash_lsh": q_minhash_lsh,
         "cosine_topk": q_cosine_topk,
         "clip_segment": q_clip_segment,
+        "curate_images": q_curate_images,
     }, imgs
 
 

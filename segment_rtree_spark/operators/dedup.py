@@ -205,8 +205,22 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    if und.isEmpty():
+        # all-isolated (the common case for discriminating thresholds
+        # on realistic corpora): skip the loop AND the rejoin
+        return nodes.withColumn("label", F.col("node"))
+    # Iterate ONLY over edge-touched nodes: in a realistic corpus most
+    # items are unique (isolated), and materializing the full node set
+    # every round would dominate. Isolated nodes are their own label
+    # by definition and rejoin at the end.
+    labels = (
+        und.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
+        if labels.isEmpty():
+            break
         nbr = (
             und.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -218,9 +232,12 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         ).localCheckpoint()
         if new.join(labels, ["node", "label"], "left_anti").isEmpty():
-            return new
+            labels = new
+            break
         labels = new
-    return labels
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
 
 
 def phash_components(images: DataFrame, id_col: str = "image_id",
@@ -252,15 +269,14 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     comp = label_propagate(
         distinct_ph.select(F.col("ph").alias("node")), edges, max_iter
     )
-    rep = (
-        ph.join(comp, ph["ph"] == comp["node"])
-        .groupBy("label")
-        .agg(F.min(id_col).alias("component"))
-    )
+    # one shuffle on the cluster label gives every member the min
+    # image id (window-min instead of groupBy + rejoin)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label")
     return (
         ph.join(comp, ph["ph"] == comp["node"])
-        .join(rep, "label")
-        .select(id_col, "component")
+        .select(id_col, F.min(id_col).over(w).alias("component"))
     )
 
 

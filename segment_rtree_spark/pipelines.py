@@ -35,10 +35,15 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
     and cluster_size is how many surviving images the kept
     representative stands for (1 = unique).
     """
-    hits = pip_join_broadcast(images, layer, keep=["image_id"])
+    # Narrow projection FIRST: nothing downstream needs the pixel
+    # bytes, and projecting here keeps every subsequent shuffle at a
+    # few dozen bytes/row instead of the full payload (at the scan,
+    # parquet column pruning makes this free).
+    narrow = images.select("image_id", "caption", "phash", "lat", "lng")
+    hits = pip_join_broadcast(narrow, layer, keep=["image_id"])
     nreg = hits.groupBy("image_id").agg(F.count(F.lit(1)).alias("n_regions"))
     ok = (
-        images.join(nreg, "image_id")
+        narrow.join(nreg, "image_id")
         .filter(F.size(F.split(F.col("caption"), " ")) >= min_caption_tokens)
     )
     comp = phash_components(ok, max_hamming=max_hamming)
