@@ -25,6 +25,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "hyperplane",
     "ivf_topk",
+    "kmeans_fit",
     "ivf_topk_fixed",
     "ivf_centroid_fixed",
     "DIM",
@@ -248,6 +249,72 @@ def ivf_centroids(vectors_pdf, k: int = 8, iters: int = 3, vec: str = "embedding
     return cent
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Fully distributed Lloyd k-means over an embedding column.
+
+    Per iteration: the k x dim codebook broadcasts out, an Arrow
+    kernel computes per-BATCH partial sums per list (k*dim tiny rows
+    out per batch — a map-side combine), one shuffle reduces them,
+    and only the k x dim result returns to the driver. No iteration
+    ever pulls vectors driver-side, so the fit scales to any corpus
+    (unlike the `ivf_centroids` sample fit, whose Lloyd steps are
+    driver NumPy over a .limit() pull).
+
+    Seeds = the first k vectors by id (deterministic). Note: the
+    reduce sums float64 in partition order, so centroids can differ
+    in final ulps across cluster layouts — consumers needing
+    bit-stable plans should use `ivf_topk_fixed`.
+    """
+    spark = vectors.sparkSession
+    seed = vectors.select(id_col, vec).orderBy(id_col).limit(k).collect()
+    cent = np.stack([np.asarray(r[vec], np.float64) for r in seed])
+    dim = cent.shape[1]
+    src = vectors.select(vec)
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partial(batches):
+            c = bc.value
+            for pdf in batches:
+                emb = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
+                a = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                lists, poss, ss, ns = [], [], [], []
+                for j in range(len(c)):
+                    m = a == j
+                    if m.any():
+                        lists += [j] * dim
+                        poss += list(range(dim))
+                        ss += list(emb[m].sum(axis=0))
+                        ns += [int(m.sum())] * dim
+                yield pd.DataFrame(
+                    {
+                        "list": pd.Series(lists, dtype="int64"),
+                        "pos": pd.Series(poss, dtype="int32"),
+                        "s": pd.Series(ss, dtype="float64"),
+                        "n": pd.Series(ns, dtype="int64"),
+                    }
+                )
+
+        rows = (
+            src.mapInPandas(partial, "list long, pos int, s double, n long")
+            .groupBy("list", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        for r in rows:
+            new[r["list"], r["pos"]] = r["s"] / r["n"]
+        cent = new
+        bc.destroy()
+    return cent
+
+
 def ivf_topk(
     vectors: DataFrame,
     k: int = 5,
@@ -255,6 +322,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec: str = "embedding",
     sample: int = 512,
+    fit: str = "distributed",
 ) -> DataFrame:
     """IVF ANN: coarse-quantize every vector to its nearest centroid
     (one mapInPandas pass with the broadcast codebook), then exact
@@ -262,8 +330,11 @@ def ivf_topk(
     shape: candidate generation is a hash join on `list`, never an
     all-pairs cross join."""
     spark = vectors.sparkSession
-    head = vectors.select(id_col, vec).orderBy(id_col).limit(sample).toPandas()
-    cent = ivf_centroids(head, k=n_lists, vec=vec)
+    if fit == "distributed":
+        cent = kmeans_fit(vectors, k=n_lists, id_col=id_col, vec=vec)
+    else:
+        head = vectors.select(id_col, vec).orderBy(id_col).limit(sample).toPandas()
+        cent = ivf_centroids(head, k=n_lists, vec=vec)
     bc = spark.sparkContext.broadcast(cent)
 
     def assign(batches):

@@ -135,3 +135,31 @@ def test_ivf_topk_recall(spark):
     want = set(zip(exact.query_id, exact.vec_id))
     overlap = len(got & want) / max(1, len(want))
     assert overlap > 0.3  # same-list neighbors dominate for clustered data
+
+
+def test_kmeans_fit_matches_local_lloyd(spark):
+    """Distributed Lloyd == local NumPy Lloyd on the same seeds (modulo
+    summation order; sf0.001 fits one batch so equality is exact)."""
+    import numpy as np
+
+    from segment_rtree_spark.operators.embed import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    k, iters = 4, 3
+    cent = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = X[m].sum(axis=0) / m.sum()
+
+    got = kmeans_fit(emb.repartition(1), k=k, iters=iters)
+    assert np.allclose(got, cent, rtol=0, atol=1e-12)
+
+    # multi-partition fit stays a valid codebook (ulp-level reorder ok)
+    got8 = kmeans_fit(emb.repartition(8), k=k, iters=iters)
+    assert np.allclose(got8, cent, rtol=1e-9, atol=1e-9)
