@@ -109,3 +109,21 @@ def test_partitioned_pip_pins_partitions(spark):
     p = plan_str(df)
     assert "REPARTITION_BY_NUM" in p or "hashpartitioning(cell" in p
     assert "FlatMapCoGroupsInPandas" in p or "FlatMapCoGroupsIn" in p
+
+
+def test_curate_pipeline_never_reads_bytes(spark, tmp_path):
+    """The curation pipeline's narrow projection must reach the scan:
+    a parquet-backed image table contributes only (image_id, caption,
+    phash, lat, lng) — the pixel `bytes` column is pruned away and
+    never scanned, let alone shuffled."""
+    from segment_rtree_spark.pipelines import curate_images
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import images_df_arith
+
+    path = str(tmp_path / "imgs.parquet")
+    images_df_arith(spark, 200).write.parquet(path)
+    imgs = spark.read.parquet(path)
+    p = plan_str(curate_images(imgs, entry_layer(), max_hamming=1))
+    for schema in [s for s in p.split("ReadSchema: ")[1:]]:
+        first_line = schema.splitlines()[0]
+        assert "bytes" not in first_line, first_line

@@ -135,3 +135,47 @@ def test_stream_matches_batch(spark, tmp_path):
     w = want.sort_values("cell").reset_index(drop=True)
     assert g["cell"].tolist() == w["cell"].tolist()
     assert g["n"].tolist() == w["count"].tolist()
+
+
+def test_streaming_first_seen_images(spark, tmp_path):
+    """Image-phash streaming dedup: earliest batch's min image_id is
+    canonical; duplicate counts accumulate across micro-batches."""
+    import time
+
+    from segment_rtree_spark.streaming.dedup_stream import (
+        streaming_first_seen_images,
+    )
+
+    src = str(tmp_path / "isrc")
+    drop1 = pd.DataFrame(
+        {"image_id": ["i10", "i11", "i12"], "phash": [100, 200, 100]}
+    )
+    drop2 = pd.DataFrame(
+        {"image_id": ["i01", "i20"], "phash": [100, 300]}
+    )
+    spark.createDataFrame(drop1).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(drop2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("image_id string, phash long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_first_seen_images(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("img_dedup_updates")
+        .option("checkpointLocation", str(tmp_path / "ickpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from img_dedup_updates").toPandas()
+
+    final = rows.sort_values("n_seen").groupby("phash").last()
+    # phash 100: batch1 ids i10,i12 -> canonical i10 (not later i01)
+    assert final.loc[100]["canonical_id"] == "i10"
+    assert final.loc[100]["n_seen"] == 3
+    assert final.loc[200]["canonical_id"] == "i11" and final.loc[200]["n_seen"] == 1
+    assert final.loc[300]["canonical_id"] == "i20" and final.loc[300]["n_seen"] == 1
+    assert rows.groupby("phash")["is_new"].sum().eq(1).all()
