@@ -86,17 +86,30 @@ def main():
         # bandwidth ceiling. Ideal weak efficiency = 1.0 (equal walls).
         if not os.path.exists(INPUT + "_quarter"):
             prepare_quarter()
-        rn = run(CORES_N, INPUT + "_quarter")
-        print(rn)
-        r4 = run(CORES_4N, INPUT)
-        print(r4)
-        eff = round(rn["wall_sec"] / r4["wall_sec"], 3)
+        # The host's speed drifts minute to minute (see BASELINE.md CPU
+        # canary), so comparing "all N runs" vs "all 4N runs" conflates
+        # host drift with scaling. Alternate N/4N subprocesses and score
+        # each ADJACENT pair (same host window); report the median pair.
+        n_rounds = int(os.environ.get("SCALING_PAIRS", "3"))
+        pairs = []
+        for _ in range(n_rounds):
+            rn = run(CORES_N, INPUT + "_quarter")
+            r4 = run(CORES_4N, INPUT)
+            print(rn)
+            print(r4)
+            pairs.append(
+                {"localN_quarter_input": rn, "local4N_full_input": r4,
+                 "efficiency": round(rn["wall_sec"] / r4["wall_sec"], 3)}
+            )
+        effs = sorted(p["efficiency"] for p in pairs)
+        eff = effs[len(effs) // 2]
         summary = {
             "job": JOB, "mode": "weak",
             "parallelism": {"N": CORES_N, "4N": CORES_4N},
-            "localN_quarter_input": rn, "local4N_full_input": r4,
+            "pairs": pairs,
             "weak_scaling_efficiency": eff,
-            "criterion": ">= 0.8 (wall_N / wall_4N at constant work/core)",
+            "criterion": ">= 0.8 (median same-window wall_N / wall_4N "
+                         "at constant work/core)",
             "pass": eff >= 0.8,
         }
         out = os.path.join(REPO, "BENCH", "scaling_weak.json")
