@@ -230,6 +230,16 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
         new = labels.join(nbr, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer doubling: follow label -> label's label, halving path
+        # lengths so chains converge in O(log diameter) rounds instead
+        # of O(diameter) (one-hop-only propagation would need as many
+        # rounds as the longest chain)
+        mapping = new.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        new = new.join(mapping, "label", "left").select(
+            "node", F.least(F.col("label"), F.coalesce("label2", "label")).alias("label")
         ).localCheckpoint()
         if new.join(labels, ["node", "label"], "left_anti").isEmpty():
             labels = new

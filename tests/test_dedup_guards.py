@@ -101,3 +101,35 @@ def test_lsh_components_respects_bucket_cap(spark, degenerate_docs):
     out = lsh_components(degenerate_docs, max_bucket=100)
     assert out.filter(F.col("doc_id") != F.col("component")).count() == 0
     assert out.count() == 10_000
+
+
+def test_label_propagate_random_graphs(spark):
+    """Seeded random graphs: label_propagate == union-find, including
+    long chains (worst-case diameter for the iteration count)."""
+    import numpy as np
+
+    from segment_rtree_spark.operators.dedup import label_propagate
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = 60
+        nodes = list(range(n))
+        if trial == 3:
+            edges = [(i, i + 1) for i in range(n - 1)]  # one long chain
+        else:
+            m = int(rng.integers(0, 50))
+            edges = [
+                (int(a), int(b))
+                for a, b in rng.integers(0, n, size=(m, 2))
+                if a != b
+            ]
+        expected = _uf_components(
+            [(min(a, b), max(a, b)) for a, b in edges], nodes
+        )
+        ndf = spark.createDataFrame([(i,) for i in nodes], "node long")
+        if edges:
+            edf = spark.createDataFrame(edges, "src long, dst long")
+        else:
+            edf = spark.createDataFrame([], "src long, dst long")
+        got = {r["node"]: r["label"] for r in label_propagate(ndf, edf).collect()}
+        assert got == expected, f"trial {trial}"
