@@ -26,7 +26,8 @@ __all__ = ["curate_images"]
 
 def curate_images(images: DataFrame, layer: PolygonLayer,
                   min_caption_tokens: int = 2,
-                  max_hamming: int = 8) -> DataFrame:
+                  max_hamming: int = 8,
+                  how: str = "broadcast") -> DataFrame:
     """Region filter -> caption filter -> near-dup cluster -> keep one
     representative per cluster.
 
@@ -34,13 +35,23 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
     cluster_size) where n_regions counts containing/boundary polygons
     and cluster_size is how many surviving images the kept
     representative stands for (1 = unique).
+
+    `how` selects the PIP strategy like SpatialFrame.pip_join:
+    'broadcast' (default — layer pack ships to executors, zero
+    image-side shuffle), 'partitioned' (cell-cover equi-join for
+    layers too big to broadcast), or 'auto'.
     """
     # Narrow projection FIRST: nothing downstream needs the pixel
     # bytes, and projecting here keeps every subsequent shuffle at a
     # few dozen bytes/row instead of the full payload (at the scan,
     # parquet column pruning makes this free).
     narrow = images.select("image_id", "caption", "phash", "lat", "lng")
-    hits = pip_join_broadcast(narrow, layer, keep=["image_id"])
+    if how == "broadcast":
+        hits = pip_join_broadcast(narrow, layer, keep=["image_id"])
+    else:
+        from .operators.pip_join import pip_join
+
+        hits = pip_join(narrow, layer, how=how, keep=["image_id"])
     nreg = hits.groupBy("image_id").agg(F.count(F.lit(1)).alias("n_regions"))
     ok = (
         narrow.join(nreg, "image_id")

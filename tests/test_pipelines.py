@@ -28,3 +28,19 @@ def test_curate_images_invariants(spark):
     # keeping only representatives means ids are unique
     ids = [r["image_id"] for r in out]
     assert len(ids) == len(set(ids))
+
+
+def test_curate_images_partitioned_equals_broadcast(spark):
+    """The curation output is strategy-invariant: the partitioned PIP
+    path (the too-big-to-broadcast layer shape) produces exactly the
+    broadcast result."""
+    from segment_rtree_spark.pipelines import curate_images
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 400, skew_frac=0.1)
+    layer = entry_layer()
+    a = sorted(map(tuple, curate_images(imgs, layer, max_hamming=1).collect()))
+    b = sorted(map(tuple, curate_images(
+        imgs, layer, max_hamming=1, how="partitioned").collect()))
+    assert a == b
