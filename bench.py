@@ -83,7 +83,7 @@ def bench_queries(spark, sf_dir):
     def q_curate_images():
         from segment_rtree_spark.pipelines import curate_images
 
-        return curate_images(imgs, layer, max_hamming=1).count()
+        return curate_images(imgs, layer, max_hamming=1, n_bands=2).count()
 
     return {
         "pip_broadcast": q_pip_broadcast,

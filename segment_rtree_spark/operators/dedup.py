@@ -252,7 +252,7 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
 
 def phash_components(images: DataFrame, id_col: str = "image_id",
                      phash: str = "phash", max_hamming: int = 8,
-                     max_iter: int = 50) -> DataFrame:
+                     max_iter: int = 50, n_bands: int = 4) -> DataFrame:
     """Image near-duplicate clusters: (image_id, component) with
     component = the minimum image id in the cluster.
 
@@ -273,7 +273,7 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     distinct_ph = ph.select("ph").distinct()
     pairs = phash_neardup_pairs(
         distinct_ph.withColumn("pid", F.col("ph")),
-        max_hamming=max_hamming, id_col="pid", phash="ph",
+        max_hamming=max_hamming, id_col="pid", phash="ph", n_bands=n_bands,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = label_propagate(
@@ -358,25 +358,34 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "te
 
 
 def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
-                        id_col: str = "image_id", phash: str = "phash") -> DataFrame:
+                        id_col: str = "image_id", phash: str = "phash",
+                        n_bands: int = 4) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance.
 
-    Band trick: split the 64-bit hash into 4 x 16-bit bands; any pair
-    within Hamming <= 8 shares at least one identical band when
-    distance < 4 bands * ... (pigeonhole: distance <= max_hamming with
-    4 bands guarantees a shared band when max_hamming < 4). For the
-    general case this is a RECALL-oriented candidate generator (the
-    standard LSH trade); the exact Hamming filter verifies candidates.
+    Band trick: split the 64-bit hash into n_bands equal bands; by
+    pigeonhole any pair within Hamming <= max_hamming shares an
+    identical band whenever max_hamming < n_bands (guaranteed recall);
+    beyond that it is a RECALL-oriented candidate generator (the
+    standard LSH trade). The exact Hamming filter verifies candidates.
+
+    Band-count tuning is the corpus-size lever: tighter thresholds
+    want FEWER, WIDER bands — for max_hamming=1, 2 x 32-bit bands
+    keep guaranteed recall while making accidental bucket collisions
+    ~2^16x rarer than 4 x 16-bit, which is the difference between a
+    candidate join that scales and one that re-goes quadratic on a
+    10^12-image corpus.
     """
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     # single-pass banding (explode, not union-per-band): the input may
-    # be an expensive synthesized/decoded table; a 4-way union would
-    # rescan it 4 times
+    # be an expensive synthesized/decoded table; a union would rescan
+    # it once per band
     entries = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col(phash), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+            F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask)).alias("bkey"),
         )
-        for b in range(4)
+        for b in range(n_bands)
     ]
     ex = images.select(
         F.col(id_col), F.col(phash), F.explode(F.array(*entries)).alias("e")

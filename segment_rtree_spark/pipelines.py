@@ -27,7 +27,8 @@ __all__ = ["curate_images"]
 def curate_images(images: DataFrame, layer: PolygonLayer,
                   min_caption_tokens: int = 2,
                   max_hamming: int = 8,
-                  how: str = "broadcast") -> DataFrame:
+                  how: str = "broadcast",
+                  n_bands: int = 4) -> DataFrame:
     """Region filter -> caption filter -> near-dup cluster -> keep one
     representative per cluster.
 
@@ -57,7 +58,7 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
         narrow.join(nreg, "image_id")
         .filter(F.size(F.split(F.col("caption"), " ")) >= min_caption_tokens)
     )
-    comp = phash_components(ok, max_hamming=max_hamming)
+    comp = phash_components(ok, max_hamming=max_hamming, n_bands=n_bands)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         ok.join(comp, "image_id")

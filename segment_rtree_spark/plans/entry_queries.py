@@ -1349,7 +1349,7 @@ def q_phash_components(spark, sf_dir):
     hamming pairs among distinct values -> min-label propagation."""
     from ..synth import images_df_arith
 
-    return _dedup.phash_components(images_df_arith(spark, 400), max_hamming=1)
+    return _dedup.phash_components(images_df_arith(spark, 400), max_hamming=1, n_bands=2)
 
 
 def _phash_components_oracle():
@@ -1402,7 +1402,8 @@ def q_curate_images(spark, sf_dir):
     from ..synth import images_df_arith
 
     return curate_images(
-        images_df_arith(spark, 2000, skew_frac=0.1), entry_layer(), max_hamming=1
+        images_df_arith(spark, 2000, skew_frac=0.1), entry_layer(),
+        max_hamming=1, n_bands=2
     )
 
 

@@ -120,3 +120,17 @@ def test_phash_components_vs_pair_union_find(spark):
 
     got = {r["image_id"]: r["component"] for r in phash_components(imgs).collect()}
     assert got == expected
+
+
+def test_phash_band_count_invariance(spark):
+    """When max_hamming < n_bands, pigeonhole guarantees recall for any
+    band split — 2x32-bit and 4x16-bit banding must emit the SAME
+    verified pair set (the wide-band split is the at-scale choice)."""
+    from segment_rtree_spark.operators.dedup import phash_neardup_pairs
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 300)
+    p2 = sorted(map(tuple, phash_neardup_pairs(imgs, max_hamming=1, n_bands=2).collect()))
+    p4 = sorted(map(tuple, phash_neardup_pairs(imgs, max_hamming=1, n_bands=4).collect()))
+    assert p2 == p4
+    assert p2, "fixture must produce at least one near-dup pair"
