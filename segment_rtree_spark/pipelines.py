@@ -54,10 +54,14 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
 
         hits = pip_join(narrow, layer, how=how, keep=["image_id"])
     nreg = hits.groupBy("image_id").agg(F.count(F.lit(1)).alias("n_regions"))
+    # The survivor set feeds three consumers (clustering, the size agg,
+    # and the final representative join); without materialization each
+    # one would re-execute the PIP join. localCheckpoint runs it once
+    # (on a cluster: .checkpoint() against the durable checkpoint dir).
     ok = (
         narrow.join(nreg, "image_id")
         .filter(F.size(F.split(F.col("caption"), " ")) >= min_caption_tokens)
-    )
+    ).localCheckpoint()
     comp = phash_components(ok, max_hamming=max_hamming, n_bands=n_bands)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
