@@ -25,6 +25,7 @@ __all__ = [
     "resize_images",
     "sample_video_frames",
     "psnr_refine_pairs",
+    "validate_images",
 ]
 
 
@@ -257,3 +258,91 @@ def psnr_refine_pairs(pairs: DataFrame, images: DataFrame,
         kernel,
         "id_a string, id_b string, sse long, n_vals int, psnr_ok boolean",
     )
+
+
+# Error codes for validate_images, in check order (first failing check
+# wins — same error-precedence discipline as the geometry validator,
+# reference src/errors.rs / kernels/validity.py)
+IMG_ERR_CODEC_UNAVAILABLE = "CodecUnavailable"
+IMG_ERR_UNKNOWN_FORMAT = "UnknownFormat"
+IMG_ERR_TRUNCATED = "TruncatedPayload"
+IMG_ERR_BAD_SIGNATURE = "BadSignature"
+IMG_ERR_CORRUPT_STREAM = "CorruptStream"
+IMG_ERR_DIMENSION_MISMATCH = "DimensionMismatch"
+IMG_ERR_PHASH_MISMATCH = "PhashMismatch"
+
+
+def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
+    """Payload validity for the image table — errors as DATA, not
+    exceptions, mirroring the geometry validator's contract
+    (reference errors.rs: every failure is a typed result the query
+    can filter/aggregate; one bad row must never kill a 10^12-row
+    ingest job).
+
+    Output: (image_id, ok, err_code, err_detail). Checks in order
+    (first failure wins): known format, payload length / container
+    signature, stream decode, decoded dimensions, and optionally the
+    stored phash against a recompute (check_phash=True; uses the
+    engine's standard phash64).
+    """
+    import zlib
+    from struct import error as struct_error
+
+    from ..imageio import _PNG_SIG as PNG_SIG, phash64
+
+    schema = "image_id string, ok boolean, err_code string, err_detail string"
+
+    def classify(buf, fmt, w, h, stored_phash):
+        if fmt in ("jpeg", "webp"):
+            return IMG_ERR_CODEC_UNAVAILABLE, f"fmt={fmt}"
+        if fmt not in ("raw", "png"):
+            return IMG_ERR_UNKNOWN_FORMAT, f"fmt={fmt}"
+        if fmt == "raw":
+            want = w * h * 3
+            if len(buf) != want:
+                return IMG_ERR_TRUNCATED, f"{len(buf)} bytes, want {want}"
+            px = np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+        else:
+            if buf[:8] != PNG_SIG:
+                return IMG_ERR_BAD_SIGNATURE, "missing PNG signature"
+            try:
+                px = decode_image(buf, "png", w, h)
+            except (zlib.error, ValueError, IndexError, struct_error,
+                    NotImplementedError) as e:
+                return IMG_ERR_CORRUPT_STREAM, str(e)[:80]
+        if px.shape != (h, w, 3):
+            return IMG_ERR_DIMENSION_MISMATCH, f"{px.shape} != ({h}, {w}, 3)"
+        if check_phash and stored_phash is not None:
+            got = phash64(px)
+            if int(got) != int(stored_phash):
+                return IMG_ERR_PHASH_MISMATCH, f"stored {stored_phash}, decoded {got}"
+        return None, None
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.empty(n, bool)
+            codes, details = [], []
+            has_ph = "phash" in pdf.columns
+            for r in range(n):
+                code, detail = classify(
+                    pdf["bytes"].iloc[r], pdf["fmt"].iloc[r],
+                    int(pdf["w"].iloc[r]), int(pdf["h"].iloc[r]),
+                    int(pdf["phash"].iloc[r]) if has_ph else None,
+                )
+                ok[r] = code is None
+                codes.append(code)
+                details.append(detail)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].astype(str),
+                    "ok": ok,
+                    "err_code": pd.Series(codes, dtype="object"),
+                    "err_detail": pd.Series(details, dtype="object"),
+                }
+            )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    if check_phash:
+        cols.append("phash")
+    return images.select(*cols).mapInPandas(kernel, schema)

@@ -1464,6 +1464,54 @@ where o.image_id = r.component
 
 
 REGISTRY["curate_images"] = (q_curate_images, _curate_images_oracle)
+
+
+def q_validate_images(spark, sf_dir):
+    """Image payload validity with deterministically injected, SQL-
+    decidable corruption: i%5==0 -> unknown fmt, i%5==1 -> codec-less
+    fmt, i%5==2 on raw rows -> truncated payload; the rest stay clean.
+    (Stream-level PNG corruption is classified too, but is pytest-only
+    — SQL cannot decode PNG; see test_validate_images_error_taxonomy.)"""
+    from ..operators.images import validate_images
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 300)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    corrupted = imgs.withColumn(
+        "fmt",
+        F.when(i % 5 == 0, F.lit("tiff"))
+        .when(i % 5 == 1, F.lit("jpeg"))
+        .otherwise(F.col("fmt")),
+    ).withColumn(
+        "bytes",
+        F.when(
+            (i % 5 == 2) & (F.col("fmt") == "raw"),
+            F.expr("substring(bytes, 1, 96)"),
+        ).otherwise(F.col("bytes")),
+    )
+    return validate_images(corrupted)
+
+
+def _validate_images_oracle():
+    return f"""
+with imgs as ({_arith_imgs_cte(300)})
+select image_id,
+  case when i % 5 in (0, 1) then false
+       when i % 5 = 2 and i % 2 = 0 then false
+       else true end as ok,
+  case when i % 5 = 0 then 'UnknownFormat'
+       when i % 5 = 1 then 'CodecUnavailable'
+       when i % 5 = 2 and i % 2 = 0 then 'TruncatedPayload'
+       else null end as err_code,
+  case when i % 5 = 0 then 'fmt=tiff'
+       when i % 5 = 1 then 'fmt=jpeg'
+       when i % 5 = 2 and i % 2 = 0 then '96 bytes, want 192'
+       else null end as err_detail
+from imgs
+"""
+
+
+REGISTRY["validate_images"] = (q_validate_images, _validate_images_oracle)
 REGISTRY["raster_vector"] = (q_raster_vector, _raster_vector_oracle)
 
 

@@ -134,3 +134,51 @@ def test_phash_band_count_invariance(spark):
     p4 = sorted(map(tuple, phash_neardup_pairs(imgs, max_hamming=1, n_bands=4).collect()))
     assert p2 == p4
     assert p2, "fixture must produce at least one near-dup pair"
+
+
+def test_validate_images_error_taxonomy(spark):
+    """Clean tables validate ok (incl. phash recompute); each corruption
+    class maps to its specific error code — errors are DATA, one bad
+    row never kills the job."""
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.images import validate_images
+    from segment_rtree_spark.synth import images_df
+
+    imgs = images_df(spark, 40)
+    clean = validate_images(imgs, check_phash=True).collect()
+    assert all(r["ok"] and r["err_code"] is None for r in clean)
+
+    base = imgs.limit(6).collect()
+    rows = []
+    # 0: truncated raw payload
+    r = base[0]
+    rows.append(("t0", r["bytes"][: len(r["bytes"]) // 2], "raw", r["w"], r["h"], r["phash"]))
+    # 1: unknown format
+    r = base[1]
+    rows.append(("t1", r["bytes"], "tiff", r["w"], r["h"], r["phash"]))
+    # 2: codec-unavailable format
+    r = base[2]
+    rows.append(("t2", r["bytes"], "jpeg", r["w"], r["h"], r["phash"]))
+    # 3: png with broken signature
+    png = next(x for x in base if x["fmt"] == "png")
+    rows.append(("t3", b"\x00" * 8 + png["bytes"][8:], "png", png["w"], png["h"], png["phash"]))
+    # 4: png with corrupted IDAT stream
+    buf = bytearray(png["bytes"])
+    buf[40:48] = b"\x00" * 8
+    rows.append(("t4", bytes(buf), "png", png["w"], png["h"], png["phash"]))
+    # 5: wrong stored phash
+    r = next(x for x in base if x["fmt"] == "raw")
+    rows.append(("t5", r["bytes"], "raw", r["w"], r["h"], r["phash"] ^ 1))
+
+    bad = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int, phash long"
+    )
+    got = {r["image_id"]: r for r in validate_images(bad, check_phash=True).collect()}
+    assert got["t0"]["err_code"] == "TruncatedPayload"
+    assert got["t1"]["err_code"] == "UnknownFormat"
+    assert got["t2"]["err_code"] == "CodecUnavailable"
+    assert got["t3"]["err_code"] == "BadSignature"
+    assert got["t4"]["err_code"] == "CorruptStream"
+    assert got["t5"]["err_code"] == "PhashMismatch"
+    assert not any(r["ok"] for r in got.values())
