@@ -53,3 +53,18 @@ def test_metrics_lineage(spark, data, tmp_path):
     assert set(prog.columns) >= {"job_id", "partition_key", "n_in", "n_out", "wall_ms"}
     assert (prog["n_in"] == 100).all()  # 1000 rows / 10 keys lineage
     assert (prog["n_out"] == 1).all()
+
+
+def test_submit_job_demo_smoke():
+    """The spark-submit production entry stays runnable end to end:
+    --demo synthesizes input, runs the checkpointed tile+PIP pipeline,
+    and reports processed partition keys + a progress table."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/submit_job.py", "--demo"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "processed" in out.stdout and "progress table:" in out.stdout
