@@ -101,6 +101,20 @@ def lsh_bucket_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text"
     return stats.withColumn("truncated", cap.isNotNull() & (F.col("bucket_n") > cap))
 
 
+def _cap_buckets(exploded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """The shared skew guard for every band-bucket join: drop whole
+    buckets larger than the cap BEFORE any join over them (their
+    members are exact/near-exact dups better handled by exact_dups;
+    the dropped buckets stay visible via lsh_bucket_stats)."""
+    if max_bucket is None:
+        return exploded
+    sizes = exploded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bucket_n"))
+    return (
+        exploded.join(sizes.filter(F.col("bucket_n") <= max_bucket), ["band", "bkey"])
+        .drop("bucket_n")
+    )
+
+
 def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
               rows_per_band: int = 4, max_bucket: int | None = None) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b sharing >= 1 band).
@@ -117,13 +131,7 @@ def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
     near-exact dups better handled by exact_dups); the dropped buckets
     stay visible via lsh_bucket_stats with the same cap.
     """
-    exploded = _lsh_exploded(docs, id_col, text, rows_per_band)
-    if max_bucket is not None:
-        sizes = exploded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bucket_n"))
-        exploded = (
-            exploded.join(sizes.filter(F.col("bucket_n") <= max_bucket), ["band", "bkey"])
-            .drop("bucket_n")
-        )
+    exploded = _cap_buckets(_lsh_exploded(docs, id_col, text, rows_per_band), max_bucket)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -149,13 +157,7 @@ def lsh_star_edges(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
     """
     from pyspark.sql import Window
 
-    exploded = _lsh_exploded(docs, id_col, text, rows_per_band)
-    if max_bucket is not None:
-        sizes = exploded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bucket_n"))
-        exploded = (
-            exploded.join(sizes.filter(F.col("bucket_n") <= max_bucket), ["band", "bkey"])
-            .drop("bucket_n")
-        )
+    exploded = _cap_buckets(_lsh_exploded(docs, id_col, text, rows_per_band), max_bucket)
     w = Window.partitionBy("band", "bkey")
     return (
         exploded.withColumn("root", F.min(id_col).over(w))
@@ -218,9 +220,8 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
-        if labels.isEmpty():
-            break
         nbr = (
             und.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -243,8 +244,18 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
         ).localCheckpoint()
         if new.join(labels, ["node", "label"], "left_anti").isEmpty():
             labels = new
+            converged = True
             break
         labels = new
+    if not converged:
+        # With pointer doubling, max_iter=50 covers any graph of
+        # diameter < 2^50; hitting this means the caller passed a tiny
+        # max_iter. Returning half-propagated labels would silently
+        # mislabel components (duplicates kept), so fail loudly.
+        raise ValueError(
+            f"label_propagate did not converge within max_iter={max_iter}; "
+            "raise max_iter (labels would be incorrect, not approximate)"
+        )
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("label")
     )
@@ -269,7 +280,14 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     semantic), image clusters propagate only through VERIFIED pairs
     (hamming <= max_hamming), matching phash_neardup_pairs exactly.
     """
-    ph = images.select(F.col(phash).alias("ph"), F.col(id_col))
+    all_ph = images.select(F.col(phash).alias("ph"), F.col(id_col))
+    # NULL hashes (upstream decode/hash failures) can't band-join and
+    # would vanish through the inner joins below; they are singleton
+    # clusters by definition and rejoin the output at the end.
+    null_ph = all_ph.filter(F.col("ph").isNull()).select(
+        id_col, F.col(id_col).alias("component")
+    )
+    ph = all_ph.filter(F.col("ph").isNotNull())
     distinct_ph = ph.select("ph").distinct()
     pairs = phash_neardup_pairs(
         distinct_ph.withColumn("pid", F.col("ph")),
@@ -287,6 +305,7 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     return (
         ph.join(comp, ph["ph"] == comp["node"])
         .select(id_col, F.min(id_col).over(w).alias("component"))
+        .union(null_ph)
     )
 
 

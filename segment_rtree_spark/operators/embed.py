@@ -321,7 +321,7 @@ def ivf_topk(
     n_lists: int = 8,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    sample: int = 512,
+    sample: int | None = None,
     fit: str = "distributed",
 ) -> DataFrame:
     """IVF ANN: coarse-quantize every vector to its nearest centroid
@@ -330,10 +330,17 @@ def ivf_topk(
     shape: candidate generation is a hash join on `list`, never an
     all-pairs cross join."""
     spark = vectors.sparkSession
+    # an explicit sample size implies the sample fit — callers who
+    # tuned `sample` keep their driver-side cost profile rather than
+    # silently switching to full distributed passes
+    if sample is not None:
+        fit = "sample"
     if fit == "distributed":
         cent = kmeans_fit(vectors, k=n_lists, id_col=id_col, vec=vec)
     else:
-        head = vectors.select(id_col, vec).orderBy(id_col).limit(sample).toPandas()
+        head = (
+            vectors.select(id_col, vec).orderBy(id_col).limit(sample or 512).toPandas()
+        )
         cent = ivf_centroids(head, k=n_lists, vec=vec)
     bc = spark.sparkContext.broadcast(cent)
 

@@ -217,7 +217,14 @@ def psnr_refine_pairs(pairs: DataFrame, images: DataFrame,
     """
     from pyspark.sql import functions as F
 
-    mult = 10.0 ** (psnr_db / 10.0)
+    # psnr_db a multiple of 10 -> 10^(T/10) is an exact integer and the
+    # verdict is pure int64 arithmetic (safe while n_vals * 65025 *
+    # mult < 2^63, i.e. any image under ~10^10 px at 40 dB); other
+    # thresholds fall back to float with the documented rounding caveat
+    if psnr_db % 10.0 == 0.0:
+        mult = 10 ** (int(psnr_db) // 10)
+    else:
+        mult = 10.0 ** (psnr_db / 10.0)
     a = images.select(
         F.col(id_col).alias("id_a"), F.col("bytes").alias("bytes_a"),
         F.col("fmt").alias("fmt_a"), F.col("w").alias("w_a"), F.col("h").alias("h_a"),
@@ -250,7 +257,11 @@ def psnr_refine_pairs(pairs: DataFrame, images: DataFrame,
                     "id_b": pdf["id_b"].astype(str),
                     "sse": sse,
                     "n_vals": nv,
-                    "psnr_ok": sse * mult <= 65025.0 * nv,
+                    "psnr_ok": (
+                        sse * mult <= 65025 * nv.astype(np.int64)
+                        if isinstance(mult, int)
+                        else sse * mult <= 65025.0 * nv
+                    ),
                 }
             )
 
@@ -270,6 +281,9 @@ IMG_ERR_BAD_SIGNATURE = "BadSignature"
 IMG_ERR_CORRUPT_STREAM = "CorruptStream"
 IMG_ERR_DIMENSION_MISMATCH = "DimensionMismatch"
 IMG_ERR_PHASH_MISMATCH = "PhashMismatch"
+IMG_ERR_NULL_PAYLOAD = "NullPayload"
+IMG_ERR_NULL_METADATA = "NullMetadata"
+IMG_ERR_INTERNAL = "InternalError"
 
 
 def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
@@ -325,11 +339,24 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             codes, details = [], []
             has_ph = "phash" in pdf.columns
             for r in range(n):
-                code, detail = classify(
-                    pdf["bytes"].iloc[r], pdf["fmt"].iloc[r],
-                    int(pdf["w"].iloc[r]), int(pdf["h"].iloc[r]),
-                    int(pdf["phash"].iloc[r]) if has_ph else None,
-                )
+                buf = pdf["bytes"].iloc[r]
+                fmt = pdf["fmt"].iloc[r]
+                wv, hv = pdf["w"].iloc[r], pdf["h"].iloc[r]
+                sp = pdf["phash"].iloc[r] if has_ph else None
+                if buf is None:
+                    code, detail = IMG_ERR_NULL_PAYLOAD, "bytes is NULL"
+                elif fmt is None or pd.isna(wv) or pd.isna(hv):
+                    code, detail = IMG_ERR_NULL_METADATA, (
+                        f"fmt={fmt!r} w={wv!r} h={hv!r}"
+                    )
+                else:
+                    try:
+                        code, detail = classify(
+                            bytes(buf), str(fmt), int(wv), int(hv),
+                            None if sp is None or pd.isna(sp) else int(sp),
+                        )
+                    except Exception as e:  # contract: errors are DATA
+                        code, detail = IMG_ERR_INTERNAL, str(e)[:80]
                 ok[r] = code is None
                 codes.append(code)
                 details.append(detail)

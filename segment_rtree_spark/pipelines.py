@@ -28,7 +28,8 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
                   min_caption_tokens: int = 2,
                   max_hamming: int = 8,
                   how: str = "broadcast",
-                  n_bands: int = 4) -> DataFrame:
+                  n_bands: int = 4,
+                  materialize: bool = True) -> DataFrame:
     """Region filter -> caption filter -> near-dup cluster -> keep one
     representative per cluster.
 
@@ -47,6 +48,16 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
     # few dozen bytes/row instead of the full payload (at the scan,
     # parquet column pruning makes this free).
     narrow = images.select("image_id", "caption", "phash", "lat", "lng")
+    if how == "auto":
+        import pickle
+
+        from .frame import BROADCAST_LIMIT_BYTES
+
+        how = (
+            "broadcast"
+            if len(pickle.dumps(layer)) <= BROADCAST_LIMIT_BYTES
+            else "partitioned"
+        )
     if how == "broadcast":
         hits = pip_join_broadcast(narrow, layer, keep=["image_id"])
     else:
@@ -61,7 +72,12 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
     ok = (
         narrow.join(nreg, "image_id")
         .filter(F.size(F.split(F.col("caption"), " ")) >= min_caption_tokens)
-    ).localCheckpoint()
+    )
+    if materialize:
+        # (materialize=False keeps the full lineage — used by the plan
+        # audit test to inspect the scan, and by callers who prefer
+        # their own persistence strategy)
+        ok = ok.localCheckpoint()
     comp = phash_components(ok, max_hamming=max_hamming, n_bands=n_bands)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

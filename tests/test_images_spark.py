@@ -182,3 +182,13 @@ def test_validate_images_error_taxonomy(spark):
     assert got["t4"]["err_code"] == "CorruptStream"
     assert got["t5"]["err_code"] == "PhashMismatch"
     assert not any(r["ok"] for r in got.values())
+
+    # NULLs are data too: a NULL payload or NULL metadata must emit an
+    # error row, never kill the task
+    nulls = spark.createDataFrame(
+        [("n0", None, "raw", 8, 8, 1), ("n1", b"xx", None, 8, 8, 1)],
+        "image_id string, bytes binary, fmt string, w int, h int, phash long",
+    )
+    gn = {r["image_id"]: r for r in validate_images(nulls, check_phash=True).collect()}
+    assert gn["n0"]["err_code"] == "NullPayload"
+    assert gn["n1"]["err_code"] == "NullMetadata"

@@ -123,7 +123,12 @@ def test_curate_pipeline_never_reads_bytes(spark, tmp_path):
     path = str(tmp_path / "imgs.parquet")
     images_df_arith(spark, 200).write.parquet(path)
     imgs = spark.read.parquet(path)
-    p = plan_str(curate_images(imgs, entry_layer(), max_hamming=1))
-    for schema in [s for s in p.split("ReadSchema: ")[1:]]:
+    # materialize=False keeps full lineage so the parquet scans stay
+    # visible in the plan (the default localCheckpoint would truncate
+    # them to ExistingRDD and make this assertion vacuous)
+    p = plan_str(curate_images(imgs, entry_layer(), max_hamming=1, materialize=False))
+    schemas = p.split("ReadSchema: ")[1:]
+    assert schemas, "expected at least one parquet scan in the plan"
+    for schema in schemas:
         first_line = schema.splitlines()[0]
         assert "bytes" not in first_line, first_line

@@ -101,8 +101,9 @@ def main():
                 {"localN_quarter_input": rn, "local4N_full_input": r4,
                  "efficiency": round(rn["wall_sec"] / r4["wall_sec"], 3)}
             )
-        effs = sorted(p["efficiency"] for p in pairs)
-        eff = effs[len(effs) // 2]
+        from statistics import median
+
+        eff = round(median(p["efficiency"] for p in pairs), 3)
         summary = {
             "job": JOB, "mode": "weak",
             "parallelism": {"N": CORES_N, "4N": CORES_4N},
