@@ -106,6 +106,13 @@ class SpatialFrame:
 
         return self._wrap(zonal_stats(self.df, layer, values=values, x=self.x, y=self.y, **kw))
 
+    def curate(self, layer: PolygonLayer, **kw) -> "SpatialFrame":
+        """End-to-end curation (region filter -> caption filter ->
+        near-dup representatives); see pipelines.curate_images."""
+        from .pipelines import curate_images
+
+        return self._wrap(curate_images(self.df, layer, **kw))
+
     # -- raster <-> vector -------------------------------------------------
 
     def raster_vector_agg(self, layer: PolygonLayer, res: int) -> "SpatialFrame":

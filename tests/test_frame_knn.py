@@ -163,3 +163,16 @@ def test_kmeans_fit_matches_local_lloyd(spark):
     # multi-partition fit stays a valid codebook (ulp-level reorder ok)
     got8 = kmeans_fit(emb.repartition(8), k=k, iters=iters)
     assert np.allclose(got8, cent, rtol=1e-9, atol=1e-9)
+
+
+def test_frame_curate_chain(spark):
+    from segment_rtree_spark.frame import SpatialFrame
+    from segment_rtree_spark.pipelines import curate_images
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 200, skew_frac=0.1)
+    layer = entry_layer()
+    chained = sorted(map(tuple, SpatialFrame(imgs).curate(layer, max_hamming=1).df.collect()))
+    direct = sorted(map(tuple, curate_images(imgs, layer, max_hamming=1).collect()))
+    assert chained == direct and chained
