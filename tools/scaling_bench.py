@@ -115,21 +115,38 @@ def main():
         }
         out = os.path.join(REPO, "BENCH", "scaling_weak.json")
     else:
-        results = {}
-        for cores in (CORES_N, CORES_4N):
-            results[cores] = run(cores)
-            print(results[cores])
-        thr_n = results[CORES_N]["images_per_sec"]
-        thr_4n = results[CORES_4N]["images_per_sec"]
-        eff = round(thr_4n / (4 * thr_n), 3)
+        # Same pairing discipline as the weak study: the host's speed
+        # drifts minute to minute, so an N-block followed by a 4N-block
+        # conflates drift with scaling. Run adjacent (N, 4N) subprocess
+        # pairs and report the median per-pair efficiency; each worker
+        # also emits a CPU canary so the windows are auditable.
+        from statistics import median
+
+        n_rounds = int(os.environ.get("SCALING_PAIRS", "3"))
+        pairs = []
+        for _ in range(n_rounds):
+            rn = run(CORES_N)
+            r4 = run(CORES_4N)
+            print(rn)
+            print(r4)
+            pairs.append(
+                {
+                    "localN": rn,
+                    "local4N": r4,
+                    "efficiency": round(
+                        r4["images_per_sec"] / (4 * rn["images_per_sec"]), 3
+                    ),
+                }
+            )
+        eff = round(median(p["efficiency"] for p in pairs), 3)
         summary = {
             "job": JOB,
             "parallelism": {"N": CORES_N, "4N": CORES_4N},
-            "n_images": results[CORES_4N]["n_images"],
-            "localN": results[CORES_N],
-            "local4N": results[CORES_4N],
+            "n_images": pairs[0]["local4N"]["n_images"],
+            "pairs": pairs,
             "scaling_efficiency": eff,
-            "criterion": ">= 0.8 between N and 4N parallelism",
+            "criterion": ">= 0.8 between N and 4N parallelism "
+                         "(median of same-window pairs)",
             "pass": eff >= 0.8,
         }
         out = os.path.join(REPO, "BENCH", "scaling.json")

@@ -66,9 +66,15 @@ def main():
         n_pairs = pip_join_broadcast(tiled, layer, keep=["phash"]).count()
         runs.append(time.time() - t0)
     wall = min(runs)
+    t0 = time.time()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    canary = round(time.time() - t0, 3)
     print(json.dumps({"cores": cores, "wall_sec": round(wall, 3), "n_images": n,
                       "runs": [round(r, 3) for r in runs],
-                      "n_pairs": n_pairs, "images_per_sec": round(n / wall, 1)}))
+                      "n_pairs": n_pairs, "images_per_sec": round(n / wall, 1),
+                      "cpu_canary_sec": canary}))
     spark.stop()
 
 
