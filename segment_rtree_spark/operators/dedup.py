@@ -394,6 +394,14 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
     candidate join that scales and one that re-goes quadratic on a
     10^12-image corpus.
     """
+    # n_bands must evenly split the 64-bit hash: a non-divisor would
+    # silently leave the high 64 % n_bands bits unbanded (breaking the
+    # pigeonhole recall guarantee), and n_bands=1 would need a 2^64-1
+    # mask that overflows Spark's signed long literal.
+    if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
+        raise ValueError(
+            f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
+        )
     width = 64 // n_bands
     mask = (1 << width) - 1
     # single-pass banding (explode, not union-per-band): the input may

@@ -238,6 +238,8 @@ def psnr_refine_pairs(pairs: DataFrame, images: DataFrame,
     def kernel(batches):
         for pdf in batches:
             n = len(pdf)
+            if n == 0:
+                continue
             sse = np.zeros(n, np.int64)
             nv = np.zeros(n, np.int32)
             for r in range(n):

@@ -29,11 +29,16 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
                   max_hamming: int = 8,
                   how: str = "broadcast",
                   n_bands: int = 4,
-                  materialize: bool = True) -> DataFrame:
+                  materialize: bool = True,
+                  id_col: str = "image_id",
+                  caption: str = "caption",
+                  phash: str = "phash",
+                  x: str = "lng",
+                  y: str = "lat") -> DataFrame:
     """Region filter -> caption filter -> near-dup cluster -> keep one
     representative per cluster.
 
-    Returns the curated set: (image_id, caption, n_regions,
+    Returns the curated set: (id_col, caption, n_regions,
     cluster_size) where n_regions counts containing/boundary polygons
     and cluster_size is how many surviving images the kept
     representative stands for (1 = unique).
@@ -41,13 +46,15 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
     `how` selects the PIP strategy like SpatialFrame.pip_join:
     'broadcast' (default — layer pack ships to executors, zero
     image-side shuffle), 'partitioned' (cell-cover equi-join for
-    layers too big to broadcast), or 'auto'.
+    layers too big to broadcast), or 'auto'. Column names default to
+    the input_hint schema (image_id, caption, phash, lng, lat) and
+    thread through to the composed operators.
     """
     # Narrow projection FIRST: nothing downstream needs the pixel
     # bytes, and projecting here keeps every subsequent shuffle at a
     # few dozen bytes/row instead of the full payload (at the scan,
     # parquet column pruning makes this free).
-    narrow = images.select("image_id", "caption", "phash", "lat", "lng")
+    narrow = images.select(id_col, caption, phash, y, x)
     if how == "auto":
         import pickle
 
@@ -59,30 +66,32 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
             else "partitioned"
         )
     if how == "broadcast":
-        hits = pip_join_broadcast(narrow, layer, keep=["image_id"])
+        hits = pip_join_broadcast(narrow, layer, x=x, y=y, keep=[id_col])
     else:
         from .operators.pip_join import pip_join
 
-        hits = pip_join(narrow, layer, how=how, keep=["image_id"])
-    nreg = hits.groupBy("image_id").agg(F.count(F.lit(1)).alias("n_regions"))
+        hits = pip_join(narrow, layer, how=how, x=x, y=y, keep=[id_col])
+    nreg = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_regions"))
     # The survivor set feeds three consumers (clustering, the size agg,
     # and the final representative join); without materialization each
     # one would re-execute the PIP join. localCheckpoint runs it once
     # (on a cluster: .checkpoint() against the durable checkpoint dir).
     ok = (
-        narrow.join(nreg, "image_id")
-        .filter(F.size(F.split(F.col("caption"), " ")) >= min_caption_tokens)
+        narrow.join(nreg, id_col)
+        .filter(F.size(F.split(F.col(caption), " ")) >= min_caption_tokens)
     )
     if materialize:
         # (materialize=False keeps the full lineage — used by the plan
         # audit test to inspect the scan, and by callers who prefer
         # their own persistence strategy)
         ok = ok.localCheckpoint()
-    comp = phash_components(ok, max_hamming=max_hamming, n_bands=n_bands)
+    comp = phash_components(
+        ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands
+    )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        ok.join(comp, "image_id")
-        .filter(F.col("image_id") == F.col("component"))
+        ok.join(comp, id_col)
+        .filter(F.col(id_col) == F.col("component"))
         .join(sizes, "component")
-        .select("image_id", "caption", "n_regions", "cluster_size")
+        .select(id_col, caption, "n_regions", "cluster_size")
     )

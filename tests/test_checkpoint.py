@@ -61,10 +61,13 @@ def test_submit_job_demo_smoke():
     and reports processed partition keys + a progress table."""
     import subprocess
     import sys
+    from pathlib import Path
 
+    script = Path(__file__).parents[1] / "tools" / "submit_job.py"
     out = subprocess.run(
-        [sys.executable, "tools/submit_job.py", "--demo"],
+        [sys.executable, str(script), "--demo"],
         capture_output=True, text=True, timeout=300,
+        cwd=str(Path(__file__).parents[1]),
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "processed" in out.stdout and "progress table:" in out.stdout
