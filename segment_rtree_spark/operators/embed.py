@@ -22,6 +22,8 @@ __all__ = [
     "cosine_topk",
     "lsh_buckets",
     "ann_topk",
+    "ann_bucket_stats",
+    "auto_n_bits",
     "embedding_neardup_pairs",
     "hyperplane",
     "ivf_topk",
@@ -34,6 +36,25 @@ __all__ = [
 
 DIM = 64
 N_BITS = 8
+# average vectors per LSH bucket the auto-scaler aims for: the refine
+# join is O(target^2 / 2) comparisons per bucket, so 1024 keeps every
+# bucket's self-join ~500k cosine evals — one comfortable Spark task
+TARGET_BUCKET = 1024
+
+
+def auto_n_bits(n_rows: int, target_bucket: int = TARGET_BUCKET,
+                lo: int = 1, hi: int = 24) -> int:
+    """Corpus-scaled hyperplane count: 2^n_bits buckets sized so the
+    AVERAGE bucket holds ~target_bucket vectors, making the per-bucket
+    refine join O(target^2) instead of O((N/2^fixed_bits)^2) — the
+    fix for fixed-bit LSH re-going quadratic at 10^9 vectors.
+    (hi=24 caps the bucket-id space; beyond that raise target_bucket.)
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, int(math.ceil(math.log2(n_rows / target_bucket)))))
 
 
 def hyperplane(i: int, dim: int = DIM) -> np.ndarray:
@@ -99,6 +120,8 @@ def lsh_buckets(
 
     def kernel(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # zero-row Arrow batches reach kernels
+                continue
             emb = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec]], dtype=np.float64
             )
@@ -114,20 +137,103 @@ def lsh_buckets(
     return vectors.mapInPandas(kernel, f"{id_col} long, bucket long")
 
 
+def ann_bucket_stats(
+    vectors: DataFrame,
+    n_bits: int = N_BITS,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Per-bucket size monitor for the ANN joins: (bucket, bucket_n,
+    truncated) — the embedding-side twin of dedup.lsh_bucket_stats.
+    Run alongside a capped ann_topk/embedding_neardup_pairs to see
+    exactly which mega-buckets were dropped."""
+    stats = lsh_buckets(vectors, n_bits, id_col, vec).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    cap = F.lit(max_bucket) if max_bucket is not None else F.lit(None).cast("int")
+    return stats.withColumn("truncated", cap.isNotNull() & (F.col("bucket_n") > cap))
+
+
+def _bucketed_vectors(
+    vectors: DataFrame, n_bits: int, id_col: str, vec: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id, v, bucket) with over-cap buckets dropped WHOLE before any
+    join over them (the dedup._cap_buckets discipline): a degenerate
+    bucket of near-identical vectors would otherwise self-join O(n^2)
+    in one task. Its members are exact/near-exact dups better handled
+    by exact dedup; the dropped buckets stay visible via
+    ann_bucket_stats with the same cap."""
+    b = lsh_buckets(vectors, n_bits, id_col, vec)
+    v = vectors.join(b, id_col).select(
+        F.col(id_col), F.col(vec).cast("array<double>").alias("v"), "bucket"
+    )
+    if max_bucket is not None:
+        sizes = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+        v = v.join(sizes.filter(F.col("bucket_n") <= max_bucket), "bucket").drop(
+            "bucket_n"
+        )
+    return v
+
+
+def _probe_flips(n_bits: int, n_probe: int) -> list[int]:
+    """Multi-probe XOR masks: every bucket id within Hamming distance
+    n_probe of the vector's own bucket. Radius 1 adds n_bits probes,
+    radius 2 adds n_bits*(n_bits-1)/2 more — the standard multi-probe
+    LSH trade that lets n_bits scale with the corpus (smaller buckets)
+    without collapsing recall for pairs that disagree on 1-2 signs."""
+    if n_probe not in (0, 1, 2):
+        raise ValueError(f"n_probe must be 0, 1 or 2, got {n_probe}")
+    flips = [0]
+    if n_probe >= 1:
+        flips += [1 << i for i in range(n_bits)]
+    if n_probe >= 2:
+        flips += [
+            (1 << i) | (1 << j) for i in range(n_bits) for j in range(i + 1, n_bits)
+        ]
+    return flips
+
+
+def _probed(v: DataFrame, n_bits: int, n_probe: int) -> DataFrame:
+    """Explode the probe side into its probe buckets. Each candidate
+    pair meets EXACTLY once (the single flip f = bucket_a XOR bucket_b
+    satisfies the join), so downstream ranking needs no dedup."""
+    flips = _probe_flips(n_bits, n_probe)
+    if len(flips) == 1:
+        return v
+    return v.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(f)) for f in flips])
+        ),
+    )
+
+
 def ann_topk(
     vectors: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    n_bits: int = N_BITS,
+    n_bits: int | None = None,
+    target_bucket: int = TARGET_BUCKET,
+    n_probe: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: bucket equi-join then exact cosine
-    refine inside each bucket. Output (query_id, vec_id, score, rank)."""
-    b = lsh_buckets(vectors, n_bits, id_col, vec)
-    v = vectors.join(b, id_col).select(
-        F.col(id_col), F.col(vec).cast("array<double>").alias("v"), "bucket"
-    )
-    a, t = v.alias("a"), v.alias("b")
+    refine inside each bucket. Output (query_id, vec_id, score, rank).
+
+    n_bits=None (default) scales the bucket count with the corpus
+    (auto_n_bits: ~log2(N / target_bucket), one count() job) so the
+    per-bucket refine stays O(target_bucket^2) at any N; multi-probe
+    (n_probe bit flips on the query side) keeps recall as n_bits
+    grows; max_bucket drops degenerate mega-buckets whole (visible via
+    ann_bucket_stats)."""
+    if n_bits is None:
+        n_bits = auto_n_bits(vectors.count(), target_bucket)
+    v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket)
+    a = _probed(v, n_bits, n_probe).alias("a")
+    t = v.alias("b")
     dot = F.expr(_dot_expr("a.v", "b.v"))
     na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
     nb = F.sqrt(F.expr(_dot_expr("b.v", "b.v")))
@@ -149,18 +255,24 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    n_bits: int = 4,
+    n_bits: int | None = None,
+    target_bucket: int = TARGET_BUCKET,
+    n_probe: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, score) with
     cosine >= threshold, candidates from a sign-LSH bucket equi-join
     (never all-pairs — near-identical vectors share all hyperplane
-    signs, so a coarse n_bits bucket has high recall at high
-    thresholds; the exact cosine filter keeps precision exact)."""
-    b = lsh_buckets(vectors, n_bits, id_col, vec)
-    v = vectors.join(b, id_col).select(
-        F.col(id_col), F.col(vec).cast("array<double>").alias("v"), "bucket"
-    )
-    a, t = v.alias("a"), v.alias("b")
+    signs; the exact cosine filter keeps precision exact).
+
+    Same corpus-scaling controls as ann_topk: n_bits auto-scales with
+    N (default), n_probe bit-flip probes protect recall at high bit
+    counts, max_bucket is the degenerate-corpus skew guard."""
+    if n_bits is None:
+        n_bits = auto_n_bits(vectors.count(), target_bucket)
+    v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket)
+    a = _probed(v, n_bits, n_probe).alias("a")
+    t = v.alias("b")
     dot = F.expr(_dot_expr("a.v", "b.v"))
     na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
     nb = F.sqrt(F.expr(_dot_expr("b.v", "b.v")))
@@ -249,6 +361,23 @@ def ivf_centroids(vectors_pdf, k: int = 8, iters: int = 3, vec: str = "embedding
     return cent
 
 
+def _argmin_list(emb: np.ndarray, cent: np.ndarray,
+                 max_elems: int = 1 << 25) -> np.ndarray:
+    """Nearest-centroid assignment with the (rows, k, dim) distance
+    tensor CHUNKED over rows so it never exceeds ~max_elems float64s
+    (256 MB): with corpus-scaled list counts (k ~ sqrt(N)) a dense
+    10k-row x 4k-list x 64-dim tensor would be 20 GB per batch."""
+    n, dim = emb.shape
+    k = cent.shape[0]
+    step = max(1, max_elems // max(1, k * dim))
+    out = np.empty(n, np.int64)
+    for s in range(0, n, step):
+        e = min(n, s + step)
+        d = ((emb[s:e, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        out[s:e] = d.argmin(axis=1)
+    return out
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
@@ -282,8 +411,10 @@ def kmeans_fit(
         def partial(batches):
             c = bc.value
             for pdf in batches:
+                if len(pdf) == 0:  # zero-row Arrow batch: np.stack would raise
+                    continue
                 emb = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
-                a = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                a = _argmin_list(emb, c)
                 lists, poss, ss, ns = [], [], [], []
                 for j in range(len(c)):
                     m = a == j
@@ -318,7 +449,7 @@ def kmeans_fit(
 def ivf_topk(
     vectors: DataFrame,
     k: int = 5,
-    n_lists: int = 8,
+    n_lists: int | None = 8,
     id_col: str = "vec_id",
     vec: str = "embedding",
     sample: int | None = None,
@@ -328,8 +459,17 @@ def ivf_topk(
     (one mapInPandas pass with the broadcast codebook), then exact
     cosine refine INSIDE each list (equi-join on list id). The scale
     shape: candidate generation is a hash join on `list`, never an
-    all-pairs cross join."""
+    all-pairs cross join.
+
+    n_lists=None scales the list count with the corpus (~sqrt(N),
+    the standard IVF sizing: fit cost k*dim*N and per-list refine
+    (N/k)^2 balance at k ~ sqrt(N)); assignment kernels chunk the
+    distance tensor so large codebooks stay memory-bounded."""
+    import math
+
     spark = vectors.sparkSession
+    if n_lists is None:
+        n_lists = max(2, min(1 << 16, int(round(math.sqrt(vectors.count())))))
     # an explicit sample size implies the sample fit — callers who
     # tuned `sample` keep their driver-side cost profile rather than
     # silently switching to full distributed passes
@@ -347,9 +487,10 @@ def ivf_topk(
     def assign(batches):
         c = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             emb = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
-            d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame({id_col: pdf[id_col], "list": d.argmin(axis=1).astype(np.int64)})
+            yield pd.DataFrame({id_col: pdf[id_col], "list": _argmin_list(emb, c)})
 
     lists = vectors.select(id_col, vec).mapInPandas(assign, f"{id_col} long, list long")
 

@@ -1587,13 +1587,17 @@ REGISTRY["validate_polygons"] = (q_validate_polygons, _validate_polygons_oracle)
 
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (LSH-bucketed candidates +
-    exact cosine refine) — the embedding flavor of the dedup suite.
-    The synthetic embeddings top out near cosine 0.51, so the
-    \"near-dup\" threshold is set where the table has pairs."""
+    1-bit multi-probe + exact cosine refine) — the embedding flavor of
+    the dedup suite. The synthetic embeddings top out near cosine
+    0.51, so the \"near-dup\" threshold is set where the table has
+    pairs. n_bits pinned (the auto_n_bits default needs a count; the
+    oracle needs static hyperplane literals); n_probe=1 exercises the
+    multi-probe path — the oracle's join admits any pair whose buckets
+    differ in at most one bit."""
     from ..operators.embed import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_bits=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_bits=4, n_probe=1
     )
 
 
@@ -1609,6 +1613,9 @@ def _embed_neardup_oracle():
     score = dot.format(a="a.tv", b="b.tv")
     norm = (f"(sqrt({dot.format(a='a.tv', b='a.tv')}) * "
             f"sqrt({dot.format(a='b.tv', b='b.tv')}))")
+    # multi-probe radius 1 over 4 bits: candidate pairs share a bucket
+    # or differ by exactly one flipped hyperplane sign
+    flips = ", ".join(str(1 << i) for i in range(4))
     return f"""
 with v as (
   select vec_id, embedding::double[] as tv,
@@ -1618,7 +1625,9 @@ with v as (
 pairs as (
   select distinct a.vec_id as id_a, b.vec_id as id_b,
          {score} / {norm} as score
-  from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
+  from v a join v b
+    on (a.bucket = b.bucket or xor(a.bucket, b.bucket) in ({flips}))
+   and a.vec_id < b.vec_id
 )
 select id_a, id_b, score from pairs where score >= 0.35
 """
