@@ -60,6 +60,12 @@ class CheckpointJob:
     def progress(self) -> DataFrame:
         return self.spark.read.parquet(self.progress_dir)
 
+    def progress_remaining(self, df: DataFrame, key_col: str) -> list:
+        """Keys of df with no progress row yet (what a resume would run).
+        Empty list == stage complete."""
+        all_keys = {r[0] for r in df.select(key_col).distinct().collect()}
+        return sorted(all_keys - self.completed_keys())
+
     def _record(self, rows):
         pdf = self.spark.createDataFrame(
             rows,

@@ -69,24 +69,139 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text: str = "tex
     return toks.groupBy(id_col).agg(*aggs)
 
 
-def _lsh_exploded(docs: DataFrame, id_col: str, text: str, rows_per_band: int) -> DataFrame:
+def _lsh_exploded(docs: DataFrame, id_col: str, text: str, rows_per_band: int,
+                  with_keys: bool = False) -> DataFrame:
     """One row per (doc, band) with the band key.
 
     Single-pass banding: the bands explode from ONE signature
     computation via explode(array(struct...)). The union-per-band
     formulation would make Catalyst recompute the whole
     tokenize->explode->groupBy signature pipeline once PER BAND — at
-    10^12 docs that multiplies the dominant cost by the band count."""
+    10^12 docs that multiplies the dominant cost by the band count.
+
+    with_keys=True additionally carries the band ordinal `bi` and the
+    FULL key array `keys` on every row, enabling first-collision-band
+    pair emission downstream (see lsh_pairs)."""
     sig = minhash_signatures(docs, id_col, text)
     k = len(MINHASH_PARAMS)
-    entries = []
+    keys = []
     for b in range(0, k, rows_per_band):
         cols = [F.col(f"mh{i}") for i in range(b, min(b + rows_per_band, k))]
-        key = F.concat_ws("-", *[c.cast("string") for c in cols])
-        entries.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+        keys.append((b, F.concat_ws("-", *[c.cast("string") for c in cols])))
+    entries = []
+    for bi, (b, key) in enumerate(keys):
+        fields = [F.lit(b).alias("band"), key.alias("bkey")]
+        if with_keys:
+            fields += [
+                F.lit(bi).alias("bi"),
+                F.array(*[kc for _, kc in keys]).alias("keys"),
+            ]
+        entries.append(F.struct(*fields))
+    out_cols = [id_col, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")]
+    if with_keys:
+        out_cols += [F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys")]
     return sig.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("e")
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
+    ).select(*out_cols)
+
+
+def _first_band_pred(n_bands: int) -> str:
+    """First-collision-band predicate: a candidate pair colliding in
+    several bands is emitted ONLY from the first one (no earlier band
+    key equal). This replaces a distinct() over the full pair stream
+    (a shuffle of O(pairs x bands) rows — the measured bottleneck on
+    duplicate-heavy corpora) with a streaming filter at the join.
+
+    Expanded as a STATIC conjunction of array-index compares: the
+    band count is known at plan time, and the equivalent higher-order
+    form (exists over zip_with) doesn't whole-stage-codegen — measured
+    ~0.5us/row interpreted, tripling the join stage's cost."""
+    parts = [
+        f"(a.bi <= {i} or a.keys[{i}] != b.keys[{i}])" for i in range(n_bands - 1)
+    ]
+    return " and ".join(parts) if parts else "true"
+
+
+def _tiled_self_join(exploded: DataFrame, id_col: str,
+                     hot_threshold: int = 4096) -> DataFrame:
+    """Skew-proof intra-bucket self-join: (a, b) rows sharing
+    (band, bkey), with HOT buckets tiled into sub-tasks.
+
+    A bucket of n members yields ~n^2/2 candidate pairs in ONE task
+    under a plain equi-join — measured: two 2.3k-doc buckets produced
+    5.4M of 5.75M pairs in two serial tasks, pinning 30 of 32 cores
+    idle (at 10x corpus those tasks go 100x). Tiling splits each hot
+    bucket's members into g = ceil(n / hot_threshold) salt groups
+    (deterministic xxhash64 of the id; default 4096 keeps a tile at
+    ~8M pair evals — a 1-2s task; lower thresholds over-tile and the
+    per-task overhead dominates, measured 1.38s@4096 vs 2.36s@512) and
+    joins on (band, bkey, i, j): side a replicates each member to
+    tiles (s(a), *), side b to (*, s(b)), so every ordered pair meets
+    in EXACTLY one tile and a hot bucket becomes g^2 bounded tasks.
+    Cold buckets (g=1) pay nothing.
+
+    The hot-bucket list is computed ONCE (one sizing pass — partial
+    aggs shrink it map-side) and collected to the driver: hot KEYS are
+    few by definition (<= rows/threshold, realistically a handful —
+    the same bounded-collect contract as the PIP hot-cell set,
+    pip_join.py), and inlining them as a literal table keeps the plan
+    at two scans of the input instead of re-deriving the sizing
+    subtree under each join side. Corpora degenerate enough to exceed
+    the hot-key bound should use max_bucket caps instead (loud error).
+    With no hot buckets this is a plain equi-join — zero overhead.
+    """
+    spark = exploded.sparkSession
+    hot = (
+        exploded.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > hot_threshold)
+    )
+    hot_rows = hot.limit(100_001).collect()
+    if len(hot_rows) > 100_000:
+        raise ValueError(
+            f"more than 100k buckets exceed hot_threshold={hot_threshold}: "
+            "the corpus is degenerate for banded LSH — raise hot_threshold "
+            "or drop mega-buckets with max_bucket"
+        )
+    if not hot_rows:
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return a.join(b, ["band", "bkey"]).filter(
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    ex = (
+        exploded.join(
+            F.broadcast(spark.createDataFrame(hot_rows, schema=hot.schema)),
+            ["band", "bkey"],
+            "left",
+        )
+        .withColumn(
+            "g",
+            F.coalesce(
+                F.ceil(F.col("bucket_n") / F.lit(hot_threshold)).cast("int"),
+                F.lit(1),
+            ),
+        )
+        .withColumn(
+            "s", F.pmod(F.xxhash64(F.col(id_col)), F.col("g")).cast("int")
+        )
+        .drop("bucket_n")
+    )
+    a = (
+        ex.withColumnRenamed("s", "i")
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+        .drop("g")
+    )
+    b = (
+        ex.withColumnRenamed("s", "j")
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+        .drop("g")
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), ["band", "bkey", "i", "j"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
 
 
 def lsh_bucket_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
@@ -130,17 +245,36 @@ def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
     the cap are dropped BEFORE the join (their members are exact or
     near-exact dups better handled by exact_dups); the dropped buckets
     stay visible via lsh_bucket_stats with the same cap.
+
+    Dedup of multi-band collisions: without a cap, a pair is emitted
+    from its FIRST colliding band only (streaming filter at the join —
+    measured 3x cheaper than distinct() on duplicate-heavy corpora,
+    where the distinct shuffles O(pairs x bands) rows). With a cap the
+    first-band rule breaks (the first colliding bucket may have been
+    dropped while a later one survived), so that path keeps distinct().
     """
-    exploded = _cap_buckets(_lsh_exploded(docs, id_col, text, rows_per_band), max_bucket)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    if max_bucket is not None:
+        exploded = _cap_buckets(
+            _lsh_exploded(docs, id_col, text, rows_per_band), max_bucket
+        )
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return (
+            a.join(b, ["band", "bkey"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            )
+            .distinct()
+        )
+    exploded = _lsh_exploded(docs, id_col, text, rows_per_band, with_keys=True)
+    n_bands = (len(MINHASH_PARAMS) + rows_per_band - 1) // rows_per_band
     return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        _tiled_self_join(exploded, id_col)
+        .filter(F.expr(_first_band_pred(n_bands)))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .distinct()
     )
 
 
@@ -311,22 +445,34 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """64-bit simhash: bit b set iff more than half the tokens have bit
-    b set in their hash. Two-level aggregation (doc,bit) -> doc keeps
-    the plan a pair of hash-aggs (no UDF, scales with partial aggs)."""
+    b set in their hash.
+
+    ONE hash-agg over token rows with 60 conditional-sum expressions
+    (plus the token count) — no per-bit explode: the earlier
+    (doc, bit) formulation pushed 60x the token rows through its
+    first aggregate's hash table. Partial aggregation still applies
+    (each executor pre-reduces to one row per doc), so the shuffle
+    carries #docs rows either way but the map side now hashes token
+    rows once instead of 60 times (measured 2x warm, and the smaller
+    aggregate codegen-compiles faster cold). No UDF anywhere.
+
+    Only bits below TOKEN_MOD's width are aggregated: _tokens
+    guarantees h < TOKEN_MOD < 2^20, so bits 20..59 have zero ones in
+    every document and can never pass the majority test — identical
+    output to the full 60-bit fold (the SQL oracle still folds all 60
+    and hashes equal)."""
+    n_bits = (TOKEN_MOD - 1).bit_length()
     toks = _tokens(docs, id_col, text)
-    bits = toks.select(
-        id_col, F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"), "h"
-    ).groupBy(id_col, "bit").agg(
-        F.sum(F.expr("(h >> bit) & 1")).alias("ones"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return bits.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("ones") * 2 > F.col("n"), F.expr("cast(1 as bigint) << bit")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    aggs = [
+        F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"o{b}") for b in range(n_bits)
+    ] + [F.count(F.lit(1)).alias("n")]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sim = sim + F.when(
+            F.col(f"o{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
@@ -406,28 +552,38 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
     mask = (1 << width) - 1
     # single-pass banding (explode, not union-per-band): the input may
     # be an expensive synthesized/decoded table; a union would rescan
-    # it once per band
+    # it once per band. Each row carries the band ordinal + the full
+    # key array so a pair colliding in several bands is emitted from
+    # its FIRST one only (streaming filter instead of a distinct()
+    # shuffle over the whole candidate stream — see lsh_pairs).
+    keys = [
+        F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask))
+        for b in range(n_bands)
+    ]
     entries = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask)).alias("bkey"),
+            keys[b].alias("bkey"),
+            F.lit(b).alias("bi"),
+            F.array(*keys).alias("keys"),
         )
         for b in range(n_bands)
     ]
     ex = images.select(
         F.col(id_col), F.col(phash), F.explode(F.array(*entries)).alias("e")
-    ).select(id_col, phash, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
-    a, b = ex.alias("a"), ex.alias("b")
+    ).select(
+        id_col, phash, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"),
+        F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys"),
+    )
     pairs = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        _tiled_self_join(ex, id_col)
+        .filter(F.expr(_first_band_pred(n_bands)))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{phash}").alias("ph_a"),
             F.col(f"b.{phash}").alias("ph_b"),
         )
-        .distinct()
     )
     xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
     return (

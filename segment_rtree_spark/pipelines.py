@@ -21,7 +21,7 @@ from .layer import PolygonLayer
 from .operators.dedup import phash_components
 from .operators.pip_join import pip_join_broadcast
 
-__all__ = ["curate_images"]
+__all__ = ["curate_images", "curate_images_checkpointed"]
 
 
 def curate_images(images: DataFrame, layer: PolygonLayer,
@@ -95,3 +95,75 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
         .join(sizes, "component")
         .select(id_col, caption, "n_regions", "cluster_size")
     )
+
+
+def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
+                               root: str, job_id: str = "curate",
+                               min_caption_tokens: int = 2,
+                               max_hamming: int = 8,
+                               n_bands: int = 4,
+                               res: int = 4,
+                               keys_per_batch: int = 8,
+                               max_batches: int | None = None,
+                               id_col: str = "image_id",
+                               caption: str = "caption",
+                               phash: str = "phash",
+                               x: str = "lng",
+                               y: str = "lat"):
+    """Durable, resumable curate_images: the north rule's per-partition
+    checkpointing applied to the flagship composed pipeline.
+
+    Two stages:
+      1. SURVIVOR stage, resumable per spatial cell (CheckpointJob):
+         work is keyed by the res-`res` quadtree cell of the geotag;
+         each key batch runs the row-local part of the pipeline
+         (narrow projection -> broadcast PIP -> n_regions -> caption
+         filter) and its output commits atomically under the key's
+         parquet partition with a progress/lineage row. A killed job
+         re-runs only the keys with no progress row.
+      2. CLUSTER stage, global: phash near-dup clustering + one
+         representative per cluster over the (much smaller) survivor
+         set read back from the checkpoint — clusters span cells, so
+         this stage is inherently global; it is cheap relative to
+         stage 1 and simply re-runs on resume.
+
+    Returns (n_keys_processed, curated DataFrame | None): None while
+    stage 1 is incomplete (resume by calling again with the same
+    root/job_id; `max_batches` exists for tests to simulate a kill).
+    Matches curate_images() exactly when complete.
+    """
+    from .checkpoint import CheckpointJob
+    from .operators.tile_ops import assign_tiles
+
+    spark = images.sparkSession
+    narrow = assign_tiles(
+        images.select(id_col, caption, phash, y, x), res=res, y=y, x=x
+    )
+    job = CheckpointJob(spark, job_id, root)
+
+    def survivors(batch: DataFrame) -> DataFrame:
+        hits = pip_join_broadcast(batch, layer, x=x, y=y, keep=[id_col])
+        nreg = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_regions"))
+        return (
+            batch.join(nreg, id_col)
+            .filter(F.size(F.split(F.col(caption), " ")) >= min_caption_tokens)
+        )
+
+    done = job.run(narrow, "cell", survivors,
+                   keys_per_batch=keys_per_batch, max_batches=max_batches)
+    todo = job.progress_remaining(narrow, "cell")
+    if todo:
+        return done, None
+
+    ok = job.output().drop("cell")
+    comp = phash_components(
+        ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    final = (
+        ok.join(comp, id_col)
+        .filter(F.col(id_col) == F.col("component"))
+        .join(sizes, "component")
+        .select(id_col, caption, "n_regions", "cluster_size")
+    )
+    return done, final

@@ -133,3 +133,78 @@ def test_label_propagate_random_graphs(spark):
             edf = spark.createDataFrame([], "src long, dst long")
         got = {r["node"]: r["label"] for r in label_propagate(ndf, edf).collect()}
         assert got == expected, f"trial {trial}"
+
+
+def test_tiled_self_join_matches_plain(spark):
+    """Hot-bucket tiling + first-collision-band emission must produce
+    exactly the distinct pair set of the plain join (each pair once,
+    no matter how many bands or tiles it collides in)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.dedup import lsh_pairs
+
+    # 300 identical docs (one mega bucket in every band, forced hot by
+    # the tiny threshold below) + 50 unique docs
+    texts = ["the same exact doc"] * 300 + [f"unique doc number {i} xyz{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    from segment_rtree_spark.operators import dedup as D
+
+    ex = D._lsh_exploded(docs, "doc_id", "text", 4, with_keys=True)
+    tiled = (
+        D._tiled_self_join(ex, "doc_id", hot_threshold=64)
+        .filter(F.expr(D._first_band_pred(2)))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    plain = lsh_pairs(docs, max_bucket=10**9)  # capped path = distinct()
+    t = tiled.toPandas()
+    assert t.duplicated(["doc_a", "doc_b"]).sum() == 0
+    assert len(t) >= 300 * 299 // 2  # at least the identical-doc clique
+    assert tiled.exceptAll(plain).count() == 0
+    assert plain.exceptAll(tiled).count() == 0
+
+
+def test_tiled_self_join_max_tiling(spark):
+    """hot_threshold=1 pushes every bucket through the tiled path with
+    maximal g: pair completeness must survive extreme tiling (every
+    ordered pair still meets in exactly one tile)."""
+    import pandas as pd
+
+    from segment_rtree_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "text": ["same doc text"] * 40})
+    )
+    ex = D._lsh_exploded(docs, "doc_id", "text", 4, with_keys=True)
+    out = D._tiled_self_join(ex, "doc_id", hot_threshold=1)
+    assert out.count() == 2 * (40 * 39 // 2)  # both bands, pre-first-band-filter
+
+
+def test_first_band_pred_shapes():
+    from segment_rtree_spark.operators.dedup import _first_band_pred
+
+    assert _first_band_pred(1) == "true"
+    assert _first_band_pred(2) == "(a.bi <= 0 or a.keys[0] != b.keys[0])"
+    assert "a.keys[2]" in _first_band_pred(4)
+
+
+def test_simhash_trimmed_bits_match_full(spark):
+    """simhash64 aggregates only TOKEN_MOD-width bits; verify against
+    an explicit full-60-bit recompute on a real corpus slice."""
+    import pandas as pd
+
+    from segment_rtree_spark.operators.dedup import simhash64, _tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    got = simhash64(docs).toPandas().set_index("doc_id")["simhash"]
+    toks = _tokens(docs, "doc_id", "text").toPandas()
+    for doc_id, grp in toks.groupby("doc_id"):
+        h = grp["h"].to_numpy()
+        n = len(h)
+        want = 0
+        for b in range(60):
+            if int(((h >> b) & 1).sum()) * 2 > n:
+                want |= 1 << b
+        assert got[doc_id] == want

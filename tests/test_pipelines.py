@@ -44,3 +44,53 @@ def test_curate_images_partitioned_equals_broadcast(spark):
     b = sorted(map(tuple, curate_images(
         imgs, layer, max_hamming=1, how="partitioned").collect()))
     assert a == b
+
+
+def test_curate_checkpointed_kill_resume_matches_oneshot(spark, tmp_path):
+    """Durable-checkpoint curation: a job killed after one batch and
+    resumed must produce exactly the one-shot curate_images result,
+    and the resume must NOT re-run completed keys."""
+    from segment_rtree_spark.pipelines import (
+        curate_images,
+        curate_images_checkpointed,
+    )
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 600).cache()
+    layer = entry_layer()
+    root = str(tmp_path / "curate_ckpt")
+
+    # simulated kill: only the first batch of keys commits
+    done1, final1 = curate_images_checkpointed(
+        imgs, layer, root, max_hamming=1, n_bands=2,
+        keys_per_batch=4, max_batches=1,
+    )
+    assert final1 is None and done1 == 4
+
+    # resume: completes the remaining keys only
+    done2, final2 = curate_images_checkpointed(
+        imgs, layer, root, max_hamming=1, n_bands=2, keys_per_batch=4,
+    )
+    assert final2 is not None
+
+    oneshot = curate_images(imgs, layer, max_hamming=1, n_bands=2).toPandas()
+    got = final2.toPandas()
+    cols = ["image_id", "caption", "n_regions", "cluster_size"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = oneshot[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+    # lineage: every key has exactly one progress row (no double work)
+    from segment_rtree_spark.checkpoint import CheckpointJob
+
+    prog = CheckpointJob(spark, "curate", root).progress().toPandas()
+    assert prog["partition_key"].is_unique
+    assert done2 == len(prog) - done1
+
+    # idempotent third call: nothing left to do, result unchanged
+    done3, final3 = curate_images_checkpointed(
+        imgs, layer, root, max_hamming=1, n_bands=2,
+    )
+    assert done3 == 0
+    assert final3.count() == len(got)

@@ -81,6 +81,18 @@ def test_lsh_single_pass_banding(spark):
     assert p.count("Generate explode(array(struct(band") == 2
 
 
+def test_simhash_single_explode_two_aggs(spark):
+    """simhash64 must not explode a (doc, bit) intermediate: one
+    Generate (the token explode) and one partial+final hash-agg pair —
+    the map side hashes each token row once, not 60 times."""
+    from segment_rtree_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(simhash64(docs), "simple")
+    assert p.count("Generate") == 1
+    assert p.count("HashAggregate") == 2
+
+
 def test_phash_banding_single_scan(spark):
     """phash band explode reads its input once per join side."""
     from segment_rtree_spark.operators.dedup import phash_neardup_pairs
