@@ -296,17 +296,67 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
     ingest job).
 
     Output: (image_id, ok, err_code, err_detail). Checks in order
-    (first failure wins): known format, payload length / container
-    signature, stream decode, decoded dimensions, and optionally the
-    stored phash against a recompute (check_phash=True; uses the
-    engine's standard phash64).
+    (first failure wins): NULL payload/metadata, known format, payload
+    length / container signature, stream decode, decoded dimensions,
+    and optionally the stored phash against a recompute
+    (check_phash=True; uses the engine's standard phash64).
+
+    Two-tier plan: every metadata-decidable check (NULLs, format
+    whitelist, raw payload length, PNG signature) runs as pure
+    Catalyst column expressions at scan speed; only rows that NEED a
+    stream decode (structurally-valid PNGs, plus raw rows when
+    check_phash re-hashes pixels) enter the Arrow kernel. On a
+    mostly-clean raw corpus without phash checking, NO row pays the
+    Python round trip.
     """
     import zlib
     from struct import error as struct_error
 
+    from pyspark.sql import functions as F
+
     from ..imageio import _PNG_SIG as PNG_SIG, phash64
 
     schema = "image_id string, ok boolean, err_code string, err_detail string"
+
+    def _pre(code: str, detail) -> "F.Column":
+        return F.struct(F.lit(code).alias("c"), detail.alias("d"))
+
+    want_len = (F.col("w").cast("long") * F.col("h").cast("long") * 3)
+    pre = (
+        F.when(F.col("bytes").isNull(), _pre(IMG_ERR_NULL_PAYLOAD, F.lit("bytes is NULL")))
+        .when(
+            F.col("fmt").isNull() | F.col("w").isNull() | F.col("h").isNull(),
+            _pre(
+                IMG_ERR_NULL_METADATA,
+                F.format_string(
+                    "fmt=%s w=%s h=%s",
+                    F.coalesce(F.concat(F.lit("'"), F.col("fmt"), F.lit("'")), F.lit("None")),
+                    F.coalesce(F.col("w").cast("string"), F.lit("None")),
+                    F.coalesce(F.col("h").cast("string"), F.lit("None")),
+                ),
+            ),
+        )
+        .when(
+            F.col("fmt").isin("jpeg", "webp"),
+            _pre(IMG_ERR_CODEC_UNAVAILABLE, F.concat(F.lit("fmt="), F.col("fmt"))),
+        )
+        .when(
+            ~F.col("fmt").isin("raw", "png"),
+            _pre(IMG_ERR_UNKNOWN_FORMAT, F.concat(F.lit("fmt="), F.col("fmt"))),
+        )
+        .when(
+            (F.col("fmt") == "raw") & (F.length("bytes") != want_len),
+            _pre(
+                IMG_ERR_TRUNCATED,
+                F.format_string("%d bytes, want %d", F.length("bytes"), want_len),
+            ),
+        )
+        .when(
+            (F.col("fmt") == "png")
+            & (F.expr("substring(bytes, 1, 8)") != F.lit(PNG_SIG)),
+            _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing PNG signature")),
+        )
+    )
 
     def classify(buf, fmt, w, h, stored_phash):
         if fmt in ("jpeg", "webp"):
@@ -374,4 +424,32 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
     cols = ["image_id", "bytes", "fmt", "w", "h"]
     if check_phash:
         cols.append("phash")
-    return images.select(*cols).mapInPandas(kernel, schema)
+    src = images.select(*cols).withColumn("pre", pre)
+    decided_err = src.filter(F.col("pre").isNotNull()).select(
+        F.col("image_id").cast("string").alias("image_id"),
+        F.lit(False).alias("ok"),
+        F.col("pre.c").alias("err_code"),
+        F.col("pre.d").alias("err_detail"),
+    )
+    if check_phash:
+        # every structurally-valid row still decodes (phash recompute)
+        needs_kernel = F.col("pre").isNull()
+        decided_ok = None
+    else:
+        # raw rows with the right length are fully valid — reshape
+        # cannot fail and nothing else is checked: pure Catalyst verdict
+        needs_kernel = F.col("pre").isNull() & (F.col("fmt") == "png")
+        decided_ok = src.filter(
+            F.col("pre").isNull() & (F.col("fmt") == "raw")
+        ).select(
+            F.col("image_id").cast("string").alias("image_id"),
+            F.lit(True).alias("ok"),
+            F.lit(None).cast("string").alias("err_code"),
+            F.lit(None).cast("string").alias("err_detail"),
+        )
+    out = decided_err.unionByName(
+        src.filter(needs_kernel).drop("pre").mapInPandas(kernel, schema)
+    )
+    if decided_ok is not None:
+        out = out.unionByName(decided_ok)
+    return out

@@ -26,7 +26,24 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..layer import PolygonLayer
 
-__all__ = ["knn_join_broadcast", "knn_join_centroid"]
+__all__ = ["knn_join_broadcast", "knn_join_centroid", "haversine_col", "EARTH_RADIUS_KM"]
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean earth radius
+
+
+def haversine_col(lat1, lng1, lat2, lng2, r: float = EARTH_RADIUS_KM):
+    """Great-circle distance (km) as a pure Catalyst column — the
+    geotag-correct metric for kNN over lat/lng (euclidean degrees
+    distort with latitude). 2r*asin(sqrt(hav)); the sqrt argument is
+    clamped to 1 against fp drift near antipodes."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2) - F.radians(lat1)
+    dl = F.radians(lng2) - F.radians(lng1)
+    hav = (
+        F.sin(dp / 2) * F.sin(dp / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) * F.sin(dl / 2)
+    )
+    return F.lit(2.0 * r) * F.asin(F.sqrt(F.least(F.lit(1.0), hav)))
 
 
 def _point_segment_dist2(px, py, x0, y0, x1, y1):
@@ -200,18 +217,31 @@ def knn_join_centroid(
     site_x: str = "cx",
     site_y: str = "cy",
     point_id: str = "point_id",
+    metric: str = "euclid",
 ) -> DataFrame:
     """Pure-DataFrame kNN to site points (polygon envelope centers):
     broadcast cross join + window top-k. SQL-oracle-able exactly.
+
+    metric='euclid' (default) ranks by squared coordinate distance
+    (column `dist2`); metric='haversine' ranks by great-circle km
+    (column `dist_km`) — x/y are then lng/lat degrees. Both are pure
+    Catalyst expressions.
 
     The window partitions on the narrow `point_id` key (must uniquely
     identify a point row) — never on every point column, which would
     shuffle wide payloads (captions, blobs) as the hash key."""
     if point_id not in points.columns:
         raise ValueError(f"point id column {point_id!r} not in points")
-    d2 = (F.col(x) - F.col(site_x)) ** 2 + (F.col(y) - F.col(site_y)) ** 2
-    joined = points.crossJoin(F.broadcast(sites)).withColumn("dist2", d2)
-    w = Window.partitionBy(point_id).orderBy(F.col("dist2").asc(), F.col(site_id).asc())
+    if metric == "haversine":
+        dcol, d = "dist_km", haversine_col(
+            F.col(y), F.col(x), F.col(site_y), F.col(site_x)
+        )
+    elif metric == "euclid":
+        dcol, d = "dist2", (F.col(x) - F.col(site_x)) ** 2 + (F.col(y) - F.col(site_y)) ** 2
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    joined = points.crossJoin(F.broadcast(sites)).withColumn(dcol, d)
+    w = Window.partitionBy(point_id).orderBy(F.col(dcol).asc(), F.col(site_id).asc())
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

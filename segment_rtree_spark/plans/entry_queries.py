@@ -1860,6 +1860,55 @@ where not exists (select 1 from bnd where bnd.a_id = y.a_id and bnd.b_id = y.b_i
 REGISTRY["polygon_overlap"] = (q_polygon_overlap, _polygon_overlap_oracle)
 
 
+# -- haversine kNN (geotag metric; rank-only output) ----------------------
+
+def q_knn_haversine(spark, sf_dir):
+    """kNN to sites under the great-circle metric — the geotag-correct
+    distance for lat/lng image tables (euclidean degrees distort with
+    latitude). Output is rank-only: sin/cos/asin are libm-dependent,
+    so the km VALUES can differ in final ulps across engines while the
+    RANKING (distances separated far beyond ulp on this grid) is
+    stable — the same discipline as ivf_ann's rank-only contract."""
+    import pandas as pd
+
+    from ..operators.knn_join import knn_join_centroid
+
+    sites = spark.createDataFrame(
+        pd.DataFrame(SITES, columns=["site_id", "cx", "cy"])
+    )
+    out = knn_join_centroid(
+        _points(spark, sf_dir), sites, k=3, site_id="site_id", metric="haversine"
+    )
+    return out.select("point_id", "site_id", "rank")
+
+
+def _knn_haversine_oracle():
+    from ..operators.knn_join import EARTH_RADIUS_KM
+
+    vals = ",".join(f"({i},{x!r},{y!r})" for i, x, y in SITES)
+    hav = (
+        "sin(radians(cy - lat) / 2) * sin(radians(cy - lat) / 2)"
+        " + cos(radians(lat)) * cos(radians(cy))"
+        " * sin(radians(cx - lng) / 2) * sin(radians(cx - lng) / 2)"
+    )
+    return f"""
+with pts as ({pts_sql()}),
+sites as (select * from (values {vals}) as t(site_id, cx, cy)),
+d as (
+  select point_id, site_id,
+         2.0 * {EARTH_RADIUS_KM!r} * asin(sqrt(least(1.0, {hav}))) as dist_km
+  from pts, sites
+),
+r as (select point_id, site_id,
+             row_number() over (partition by point_id order by dist_km asc, site_id asc) as rank
+      from d)
+select point_id, site_id, cast(rank as int) as rank from r where rank <= 3
+"""
+
+
+REGISTRY["knn_haversine"] = (q_knn_haversine, _knn_haversine_oracle)
+
+
 # -- geometry measures (shoelace area / perimeter, pure Catalyst) --------
 
 def _rings_values_sql() -> str:

@@ -124,3 +124,21 @@ def test_degenerate_corpus_bucket_cap(spark):
     # identical vectors through exact dedup, not ANN)
     exact = cosine_topk(df.filter("vec_id < 3"), df.filter("vec_id < 2"), k=2)
     assert exact.count() == 4
+
+
+def test_lsh_buckets_matmul_parity(spark):
+    """bit_exact=False (BLAS matmul) must bucket well-conditioned
+    vectors identically to the sequential-fold oracle path; signs can
+    only diverge within reassociation error of zero."""
+    from segment_rtree_spark.operators.embed import lsh_buckets
+
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(500, 64))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(500, dtype=np.int64),
+         "embedding": [list(map(float, v)) for v in emb]}
+    )
+    df = spark.createDataFrame(pdf).cache()
+    exact = lsh_buckets(df, n_bits=8).toPandas().set_index("vec_id")["bucket"]
+    fast = lsh_buckets(df, n_bits=8, bit_exact=False).toPandas().set_index("vec_id")["bucket"]
+    assert (exact.sort_index() == fast.sort_index()).all()

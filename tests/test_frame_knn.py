@@ -176,3 +176,38 @@ def test_frame_curate_chain(spark):
     chained = sorted(map(tuple, SpatialFrame(imgs).curate(layer, max_hamming=1).df.collect()))
     direct = sorted(map(tuple, curate_images(imgs, layer, max_hamming=1).collect()))
     assert chained == direct and chained
+
+
+def test_knn_haversine_metric(spark):
+    """Haversine kNN ranks by great-circle distance: at lat 60 a site
+    30 deg of LONGITUDE away is nearer than one 20 deg of LATITUDE
+    away (cos 60 = 0.5 shrinks lng degrees) — euclidean-degree ranking
+    gets this backwards. Also check the km value against the formula."""
+    import math
+
+    import pandas as pd
+
+    from segment_rtree_spark.operators.knn_join import (
+        EARTH_RADIUS_KM,
+        knn_join_centroid,
+    )
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1], "lng": [0.0], "lat": [60.0]})
+    )
+    sites = pd.DataFrame(
+        {"site_id": [10, 20], "cx": [30.0, 0.0], "cy": [60.0, 40.0]}
+    )
+    sdf = spark.createDataFrame(sites)
+    hav = knn_join_centroid(pts, sdf, k=2, site_id="site_id", metric="haversine").toPandas()
+    euc = knn_join_centroid(pts, sdf, k=2, site_id="site_id", metric="euclid").toPandas()
+    hav_rank1 = int(hav.loc[hav["rank"] == 1, "site_id"].iloc[0])
+    euc_rank1 = int(euc.loc[euc["rank"] == 1, "site_id"].iloc[0])
+    assert hav_rank1 == 10  # 30 deg lng at lat 60 ~ 1546 km
+    assert euc_rank1 == 20  # euclidean degrees rank the 20-deg-lat site first
+
+    got = float(hav.loc[hav["site_id"] == 20, "dist_km"].iloc[0])
+    want = 2 * EARTH_RADIUS_KM * math.asin(
+        math.sqrt(math.sin(math.radians(20) / 2) ** 2)
+    )
+    assert abs(got - want) < 1e-6

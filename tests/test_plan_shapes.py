@@ -123,6 +123,26 @@ def test_partitioned_pip_pins_partitions(spark):
     assert "FlatMapCoGroupsInPandas" in p or "FlatMapCoGroupsIn" in p
 
 
+def test_validate_images_prefilter_pushed(spark):
+    """Metadata-decidable validity checks run as Catalyst expressions;
+    the Arrow decode kernel's input branch is filtered to PNG rows
+    only (check_phash=False), so a clean raw corpus never crosses to
+    Python."""
+    from segment_rtree_spark.operators.images import validate_images
+    from segment_rtree_spark.synth import images_df_arith
+
+    df = validate_images(images_df_arith(spark, 50))
+    p = plan_str(df)
+    # the decode kernel's input branch is gated on fmt = png ...
+    assert "AND (fmt" in p and "= png)))" in p
+    # ... and the raw-valid verdict branch is a pure Catalyst filter
+    assert "= raw)))" in p
+    # prefilter verdicts (NULLs / formats / raw length / signature) are
+    # CASE expressions in the plan, not kernel branches
+    for code in ("NullPayload", "CodecUnavailable", "TruncatedPayload", "BadSignature"):
+        assert code in p
+
+
 def test_curate_pipeline_never_reads_bytes(spark, tmp_path):
     """The curation pipeline's narrow projection must reach the scan:
     a parquet-backed image table contributes only (image_id, caption,
