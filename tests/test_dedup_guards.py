@@ -208,3 +208,34 @@ def test_simhash_trimmed_bits_match_full(spark):
             if int(((h >> b) & 1).sum()) * 2 > n:
                 want |= 1 << b
         assert got[doc_id] == want
+
+
+def test_minhash_kernel_expr_parity(spark):
+    """The Arrow signature kernel must be bit-identical to the
+    pure-Catalyst twin: same md5-prefix token hash, same permutation
+    minima — on the real corpus AND on edge texts (empty string,
+    repeated single token, NULL text which yields no row on either
+    path, and multi-space runs whose empty tokens both paths keep)."""
+    import pandas as pd
+
+    from segment_rtree_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = minhash_signatures(docs, impl="expr").toPandas()
+    b = minhash_signatures(docs, impl="kernel").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b) and len(a) == docs.count()
+
+    edge = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["", "tok tok tok", None, "a  b   c", "solo"],
+            }
+        )
+    )
+    ae = minhash_signatures(edge, impl="expr").toPandas().sort_values("doc_id").reset_index(drop=True)
+    be = minhash_signatures(edge, impl="kernel").toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert ae.equals(be)
+    assert set(ae["doc_id"]) == {1, 2, 4, 5}  # NULL text drops its row
