@@ -229,41 +229,32 @@ def _tiled_self_join(exploded: DataFrame, id_col: str,
     in EXACTLY one tile and a hot bucket becomes g^2 bounded tasks.
     Cold buckets (g=1) pay nothing.
 
-    The hot-bucket list is computed ONCE (one sizing pass — partial
-    aggs shrink it map-side) and collected to the driver: hot KEYS are
-    few by definition (<= rows/threshold, realistically a handful —
-    the same bounded-collect contract as the PIP hot-cell set,
-    pip_join.py), and inlining them as a literal table keeps the plan
-    at two scans of the input instead of re-deriving the sizing
-    subtree under each join side. Corpora degenerate enough to exceed
-    the hot-key bound should use max_bucket caps instead (loud error).
-    With no hot buckets this is a plain equi-join — zero overhead.
+    Fully distributed, zero driver sync: the hot-bucket table is a
+    lazy aggregate BROADCAST to the tiling join (hot keys are few by
+    definition, <= rows/threshold — corpora degenerate enough to blow
+    that bound should use max_bucket caps), so the whole operator is
+    ONE Spark query. The earlier formulation collected hot keys to the
+    driver first — a separate synchronous job whose scheduling latency
+    (~0.4s) dominated small corpora, and a per-band-join driver
+    round-trip a 1000-executor pipeline doesn't want.
+
+    The input frame is checkpointed first: three plan branches consume
+    it (the sizing aggregate + both join sides), and Spark's exchange
+    reuse cannot always cover all three — without materialization the
+    input's upstream (e.g. the distinct-phash shuffle in
+    phash_components, or the minhash signature aggregation) would run
+    multiple times. Cold buckets (no hot entry) tile to g=1, so a
+    corpus with no hot buckets pays only the broadcast of an empty
+    table on top of the plain equi-join.
     """
-    spark = exploded.sparkSession
+    exploded = exploded.localCheckpoint(eager=False)
     hot = (
         exploded.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") > hot_threshold)
     )
-    hot_rows = hot.limit(100_001).collect()
-    if len(hot_rows) > 100_000:
-        raise ValueError(
-            f"more than 100k buckets exceed hot_threshold={hot_threshold}: "
-            "the corpus is degenerate for banded LSH — raise hot_threshold "
-            "or drop mega-buckets with max_bucket"
-        )
-    if not hot_rows:
-        a = exploded.alias("a")
-        b = exploded.alias("b")
-        return a.join(b, ["band", "bkey"]).filter(
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        )
     ex = (
-        exploded.join(
-            F.broadcast(spark.createDataFrame(hot_rows, schema=hot.schema)),
-            ["band", "bkey"],
-            "left",
-        )
+        exploded.join(F.broadcast(hot), ["band", "bkey"], "left")
         .withColumn(
             "g",
             F.coalesce(
@@ -357,9 +348,9 @@ def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
             )
             .distinct()
         )
-    exploded = _lsh_exploded(
-        docs, id_col, text, rows_per_band, with_keys=True, materialize=True
-    )
+    # no materialize here: _tiled_self_join checkpoints the exploded
+    # frame itself, which covers the signature subtree too
+    exploded = _lsh_exploded(docs, id_col, text, rows_per_band, with_keys=True)
     n_bands = (len(MINHASH_PARAMS) + rows_per_band - 1) // rows_per_band
     return (
         _tiled_self_join(exploded, id_col)

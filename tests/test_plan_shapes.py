@@ -69,16 +69,22 @@ def test_parquet_pushdown(spark):
 
 
 def test_lsh_single_pass_banding(spark):
-    """lsh_pairs must not recompute the signature pipeline per band:
-    the documents table is scanned exactly twice (join left + right),
-    not 2 x n_bands times."""
-    from segment_rtree_spark.operators.dedup import lsh_pairs
+    """lsh_pairs must not recompute the signature pipeline per band or
+    per join side: the exploded-signature frame is checkpointed ONCE
+    and every consumer (sizing aggregate + both join sides) reads the
+    materialized RDD — the pair-join plan contains NO parquet rescan
+    of the documents table."""
+    from segment_rtree_spark.operators.dedup import _lsh_exploded, lsh_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan_str(lsh_pairs(docs), "simple")
-    assert p.count("Scan parquet") == 2
-    # one Generate per side for the band explode, one for tokens
-    assert p.count("Generate explode(array(struct(band") == 2
+    assert p.count("Scan parquet") == 0  # signature subtree runs once, at the checkpoint
+    assert p.count("Scan ExistingRDD") >= 2  # both join sides read it
+    # the checkpointed subtree itself is single-pass: one table scan,
+    # one banding explode (explode(array(struct...)), not union-per-band)
+    sub = plan_str(_lsh_exploded(docs, "doc_id", "text", 4), "simple")
+    assert sub.count("Scan parquet") == 1
+    assert sub.count("Generate explode(array(struct(band") == 1
 
 
 def test_simhash_single_explode_two_aggs(spark):
@@ -94,7 +100,9 @@ def test_simhash_single_explode_two_aggs(spark):
 
 
 def test_phash_banding_single_scan(spark):
-    """phash band explode reads its input once per join side."""
+    """phash banding scans its input once — the exploded frame is
+    checkpointed inside the tiled self-join, so the pair-join plan
+    re-reads the materialized RDD instead of rescanning parquet."""
     from segment_rtree_spark.operators.dedup import phash_neardup_pairs
 
     imgs = spark.read.parquet(f"{SF}/orders.parquet").select(
@@ -102,7 +110,8 @@ def test_phash_banding_single_scan(spark):
         F.col("o_orderkey").alias("phash"),
     )
     p = plan_str(phash_neardup_pairs(imgs), "simple")
-    assert p.count("Scan parquet") == 2
+    assert p.count("Scan parquet") == 0
+    assert p.count("Scan ExistingRDD") >= 2
 
 
 def test_partitioned_pip_pins_partitions(spark):
