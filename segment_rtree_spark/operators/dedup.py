@@ -212,7 +212,8 @@ def _first_band_pred(n_bands: int) -> str:
 
 
 def _tiled_self_join(exploded: DataFrame, id_col: str,
-                     hot_threshold: int = 4096) -> DataFrame:
+                     hot_threshold: int = 4096,
+                     materialize: bool = False) -> DataFrame:
     """Skew-proof intra-bucket self-join: (a, b) rows sharing
     (band, bkey), with HOT buckets tiled into sub-tasks.
 
@@ -229,32 +230,55 @@ def _tiled_self_join(exploded: DataFrame, id_col: str,
     in EXACTLY one tile and a hot bucket becomes g^2 bounded tasks.
     Cold buckets (g=1) pay nothing.
 
-    Fully distributed, zero driver sync: the hot-bucket table is a
-    lazy aggregate BROADCAST to the tiling join (hot keys are few by
-    definition, <= rows/threshold — corpora degenerate enough to blow
-    that bound should use max_bucket caps), so the whole operator is
-    ONE Spark query. The earlier formulation collected hot keys to the
-    driver first — a separate synchronous job whose scheduling latency
-    (~0.4s) dominated small corpora, and a per-band-join driver
-    round-trip a 1000-executor pipeline doesn't want.
+    The hot-bucket list comes from one bounded sizing pass (partial
+    aggs shrink it map-side; hot KEYS are few by definition,
+    <= rows/threshold — the same bounded-collect contract as the PIP
+    hot-cell set, pip_join.py; corpora degenerate enough to exceed the
+    bound get a loud error pointing at max_bucket). This is runtime
+    adaptive planning in the AQE spirit: measure bucket sizes, then
+    pick the physical shape. The COMMON shape — no bucket over the
+    threshold, true for every corpus whose near-dups were collapsed
+    upstream — is a plain equi-join with zero tiling overhead
+    (measured: an always-tiled single-query formulation taxed every
+    cold row with the g/s/tile machinery and lost 30-50% on
+    hot-bucket-free workloads; the one extra sizing job is the
+    cheaper insurance premium).
 
-    The input frame is checkpointed first: three plan branches consume
-    it (the sizing aggregate + both join sides), and Spark's exchange
-    reuse cannot always cover all three — without materialization the
-    input's upstream (e.g. the distinct-phash shuffle in
-    phash_components, or the minhash signature aggregation) would run
-    multiple times. Cold buckets (no hot entry) tile to g=1, so a
-    corpus with no hot buckets pays only the broadcast of an empty
-    table on top of the plain equi-join.
+    materialize=True checkpoints the input first, for callers whose
+    upstream subtree is expensive (the minhash signature aggregation):
+    the sizing pass is a SEPARATE job, so exchange reuse cannot span
+    it and the upstream would otherwise run once for sizing and again
+    for the join. Callers with cheap banding over already-persisted
+    inputs (phash) skip the checkpoint — re-deriving two narrow
+    projections costs less than writing one to the block manager.
     """
-    exploded = exploded.localCheckpoint(eager=False)
+    if materialize:
+        exploded = exploded.localCheckpoint(eager=False)
+    spark = exploded.sparkSession
     hot = (
         exploded.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") > hot_threshold)
     )
+    hot_rows = hot.limit(100_001).collect()
+    if len(hot_rows) > 100_000:
+        raise ValueError(
+            f"more than 100k buckets exceed hot_threshold={hot_threshold}: "
+            "the corpus is degenerate for banded LSH — raise hot_threshold "
+            "or drop mega-buckets with max_bucket"
+        )
+    if not hot_rows:
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return a.join(b, ["band", "bkey"]).filter(
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
     ex = (
-        exploded.join(F.broadcast(hot), ["band", "bkey"], "left")
+        exploded.join(
+            F.broadcast(spark.createDataFrame(hot_rows, schema=hot.schema)),
+            ["band", "bkey"],
+            "left",
+        )
         .withColumn(
             "g",
             F.coalesce(
@@ -348,12 +372,12 @@ def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
             )
             .distinct()
         )
-    # no materialize here: _tiled_self_join checkpoints the exploded
-    # frame itself, which covers the signature subtree too
     exploded = _lsh_exploded(docs, id_col, text, rows_per_band, with_keys=True)
     n_bands = (len(MINHASH_PARAMS) + rows_per_band - 1) // rows_per_band
     return (
-        _tiled_self_join(exploded, id_col)
+        # materialize: the signature aggregation above is the dominant
+        # cost and would otherwise run once for sizing + once for the join
+        _tiled_self_join(exploded, id_col, materialize=True)
         .filter(F.expr(_first_band_pred(n_bands)))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")

@@ -110,8 +110,10 @@ def test_phash_banding_single_scan(spark):
         F.col("o_orderkey").alias("phash"),
     )
     p = plan_str(phash_neardup_pairs(imgs), "simple")
-    assert p.count("Scan parquet") == 0
-    assert p.count("Scan ExistingRDD") >= 2
+    # no hot buckets -> plain equi-join, one parquet scan per side
+    # (exchange reuse dedupes them at execution; no checkpoint: the
+    # banding projection is cheaper to re-derive than to materialize)
+    assert p.count("Scan parquet") == 2
 
 
 def test_partitioned_pip_pins_partitions(spark):
