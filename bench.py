@@ -85,6 +85,13 @@ def bench_queries(spark, sf_dir):
 
         return curate_images(imgs, layer, max_hamming=1, n_bands=2).count()
 
+    def q_validate_images():
+        # clean raw corpus: every verdict is metadata-decidable, so the
+        # two-tier plan keeps ALL rows out of the Python decode kernel
+        from segment_rtree_spark.operators.images import validate_images
+
+        return validate_images(imgs).count()
+
     return {
         "pip_broadcast": q_pip_broadcast,
         "pip_partitioned": q_pip_partitioned,
@@ -94,6 +101,7 @@ def bench_queries(spark, sf_dir):
         "cosine_topk": q_cosine_topk,
         "clip_segment": q_clip_segment,
         "curate_images": q_curate_images,
+        "validate_images": q_validate_images,
     }, imgs
 
 

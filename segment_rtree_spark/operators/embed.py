@@ -111,6 +111,7 @@ def lsh_buckets(
     vec: str = "embedding",
     dim: int = DIM,
     bit_exact: bool = True,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Sign-random-projection bucket id per vector (NumPy kernel).
 
@@ -120,9 +121,19 @@ def lsh_buckets(
     kernel call) — the production path: a sign can only differ when
     the projection is within float-reassociation error of 0, where
     bucket membership is arbitrary anyway (LSH semantics unaffected;
-    the exact cosine refine downstream is identical)."""
+    the exact cosine refine downstream is identical).
+
+    keep_vec=True passes the embedding column through the kernel
+    (cast to array<double>), so consumers that need (id, v, bucket)
+    get it map-side instead of shuffle-joining the bucket table back
+    to the vectors on id — at 10^9 vectors that join is a full
+    embedding-column shuffle that exists only to re-attach a column
+    the kernel already had in hand."""
     planes = np.stack([hyperplane(i, dim) for i in range(n_bits)])  # [bits, dim]
     weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+    schema = f"{id_col} long, bucket long"
+    if keep_vec:
+        schema += f", {vec} array<double>"
 
     def kernel(batches):
         for pdf in batches:
@@ -142,9 +153,12 @@ def lsh_buckets(
             else:
                 acc = emb @ planes.T  # [n, bits]
                 bucket = ((acc > 0.0).astype(np.int64) * weights).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+            out = {id_col: pdf[id_col], "bucket": bucket}
+            if keep_vec:
+                out[vec] = [list(map(float, r)) for r in emb]
+            yield pd.DataFrame(out)
 
-    return vectors.mapInPandas(kernel, f"{id_col} long, bucket long")
+    return vectors.mapInPandas(kernel, schema)
 
 
 def ann_bucket_stats(
@@ -174,10 +188,13 @@ def _bucketed_vectors(
     bucket of near-identical vectors would otherwise self-join O(n^2)
     in one task. Its members are exact/near-exact dups better handled
     by exact dedup; the dropped buckets stay visible via
-    ann_bucket_stats with the same cap."""
-    b = lsh_buckets(vectors, n_bits, id_col, vec)
-    v = vectors.join(b, id_col).select(
-        F.col(id_col), F.col(vec).cast("array<double>").alias("v"), "bucket"
+    ann_bucket_stats with the same cap.
+
+    The bucket kernel passes the embedding through (keep_vec), so
+    bucketing is one map-side pass — no shuffle join back to the
+    vector table just to re-attach the embedding column."""
+    v = lsh_buckets(vectors, n_bits, id_col, vec, keep_vec=True).select(
+        F.col(id_col), F.col(vec).alias("v"), "bucket"
     )
     if max_bucket is not None:
         sizes = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -495,17 +512,24 @@ def ivf_topk(
     bc = spark.sparkContext.broadcast(cent)
 
     def assign(batches):
+        # passes the embedding through (cast to float64) so list
+        # assignment is one map-side pass — no shuffle join back to
+        # the vector table just to re-attach the embedding column
         c = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             emb = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
-            yield pd.DataFrame({id_col: pdf[id_col], "list": _argmin_list(emb, c)})
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "list": _argmin_list(emb, c),
+                    "v": [list(map(float, r)) for r in emb],
+                }
+            )
 
-    lists = vectors.select(id_col, vec).mapInPandas(assign, f"{id_col} long, list long")
-
-    v = vectors.join(lists, id_col).select(
-        F.col(id_col), F.col(vec).cast("array<double>").alias("v"), "list"
+    v = vectors.select(id_col, vec).mapInPandas(
+        assign, f"{id_col} long, list long, v array<double>"
     )
     a, t = v.alias("a"), v.alias("b")
     dot = F.expr(_dot_expr("a.v", "b.v"))
