@@ -553,7 +553,11 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
         id_col, F.col(id_col).alias("component")
     )
     ph = all_ph.filter(F.col("ph").isNotNull())
-    distinct_ph = ph.select("ph").distinct()
+    # one materialization feeds every consumer: the band-join sizing
+    # pass, both pair-join sides, and the component node list — without
+    # it the distinct shuffle re-runs in each branch (and in each of
+    # the sizing/join JOBS, which exchange reuse cannot span)
+    distinct_ph = ph.select("ph").distinct().localCheckpoint(eager=False)
     pairs = phash_neardup_pairs(
         distinct_ph.withColumn("pid", F.col("ph")),
         max_hamming=max_hamming, id_col="pid", phash="ph", n_bands=n_bands,

@@ -88,11 +88,23 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
     comp = phash_components(
         ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands
     )
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return _keep_representatives(ok, comp, id_col, caption)
+
+
+def _keep_representatives(ok: DataFrame, comp: DataFrame,
+                          id_col: str, caption: str) -> DataFrame:
+    """One representative per cluster with its cluster_size, in a
+    single shuffle on the component key (window count) — the
+    groupBy-sizes-then-rejoin formulation computed the component
+    labelling twice (once for the representative join, once under the
+    size aggregate; exchange reuse does not always cover both)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component")
     return (
         ok.join(comp, id_col)
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .filter(F.col(id_col) == F.col("component"))
-        .join(sizes, "component")
         .select(id_col, caption, "n_regions", "cluster_size")
     )
 
@@ -159,11 +171,4 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
     comp = phash_components(
         ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands
     )
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    final = (
-        ok.join(comp, id_col)
-        .filter(F.col(id_col) == F.col("component"))
-        .join(sizes, "component")
-        .select(id_col, caption, "n_regions", "cluster_size")
-    )
-    return done, final
+    return done, _keep_representatives(ok, comp, id_col, caption)
