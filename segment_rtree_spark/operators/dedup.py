@@ -691,6 +691,12 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
     # key array so a pair colliding in several bands is emitted from
     # its FIRST one only (streaming filter instead of a distinct()
     # shuffle over the whole candidate stream — see lsh_pairs).
+    # explicit narrow projection BEFORE the banding Generate: Catalyst
+    # does not reliably prune columns through Sample+Generate over a
+    # cached relation (measured 5-10x on a full-width 3M-image cache —
+    # the pixel bytes column rode through the explode), and the
+    # operator only ever needs (id, phash)
+    images = images.select(id_col, phash)
     keys = [
         F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask))
         for b in range(n_bands)

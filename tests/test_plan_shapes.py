@@ -175,3 +175,27 @@ def test_curate_pipeline_never_reads_bytes(spark, tmp_path):
     for schema in schemas:
         first_line = schema.splitlines()[0]
         assert "bytes" not in first_line, first_line
+
+
+def test_phash_banding_prunes_wide_input(spark):
+    """phash_neardup_pairs must project to (id, phash) BEFORE the
+    banding Generate: Catalyst does not reliably prune columns through
+    Sample+Generate over a cached relation, so a full-width image
+    table (pixel bytes!) would ride through the explode (measured
+    5-10x at 3M images)."""
+    from segment_rtree_spark.operators.dedup import phash_neardup_pairs
+    from segment_rtree_spark.synth import images_df_fast
+
+    imgs = images_df_fast(spark, 200).cache()
+    try:
+        p = plan_str(phash_neardup_pairs(imgs.sample(0.5, seed=1)), "simple")
+        # the cache scan node must read ONLY (image_id, phash) — the
+        # InMemoryRelation line always lists the full cached schema,
+        # so assert on the scan nodes specifically
+        scans = [l for l in p.splitlines() if "InMemoryTableScan" in l]
+        assert scans, p
+        for l in scans:
+            assert "image_id" in l and "phash" in l, l
+            assert "bytes" not in l and "caption" not in l, l
+    finally:
+        imgs.unpersist()
