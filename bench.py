@@ -146,7 +146,10 @@ def main():
     # Best-of-N per query: this box is a shared VM and single runs show
     # 2x run-to-run noise from host contention; the min is the stable
     # estimate of the plan's actual cost (same data, same plan).
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    # Default 3: round-3 measurements caught multi-minute neighbor-load
+    # bursts (canary 0.17 -> 0.97 within one run) that best-of-2 can
+    # straddle entirely.
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     times = {}
     for name, fn in queries.items():
         best = float("inf")

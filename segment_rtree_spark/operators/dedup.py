@@ -28,6 +28,7 @@ __all__ = [
     "exact_dups",
     "minhash_signatures",
     "lsh_pairs",
+    "lsh_pairs_against",
     "lsh_bucket_stats",
     "lsh_star_edges",
     "lsh_components",
@@ -36,6 +37,7 @@ __all__ = [
     "simhash64",
     "ngram_jaccard_pairs",
     "phash_neardup_pairs",
+    "phash_neardup_against",
 ]
 
 # (a, b) parameters for the k minhash permutations h_i = (a*h + b) % P
@@ -382,6 +384,118 @@ def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
+    )
+
+
+def lsh_pairs_against(new_docs: DataFrame, corpus: DataFrame,
+                      id_col: str = "doc_id", text: str = "text",
+                      rows_per_band: int = 4,
+                      max_bucket: int | None = None) -> DataFrame:
+    """Incremental dedup: banded-LSH candidate pairs between a NEW
+    batch and an EXISTING corpus — (new_id, corpus_id) sharing >= 1
+    band. The daily-ingest shape: a 10^12-doc corpus is deduped ONCE
+    (lsh_pairs / lsh_components); every subsequent batch then joins
+    its signatures against the corpus's instead of re-running the
+    corpus self-join. Cost scales with |batch| x collision rate, not
+    |corpus|^2.
+
+    Both sides' signature frames are checkpointed (the signature
+    aggregation is the dominant cost; in production the CORPUS side is
+    a persisted table — here the checkpoint stands in for it, and the
+    operator's join shape is identical either way). Multi-band
+    collisions are deduped by the first-colliding-band predicate
+    (streaming filter at the join, no distinct shuffle); with
+    `max_bucket`, over-cap buckets are dropped WHOLE on both sides
+    before the join (the _cap_buckets skew discipline) and the
+    first-band rule yields to distinct().
+
+    A pair is emitted only for ids on opposite sides; a doc present in
+    both frames matches itself (hash-identical signatures) — filter
+    ids upstream if re-ingestion is possible."""
+    if max_bucket is not None:
+        a = _cap_buckets(
+            _lsh_exploded(new_docs, id_col, text, rows_per_band, materialize=True),
+            max_bucket,
+        ).alias("a")
+        b = _cap_buckets(
+            _lsh_exploded(corpus, id_col, text, rows_per_band, materialize=True),
+            max_bucket,
+        ).alias("b")
+        return (
+            a.join(b, ["band", "bkey"])
+            .select(
+                F.col(f"a.{id_col}").alias("new_id"),
+                F.col(f"b.{id_col}").alias("corpus_id"),
+            )
+            .distinct()
+        )
+    a = _lsh_exploded(
+        new_docs, id_col, text, rows_per_band, with_keys=True, materialize=True
+    ).alias("a")
+    b = _lsh_exploded(
+        corpus, id_col, text, rows_per_band, with_keys=True, materialize=True
+    ).alias("b")
+    n_bands = (len(MINHASH_PARAMS) + rows_per_band - 1) // rows_per_band
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.expr(_first_band_pred(n_bands)))
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+        )
+    )
+
+
+def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
+                          max_hamming: int = 8,
+                          id_col: str = "image_id", phash: str = "phash",
+                          n_bands: int = 4) -> DataFrame:
+    """Incremental image near-dup: (new_id, corpus_id, hamming) pairs
+    within the Hamming ball, candidates from the same band split as
+    phash_neardup_pairs but joined new-batch-vs-corpus — the ingest
+    filter that asks "is this incoming image a near-dup of anything we
+    already keep?" without re-pairing the corpus against itself.
+
+    Same recall contract as phash_neardup_pairs: guaranteed when
+    max_hamming < n_bands (pigeonhole), recall-oriented beyond."""
+    if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
+        raise ValueError(
+            f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def banded(images, side):
+        images = images.select(id_col, phash)  # prune before the Generate
+        keys = [
+            F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+        entries = [
+            F.struct(
+                F.lit(b).alias("band"), keys[b].alias("bkey"),
+                F.lit(b).alias("bi"), F.array(*keys).alias("keys"),
+            )
+            for b in range(n_bands)
+        ]
+        return images.select(
+            F.col(id_col), F.col(phash), F.explode(F.array(*entries)).alias("e")
+        ).select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(phash).alias(f"ph_{side}"),
+            F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"),
+            F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys"),
+        )
+
+    a = banded(new_images, "new").alias("a")
+    b = banded(corpus, "corpus").drop("bi").alias("b")
+    xor = F.col("ph_new").bitwiseXOR(F.col("ph_corpus"))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.expr(_first_band_pred(n_bands)))
+        .withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
     )
 
 

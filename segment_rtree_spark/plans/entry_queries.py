@@ -1860,6 +1860,86 @@ where not exists (select 1 from bnd where bnd.a_id = y.a_id and bnd.b_id = y.b_i
 REGISTRY["polygon_overlap"] = (q_polygon_overlap, _polygon_overlap_oracle)
 
 
+# -- incremental dedup (new batch vs existing corpus) --------------------
+
+def q_minhash_incremental(spark, sf_dir):
+    """Daily-ingest dedup: LSH candidate pairs of a NEW batch (every
+    7th doc) against the EXISTING corpus (the rest) — the band join is
+    new-vs-corpus, never a corpus self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    return _dedup.lsh_pairs_against(new, corpus)
+
+
+def _minhash_incremental_oracle():
+    th = _text.token_hash_expr_duckdb("tok")
+    mins = ",".join(
+        f"min(((h * {a} + {b}) % {_dedup.MINHASH_P})) as mh{i}"
+        for i, (a, b) in enumerate(_dedup.MINHASH_PARAMS)
+    )
+    bands = []
+    for bidx in range(0, len(_dedup.MINHASH_PARAMS), 4):
+        cols = [f"mh{i}" for i in range(bidx, min(bidx + 4, len(_dedup.MINHASH_PARAMS)))]
+        key = "concat_ws('-', " + ", ".join(f"cast({c} as varchar)" for c in cols) + ")"
+        bands.append(f"select doc_id, {bidx} as band, {key} as bkey from sig")
+    bands_sql = " union all ".join(bands)
+    return f"""
+with toks as (
+  select doc_id, {th} % {_dedup.TOKEN_MOD} as h
+  from (select doc_id, unnest(string_split(text, ' ')) as tok from documents)
+),
+sig as (select doc_id, {mins} from toks group by doc_id),
+bands as ({bands_sql})
+select distinct a.doc_id as new_id, b.doc_id as corpus_id
+from bands a join bands b on a.band = b.band and a.bkey = b.bkey
+where a.doc_id % 7 = 3 and b.doc_id % 7 <> 3
+"""
+
+
+REGISTRY["minhash_incremental"] = (q_minhash_incremental, _minhash_incremental_oracle)
+
+
+def q_phash_incremental(spark, sf_dir):
+    """Incremental image near-dup: incoming images (even low phash
+    bit) matched against the kept corpus (odd) within Hamming<=16."""
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 1000)
+    new = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) == 0)
+    corpus = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) != 0)
+    return _dedup.phash_neardup_against(new, corpus, max_hamming=16)
+
+
+def _phash_incremental_oracle():
+    def bands(src):
+        return " union all ".join(
+            f"select i, {b} as band, (phash >> {b * 16}) & 65535 as bkey from {src}"
+            for b in range(4)
+        )
+
+    return f"""
+with imgs as ({_arith_imgs_cte(1000)}),
+newi as (select * from imgs where (phash & 1) = 0),
+corp as (select * from imgs where (phash & 1) <> 0),
+nb as ({bands('newi')}),
+cb as ({bands('corp')}),
+pairs as (
+  select distinct a.i as ia, b.i as ib
+  from nb a join cb b on a.band = b.band and a.bkey = b.bkey
+)
+select ma.image_id as new_id, mb.image_id as corpus_id,
+       cast(bit_count(xor(ma.phash, mb.phash)) as int) as hamming
+from pairs p
+join newi ma on ma.i = p.ia
+join corp mb on mb.i = p.ib
+where bit_count(xor(ma.phash, mb.phash)) <= 16
+"""
+
+
+REGISTRY["phash_incremental"] = (q_phash_incremental, _phash_incremental_oracle)
+
+
 # -- haversine kNN (geotag metric; rank-only output) ----------------------
 
 def q_knn_haversine(spark, sf_dir):

@@ -239,3 +239,54 @@ def test_minhash_kernel_expr_parity(spark):
     be = minhash_signatures(edge, impl="kernel").toPandas().sort_values("doc_id").reset_index(drop=True)
     assert ae.equals(be)
     assert set(ae["doc_id"]) == {1, 2, 4, 5}  # NULL text drops its row
+
+
+def test_incremental_pairs_match_full_self_join(spark):
+    """lsh_pairs_against(new, corpus) must equal the cross-side subset
+    of lsh_pairs(all docs): incremental ingest finds exactly the
+    new-vs-kept duplicates the full self-join would, never more."""
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.dedup import lsh_pairs, lsh_pairs_against
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_pairs_against(new, corpus).collect()
+    }
+    full = lsh_pairs(docs).collect()
+    cross = set()
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 5 == 0) != (b % 5 == 0):  # one side new, one corpus
+            cross.add((a, b) if a % 5 == 0 else (b, a))
+    assert inc == cross and inc
+
+
+def test_phash_incremental_matches_full(spark):
+    """phash_neardup_against == cross-side subset of the full pair set
+    (same bands, same Hamming verify)."""
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.dedup import (
+        phash_neardup_against,
+        phash_neardup_pairs,
+    )
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 400)
+    new = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) == 0)
+    corpus = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) != 0)
+    inc = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in phash_neardup_against(new, corpus, max_hamming=16).collect()
+    }
+    parity = {r["image_id"]: r["phash"] & 1 for r in imgs.select("image_id", "phash").collect()}
+    cross = set()
+    for r in phash_neardup_pairs(imgs, max_hamming=16).collect():
+        a, b, h = r["id_a"], r["id_b"], r["hamming"]
+        if parity[a] != parity[b]:
+            cross.add((a, b, h) if parity[a] == 0 else (b, a, h))
+    assert inc == cross and inc
