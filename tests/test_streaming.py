@@ -179,3 +179,49 @@ def test_streaming_first_seen_images(spark, tmp_path):
     assert final.loc[200]["canonical_id"] == "i11" and final.loc[200]["n_seen"] == 1
     assert final.loc[300]["canonical_id"] == "i20" and final.loc[300]["n_seen"] == 1
     assert rows.groupby("phash")["is_new"].sum().eq(1).all()
+
+
+def test_streaming_neardup_matches_batch(spark, tmp_path):
+    """Stream-static ingest filter == batch phash_neardup_against over
+    the same arrivals: the banded candidate join is a stream-static
+    equi-join (no state, append mode), so draining the stream with
+    availableNow must reproduce the batch pair set exactly."""
+    import time
+
+    from segment_rtree_spark.operators.dedup import phash_neardup_against
+    from segment_rtree_spark.streaming.ingest_stream import streaming_neardup_matches
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 300).select("image_id", "phash")
+    corpus = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) != 0).cache()
+    arrivals = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) == 0)
+
+    src = str(tmp_path / "arrivals")
+    half1 = arrivals.filter(F.col("phash").bitwiseAND(F.lit(2)) == 0)
+    half2 = arrivals.filter(F.col("phash").bitwiseAND(F.lit(2)) != 0)
+    half1.coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    half2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("image_id string, phash long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_neardup_matches(stream, corpus, max_hamming=16)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_matches")
+        .option("checkpointLocation", str(tmp_path / "ickpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in spark.sql("select * from ingest_matches").collect()
+    }
+    want = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in phash_neardup_against(arrivals, corpus, max_hamming=16).collect()
+    }
+    assert got == want and got
