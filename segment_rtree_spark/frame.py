@@ -113,6 +113,18 @@ class SpatialFrame:
 
         return self._wrap(curate_images(self.df, layer, **kw))
 
+    def neardup_against(self, corpus: "SpatialFrame | DataFrame",
+                        max_hamming: int = 8, **kw) -> "SpatialFrame":
+        """Incremental ingest filter: this frame's images matched
+        against an existing kept corpus by banded phash Hamming join
+        (see operators.dedup.phash_neardup_against)."""
+        from .operators.dedup import phash_neardup_against
+
+        other = corpus.df if isinstance(corpus, SpatialFrame) else corpus
+        return self._wrap(
+            phash_neardup_against(self.df, other, max_hamming=max_hamming, **kw)
+        )
+
     # -- raster <-> vector -------------------------------------------------
 
     def raster_vector_agg(self, layer: PolygonLayer, res: int) -> "SpatialFrame":

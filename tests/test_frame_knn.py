@@ -211,3 +211,22 @@ def test_knn_haversine_metric(spark):
         math.sqrt(math.sin(math.radians(20) / 2) ** 2)
     )
     assert abs(got - want) < 1e-6
+
+
+def test_frame_neardup_against(spark):
+    """SpatialFrame.neardup_against chains to the incremental phash
+    operator with identical output."""
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.frame import SpatialFrame
+    from segment_rtree_spark.operators.dedup import phash_neardup_against
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 200)
+    new = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) == 0)
+    corpus = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) != 0)
+    chained = sorted(
+        map(tuple, SpatialFrame(new).neardup_against(SpatialFrame(corpus), max_hamming=16).df.collect())
+    )
+    direct = sorted(map(tuple, phash_neardup_against(new, corpus, max_hamming=16).collect()))
+    assert chained == direct and chained
