@@ -49,13 +49,21 @@ def tile_pyramid(df: DataFrame, base_res: int, min_res: int = 0,
 
     measures: {name: (base_agg Column, rollup_fn(col)->Column)} — e.g.
     {"sum_v": (F.sum("value"), F.sum)}.
+
+    Each level's output is checkpointed (lazily) before the next level
+    builds on it: the lazy formulation nests the FULL chain in every
+    coarser level's plan, so the union of L levels rescans the base
+    table L times and recomputes the aggregations triangularly
+    (observed as 7 InMemoryTableScans in one plan; 3x wall at 3M
+    rows). A level's output is at most 4^res cells — materializing it
+    is practically free, and the base table really is scanned once.
     """
     measures = measures or {}
     base = df.withColumn("cell", F.expr(cell_of_sql(y, x, base_res)))
     level = base.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
         *[agg.alias(name) for name, (agg, _) in measures.items()],
-    ).withColumn("res", F.lit(base_res))
+    ).withColumn("res", F.lit(base_res)).localCheckpoint(eager=False)
 
     out = level
     for r in range(base_res - 1, min_res - 1, -1):
@@ -67,6 +75,7 @@ def tile_pyramid(df: DataFrame, base_res: int, min_res: int = 0,
                 *[fn(name).alias(name) for name, (_, fn) in measures.items()],
             )
             .withColumn("res", F.lit(r))
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(level)
     return out.select("res", "cell", "n", *measures.keys())
