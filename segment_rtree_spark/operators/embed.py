@@ -192,10 +192,15 @@ def _bucketed_vectors(
 
     The bucket kernel passes the embedding through (keep_vec), so
     bucketing is one map-side pass — no shuffle join back to the
-    vector table just to re-attach the embedding column."""
+    vector table just to re-attach the embedding column. The bucketed
+    frame is checkpointed: both self-join sides (and the cap's sizing
+    aggregate) consume it, and Python-kernel stages are not
+    exchange-reusable, so the kernel would otherwise run once per
+    consumer — materializing the bucketed vectors IS the classic
+    'build the ANN index once' step."""
     v = lsh_buckets(vectors, n_bits, id_col, vec, keep_vec=True).select(
         F.col(id_col), F.col(vec).alias("v"), "bucket"
-    )
+    ).localCheckpoint(eager=False)
     if max_bucket is not None:
         sizes = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
         v = v.join(sizes.filter(F.col("bucket_n") <= max_bucket), "bucket").drop(
@@ -528,9 +533,12 @@ def ivf_topk(
                 }
             )
 
+    # checkpoint the assigned frame: both join sides consume it and
+    # Python-kernel stages are not exchange-reusable (the 'build the
+    # IVF index once' step)
     v = vectors.select(id_col, vec).mapInPandas(
         assign, f"{id_col} long, list long, v array<double>"
-    )
+    ).localCheckpoint(eager=False)
     a, t = v.alias("a"), v.alias("b")
     dot = F.expr(_dot_expr("a.v", "b.v"))
     na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
