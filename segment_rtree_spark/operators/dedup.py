@@ -736,6 +736,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "te
     side only — doc sizes still count them, so reported Jaccard is a
     lower bound for affected pairs (the standard df-ceiling trade,
     stated rather than silent)."""
+    # one materialization of the (doc, shingle) index: doc sizes, the
+    # optional df guard, and both join sides consume it — without the
+    # checkpoint the tokenize+explode+distinct subtree plans once per
+    # consumer (4 scans of the corpus observed in the plan audit)
     shingles = docs.select(
         F.col(id_col),
         F.explode(
@@ -744,7 +748,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "te
                 f" i -> concat_ws(' ', slice(split({text},' '), i + 1, {n})))"
             )
         ).alias("sh"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         df_ok = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
