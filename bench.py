@@ -150,14 +150,19 @@ def main():
     # bursts (canary 0.17 -> 0.97 within one run) that best-of-2 can
     # straddle entirely.
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
-    times = {}
-    for name, fn in queries.items():
-        best = float("inf")
-        for _ in range(repeat):
+    # Round-robin the reps (all queries once, then again) instead of
+    # back-to-back per query: this host's noise arrives in multi-minute
+    # bursts, and back-to-back reps let one burst poison every rep of
+    # the query unlucky enough to run inside it. Spreading a query's
+    # reps across the whole run gives each one draws from different
+    # host windows, so the min is far more often a clean-window sample.
+    times = {name: float("inf") for name in queries}
+    for _ in range(repeat):
+        for name, fn in queries.items():
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            times[name] = min(times[name], time.time() - t0)
+    times = {name: round(t, 3) for name, t in times.items()}
 
     # CPU-speed canary: the same fixed pure-python loop, timed alongside
     # the queries. On this host the single-core speed swings ~2.5x
