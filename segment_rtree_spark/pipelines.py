@@ -65,19 +65,29 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
             if len(pickle.dumps(layer)) <= BROADCAST_LIMIT_BYTES
             else "partitioned"
         )
+    # caption+phash ride THROUGH the PIP kernel (keep=), so the
+    # survivor set is ONE groupBy on the hit stream — no join of the
+    # point table back against its own aggregated hits (two shuffles +
+    # a join became one shuffle; lat/lng are dead after the PIP and
+    # are dropped here)
+    keep = [id_col, caption, phash]
     if how == "broadcast":
-        hits = pip_join_broadcast(narrow, layer, x=x, y=y, keep=[id_col])
+        hits = pip_join_broadcast(narrow, layer, x=x, y=y, keep=keep)
     else:
         from .operators.pip_join import pip_join
 
-        hits = pip_join(narrow, layer, how=how, x=x, y=y, keep=[id_col])
-    nreg = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_regions"))
+        hits = pip_join(narrow, layer, how=how, x=x, y=y, keep=keep)
     # The survivor set feeds three consumers (clustering, the size agg,
     # and the final representative join); without materialization each
     # one would re-execute the PIP join. localCheckpoint runs it once
     # (on a cluster: .checkpoint() against the durable checkpoint dir).
     ok = (
-        narrow.join(nreg, id_col)
+        hits.groupBy(id_col)
+        .agg(
+            F.first(caption).alias(caption),
+            F.first(phash).alias(phash),
+            F.count(F.lit(1)).alias("n_regions"),
+        )
         .filter(F.size(F.split(F.col(caption), " ")) >= min_caption_tokens)
     )
     if materialize:
@@ -154,10 +164,20 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
     job = CheckpointJob(spark, job_id, root)
 
     def survivors(batch: DataFrame) -> DataFrame:
-        hits = pip_join_broadcast(batch, layer, x=x, y=y, keep=[id_col])
-        nreg = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_regions"))
+        # same one-shuffle shape as curate_images: payload rides the
+        # kernel, survivors aggregate the hit stream (cell kept — it is
+        # the checkpoint partition key)
+        hits = pip_join_broadcast(
+            batch, layer, x=x, y=y, keep=[id_col, caption, phash, "cell"]
+        )
         return (
-            batch.join(nreg, id_col)
+            hits.groupBy(id_col)
+            .agg(
+                F.first(caption).alias(caption),
+                F.first(phash).alias(phash),
+                F.first("cell").alias("cell"),
+                F.count(F.lit(1)).alias("n_regions"),
+            )
             .filter(F.size(F.split(F.col(caption), " ")) >= min_caption_tokens)
         )
 
