@@ -92,6 +92,39 @@ def bench_queries(spark, sf_dir):
 
         return validate_images(imgs).count()
 
+    # 100k synthetic 64-dim embeddings (deterministic hash components,
+    # no parquet dependency): big enough that the ANN path's corpus
+    # scaling (auto n_bits, multi-probe, default cap, per-bucket BLAS
+    # refine) actually engages — the sf parquet embeddings table is
+    # only 2k rows
+    n_vec = max(100_000, N_IMAGES // 3)
+    vecs = (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), "
+                "d -> cast(pmod(xxhash64(id * 64 + d), 1000) as double) / 500.0 - 1.0)"
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+
+    def q_ann_topk():
+        from segment_rtree_spark.operators.embed import ann_topk
+
+        return ann_topk(vecs, k=5, target_bucket=256, refine="kernel").count()
+
+    def q_knn_boundary():
+        # 20% sample: exact boundary-distance kNN is ~57us/point against
+        # the 49-ring layer; the full 300k would dominate the bench
+        # total without adding regression signal
+        from segment_rtree_spark.operators.knn_join import knn_join_broadcast
+
+        return knn_join_broadcast(
+            imgs.sample(0.2, seed=3), layer, k=2, keep=["image_id"]
+        ).count()
+
     return {
         "pip_broadcast": q_pip_broadcast,
         "pip_partitioned": q_pip_partitioned,
@@ -102,6 +135,8 @@ def bench_queries(spark, sf_dir):
         "clip_segment": q_clip_segment,
         "curate_images": q_curate_images,
         "validate_images": q_validate_images,
+        "ann_topk": q_ann_topk,
+        "knn_boundary": q_knn_boundary,
     }, imgs
 
 

@@ -42,6 +42,10 @@ class CheckpointJob:
         self.output_dir = f"{self.root}/output"
         self.progress_dir = f"{self.root}/progress"
         self.meta_path = f"{self.root}/job.json"
+        # set by run(): the keys still unprocessed when it returned
+        # (callers check completion from this instead of re-running
+        # the distinct+collect run() just performed)
+        self.remaining_keys: list | None = None
 
     # -- progress ------------------------------------------------------
 
@@ -62,7 +66,14 @@ class CheckpointJob:
 
     def progress_remaining(self, df: DataFrame, key_col: str) -> list:
         """Keys of df with no progress row yet (what a resume would run).
-        Empty list == stage complete."""
+        Empty list == stage complete.
+
+        This is the standalone AUDIT entry point: it re-derives the key
+        set with a distinct+collect (driver memory O(#distinct keys) —
+        fine for spatial-cell keys, whose cardinality is bounded by the
+        resolution, but don't point it at a high-cardinality key).
+        Callers that just ran run() should read `remaining_keys`
+        instead, which run() already computed without an extra pass."""
         all_keys = {r[0] for r in df.select(key_col).distinct().collect()}
         return sorted(all_keys - self.completed_keys())
 
@@ -114,14 +125,20 @@ class CheckpointJob:
             out = transform(sub)
             # atomic per-key replace: dynamic partition overwrite
             out.write.mode("overwrite").partitionBy(key_col).parquet(self.output_dir)
-            n_out = {
-                r[0]: r[1]
-                for r in self.spark.read.parquet(self.output_dir)
-                .filter(F.col(key_col).isin(list(batch)))
-                .groupBy(key_col)
-                .count()
-                .collect()
-            }
+            try:
+                n_out = {
+                    r[0]: r[1]
+                    for r in self.spark.read.parquet(self.output_dir)
+                    .filter(F.col(key_col).isin(list(batch)))
+                    .groupBy(key_col)
+                    .count()
+                    .collect()
+                }
+            except Exception:
+                # zero rows written so far: the output dir holds no
+                # parquet files to infer a schema from — every key's
+                # n_out is 0, which is a valid (all-filtered) outcome
+                n_out = {}
             wall = int((time.time() - t0) * 1000)
             per_key = max(1, wall // max(1, len(batch)))
             self._record(
@@ -138,6 +155,7 @@ class CheckpointJob:
                 ]
             )
             done += len(batch)
+        self.remaining_keys = todo[done:]
         return done
 
     def output(self) -> DataFrame:

@@ -310,6 +310,77 @@ def _tiled_self_join(exploded: DataFrame, id_col: str,
     )
 
 
+def _tiled_join(a_ex: DataFrame, b_ex: DataFrame, a_id: str, b_id: str,
+                hot_threshold: int = 4096,
+                materialize: bool = False) -> DataFrame:
+    """Two-sided skew-proof band join: rows of a_ex and b_ex sharing
+    (band, bkey), with HOT buckets tiled into bounded sub-tasks — the
+    new-vs-corpus generalization of _tiled_self_join.
+
+    A plain equi-join puts EVERY pair of a hot band key in one task:
+    |a-bucket| x |b-bucket| comparisons (the daily-ingest hot path —
+    near-dup-heavy corpora concentrate band keys by construction). A
+    bucket is hot when a_n * b_n > hot_threshold^2 (the per-task pair
+    budget, same T^2 bound the self-join uses); it splits into
+    g_a = ceil(a_n / T) x g_b = ceil(b_n / T) tiles: side a salts each
+    row into group i = hash(id) % g_a and replicates it across all
+    g_b values of j; side b mirrors (j = hash % g_b, replicate over
+    i), so every cross pair meets in EXACTLY one tile of at most
+    T^2 pair evals. Cold buckets (g_a = g_b = 1) pay nothing, and the
+    no-hot-bucket common case falls back to the plain equi-join with
+    zero tiling overhead — same adaptive two-phase shape (bounded
+    sizing collect, then pick the physical plan) as the self-join,
+    same bounded-collect contract (> 100k hot keys = loud error).
+
+    Streaming callers CANNOT use this (the sizing pass is an action
+    over both sides); they keep the plain stream-static join with the
+    corpus-side _cap_buckets guard instead.
+
+    materialize=True checkpoints both inputs first (for callers whose
+    banding subtree is expensive and consumed by both the sizing pass
+    and the join)."""
+    if materialize:
+        a_ex = a_ex.localCheckpoint(eager=False)
+        b_ex = b_ex.localCheckpoint(eager=False)
+    spark = a_ex.sparkSession
+    sa = a_ex.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("a_n"))
+    sb = b_ex.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("b_n"))
+    budget = hot_threshold * hot_threshold
+    hot = sa.join(sb, ["band", "bkey"]).filter(
+        F.col("a_n") * F.col("b_n") > F.lit(budget)
+    )
+    hot_rows = hot.limit(100_001).collect()
+    if len(hot_rows) > 100_000:
+        raise ValueError(
+            f"more than 100k buckets exceed the {budget}-pair tile budget "
+            f"(hot_threshold={hot_threshold}): the corpus is degenerate for "
+            "banded joins — raise hot_threshold or drop mega-buckets with "
+            "max_bucket"
+        )
+    if not hot_rows:
+        return a_ex.alias("a").join(b_ex.alias("b"), ["band", "bkey"])
+    hot_df = F.broadcast(spark.createDataFrame(hot_rows, schema=hot.schema))
+    ga = F.coalesce(
+        F.ceil(F.col("a_n") / F.lit(hot_threshold)).cast("int"), F.lit(1)
+    )
+    gb = F.coalesce(
+        F.ceil(F.col("b_n") / F.lit(hot_threshold)).cast("int"), F.lit(1)
+    )
+    a2 = (
+        a_ex.join(hot_df, ["band", "bkey"], "left")
+        .withColumn("i", F.pmod(F.xxhash64(F.col(a_id)), ga).cast("int"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), gb - 1)))
+        .drop("a_n", "b_n")
+    )
+    b2 = (
+        b_ex.join(hot_df, ["band", "bkey"], "left")
+        .withColumn("j", F.pmod(F.xxhash64(F.col(b_id)), gb).cast("int"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), ga - 1)))
+        .drop("a_n", "b_n")
+    )
+    return a2.alias("a").join(b2.alias("b"), ["band", "bkey", "i", "j"])
+
+
 def lsh_bucket_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
                      rows_per_band: int = 4, max_bucket: int | None = None) -> DataFrame:
     """Per-bucket size monitor for the LSH join: (band, bkey, bucket_n,
@@ -390,7 +461,8 @@ def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
 def lsh_pairs_against(new_docs: DataFrame, corpus: DataFrame,
                       id_col: str = "doc_id", text: str = "text",
                       rows_per_band: int = 4,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      hot_threshold: int = 4096) -> DataFrame:
     """Incremental dedup: banded-LSH candidate pairs between a NEW
     batch and an EXISTING corpus — (new_id, corpus_id) sharing >= 1
     band. The daily-ingest shape: a 10^12-doc corpus is deduped ONCE
@@ -409,47 +481,71 @@ def lsh_pairs_against(new_docs: DataFrame, corpus: DataFrame,
     before the join (the _cap_buckets skew discipline) and the
     first-band rule yields to distinct().
 
+    Skew: a hot band key (a stopword-heavy or boilerplate signature
+    shared by many docs on both sides) would put |new-bucket| x
+    |corpus-bucket| comparisons in ONE join task; the batch path
+    routes through _tiled_join, which sizes both sides and tiles hot
+    buckets into bounded sub-tasks (`hot_threshold` = per-task pair
+    budget sqrt). `max_bucket` additionally drops over-cap buckets
+    whole on both sides (their members are exact/near-exact dups
+    better handled by exact_dups).
+
+    `new_docs` may be a STREAMING DataFrame (readStream source): the
+    operator then skips the stream-side checkpoint and the tiling
+    sizing pass (both are actions) and plans a stream-static band
+    join — the corpus side still caps via max_bucket, which is the
+    available skew guard on that path. With max_bucket on a stream,
+    a matching pair emits once per SURVIVING shared band (the
+    first-band dedup rule needs bucket-survival knowledge a stream
+    filter cannot have); consumers keying on new_id are unaffected.
+
     A pair is emitted only for ids on opposite sides; a doc present in
     both frames matches itself (hash-identical signatures) — filter
     ids upstream if re-ingestion is possible."""
+    streaming = new_docs.isStreaming
+    n_bands = (len(MINHASH_PARAMS) + rows_per_band - 1) // rows_per_band
+    out = lambda j: j.select(  # noqa: E731
+        F.col(f"a.{id_col}").alias("new_id"),
+        F.col(f"b.{id_col}").alias("corpus_id"),
+    )
     if max_bucket is not None:
-        a = _cap_buckets(
-            _lsh_exploded(new_docs, id_col, text, rows_per_band, materialize=True),
-            max_bucket,
-        ).alias("a")
+        a = _lsh_exploded(
+            new_docs, id_col, text, rows_per_band, materialize=not streaming
+        )
         b = _cap_buckets(
             _lsh_exploded(corpus, id_col, text, rows_per_band, materialize=True),
             max_bucket,
-        ).alias("b")
-        return (
-            a.join(b, ["band", "bkey"])
-            .select(
-                F.col(f"a.{id_col}").alias("new_id"),
-                F.col(f"b.{id_col}").alias("corpus_id"),
-            )
-            .distinct()
         )
+        if streaming:
+            # corpus-side cap only (a stream-side _cap_buckets would
+            # need a stream aggregation); per-surviving-band emission
+            # (see docstring): distinct() is a stateful aggregation
+            # append mode cannot host
+            return out(a.alias("a").join(b.alias("b"), ["band", "bkey"]))
+        a = _cap_buckets(a, max_bucket)
+        return out(
+            _tiled_join(a, b, id_col, id_col, hot_threshold)
+        ).distinct()
     a = _lsh_exploded(
-        new_docs, id_col, text, rows_per_band, with_keys=True, materialize=True
-    ).alias("a")
+        new_docs, id_col, text, rows_per_band, with_keys=True,
+        materialize=not streaming,
+    )
     b = _lsh_exploded(
         corpus, id_col, text, rows_per_band, with_keys=True, materialize=True
-    ).alias("b")
-    n_bands = (len(MINHASH_PARAMS) + rows_per_band - 1) // rows_per_band
-    return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.expr(_first_band_pred(n_bands)))
-        .select(
-            F.col(f"a.{id_col}").alias("new_id"),
-            F.col(f"b.{id_col}").alias("corpus_id"),
-        )
     )
+    if streaming:
+        joined = a.alias("a").join(b.alias("b"), ["band", "bkey"])
+    else:
+        joined = _tiled_join(a, b, id_col, id_col, hot_threshold)
+    return out(joined.filter(F.expr(_first_band_pred(n_bands))))
 
 
 def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
                           max_hamming: int = 8,
                           id_col: str = "image_id", phash: str = "phash",
-                          n_bands: int = 4) -> DataFrame:
+                          n_bands: int = 4,
+                          max_bucket: int | None = None,
+                          hot_threshold: int = 4096) -> DataFrame:
     """Incremental image near-dup: (new_id, corpus_id, hamming) pairs
     within the Hamming ball, candidates from the same band split as
     phash_neardup_pairs but joined new-batch-vs-corpus — the ingest
@@ -457,7 +553,23 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
     already keep?" without re-pairing the corpus against itself.
 
     Same recall contract as phash_neardup_pairs: guaranteed when
-    max_hamming < n_bands (pigeonhole), recall-oriented beyond."""
+    max_hamming < n_bands (pigeonhole), recall-oriented beyond.
+
+    Skew: near-dup-heavy corpora concentrate band keys by
+    construction, so the batch path routes through _tiled_join — hot
+    buckets (|new| x |corpus| over the hot_threshold^2 pair budget)
+    tile into bounded sub-tasks; cold corpora pay one sizing job and
+    zero tiling. `max_bucket` drops over-cap corpus band buckets
+    whole (batch: both sides), the _cap_buckets discipline.
+
+    `new_images` may be a STREAMING DataFrame (this is what
+    streaming_neardup_matches passes): the sizing action is
+    impossible there, so the plan stays a stream-static equi-join
+    with the corpus-side max_bucket cap as the skew guard. With
+    max_bucket on a stream, a matching pair emits once per SURVIVING
+    shared band (the first-band dedup rule needs bucket-survival
+    knowledge a stream filter cannot have); consumers keying on
+    new_id are unaffected."""
     if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
         raise ValueError(
             f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
@@ -487,15 +599,35 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
             F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys"),
         )
 
-    a = banded(new_images, "new").alias("a")
-    b = banded(corpus, "corpus").drop("bi").alias("b")
+    streaming = new_images.isStreaming
+    a = banded(new_images, "new")
+    b = banded(corpus, "corpus").drop("bi")
+    if max_bucket is not None:
+        b = _cap_buckets(b, max_bucket)
     xor = F.col("ph_new").bitwiseXOR(F.col("ph_corpus"))
-    return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.expr(_first_band_pred(n_bands)))
-        .withColumn("hamming", F.bit_count(xor))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("new_id", "corpus_id", "hamming")
+
+    def verify(joined):
+        return (
+            joined.withColumn("hamming", F.bit_count(xor))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("new_id", "corpus_id", "hamming")
+        )
+
+    if streaming:
+        joined = a.alias("a").join(b.alias("b"), ["band", "bkey"])
+        if max_bucket is None:
+            joined = joined.filter(F.expr(_first_band_pred(n_bands)))
+        # else: per-surviving-band emission (see docstring)
+        return verify(joined)
+    if max_bucket is not None:
+        a = _cap_buckets(a, max_bucket)
+        return verify(
+            _tiled_join(a, b, "new_id", "corpus_id", hot_threshold)
+        ).distinct()
+    return verify(
+        _tiled_join(a, b, "new_id", "corpus_id", hot_threshold).filter(
+            F.expr(_first_band_pred(n_bands))
+        )
     )
 
 
@@ -642,7 +774,8 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
 
 def phash_components(images: DataFrame, id_col: str = "image_id",
                      phash: str = "phash", max_hamming: int = 8,
-                     max_iter: int = 50, n_bands: int = 4) -> DataFrame:
+                     max_iter: int = 50, n_bands: int = 4,
+                     rep_join: str = "window") -> DataFrame:
     """Image near-duplicate clusters: (image_id, component) with
     component = the minimum image id in the cluster.
 
@@ -680,14 +813,33 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     comp = label_propagate(
         distinct_ph.select(F.col("ph").alias("node")), edges, max_iter
     )
-    # one shuffle on the cluster label gives every member the min
-    # image id (window-min instead of groupBy + rejoin)
+    # rep_join picks the representative-assignment physical shape:
+    #   'window' (default): one shuffle on the cluster label, min via
+    #     window — fewest stages, but a giant cluster's rows all pass
+    #     through ONE task (rows are narrow, so tolerable far past the
+    #     band-join skew point);
+    #   'broadcast': groupBy partial-agg shrinks each cluster to one
+    #     (label, min-id) row map-side, the tiny min table broadcasts
+    #     back — NO task ever holds a whole cluster, the shape for
+    #     corpora whose largest cluster is itself web-scale. The
+    #     labelled frame checkpoints because both the agg and the
+    #     rejoin consume it.
+    labelled = ph.join(comp, ph["ph"] == comp["node"]).select(id_col, "label")
+    if rep_join == "broadcast":
+        labelled = labelled.localCheckpoint(eager=False)
+        mins = labelled.groupBy("label").agg(F.min(id_col).alias("component"))
+        return (
+            labelled.join(F.broadcast(mins), "label")
+            .select(id_col, "component")
+            .union(null_ph)
+        )
+    if rep_join != "window":
+        raise ValueError(f"rep_join must be 'window' or 'broadcast', got {rep_join!r}")
     from pyspark.sql import Window
 
     w = Window.partitionBy("label")
     return (
-        ph.join(comp, ph["ph"] == comp["node"])
-        .select(id_col, F.min(id_col).over(w).alias("component"))
+        labelled.select(id_col, F.min(id_col).over(w).alias("component"))
         .union(null_ph)
     )
 
@@ -726,7 +878,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
                         n: int = 3, threshold: float = 0.2,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | str | None = "auto") -> DataFrame:
     """Exact Jaccard over token n-gram shingles, via inverted-index
     self-join (only docs sharing a shingle ever meet).
 
@@ -735,7 +887,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "te
     O(df^2) in one bucket. Such shingles are dropped from the INDEX
     side only — doc sizes still count them, so reported Jaccard is a
     lower bound for affected pairs (the standard df-ceiling trade,
-    stated rather than silent)."""
+    stated rather than silent).
+
+    Default max_df='auto' = max(1000, 1% of the corpus row count, via
+    one count() job): the guarded path is the DEFAULT path — an
+    unguarded O(df^2) blowup should require opting OUT (max_df=None),
+    not reading the docstring. At the default, a shingle must appear
+    in over 1000 docs (and over 1% of the corpus) before any pair's
+    Jaccard turns lower-bound, which no discriminating shingle does."""
+    if max_df == "auto":
+        max_df = max(1000, int(0.01 * docs.count()))
     # one materialization of the (doc, shingle) index: doc sizes, the
     # optional df guard, and both join sides consume it — without the
     # checkpoint the tokenize+explode+distinct subtree plans once per

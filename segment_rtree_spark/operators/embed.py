@@ -59,9 +59,26 @@ def auto_n_bits(n_rows: int, target_bucket: int = TARGET_BUCKET,
 
 def hyperplane(i: int, dim: int = DIM) -> np.ndarray:
     """Deterministic pseudo-random hyperplane i (exact decimal values,
-    reproducible as SQL literals)."""
-    j = np.arange(dim, dtype=np.int64)
-    return ((i * 2654435761 + j * 40503) % 1000) / 1000.0 - 0.5
+    reproducible as SQL literals — the oracles regenerate their
+    literal arrays from this function, so it IS the cross-engine
+    spec).
+
+    splitmix64-style avalanche per (i, j): the earlier affine form
+    (i*C1 + j*C2) % 1000 made every plane the SAME progression at a
+    shifted phase — pairwise sign correlations near 1, so 2^n_bits
+    nominal buckets collapsed to a handful of occupied ones (measured
+    36 of 128 with one 28k-row bucket on 100k uniform vectors) and
+    the per-bucket refine re-went quadratic. Mixed planes spread the
+    same corpus across all 128 within ~2x of uniform."""
+    j = np.arange(dim, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the mix
+        x = np.uint64(i % (1 << 64)) * np.uint64(0x9E3779B97F4A7C15) + j * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        x ^= x >> np.uint64(31)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(27)
+    return (x % np.uint64(1000)).astype(np.float64) / 1000.0 - 0.5
 
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
@@ -242,6 +259,68 @@ def _probed(v: DataFrame, n_bits: int, n_probe: int) -> DataFrame:
     )
 
 
+def _bucket_topk_kernel(id_col: str, id_dtype: str, k: int):
+    """Per-bucket BLAS refine for ann_topk: one cogrouped kernel per
+    bucket computes the FULL query x target cosine matrix with one
+    matmul, then keeps each query's local top-k (stable argsort over
+    targets pre-sorted by id, so score ties break by lowest id exactly
+    like the window rank downstream). Emits k rows per (query, probe
+    bucket) instead of bucket_n — the candidate stream shrinks from
+    N x probes x bucket_n to N x probes x k BEFORE the shuffle, and
+    the scoring runs at BLAS speed instead of one interpreted Catalyst
+    fold per candidate (the refine='expr' path's cost)."""
+    max_elems = 1 << 25
+
+    def kernel(key, qpdf, tpdf):
+        if len(qpdf) == 0 or len(tpdf) == 0:
+            return pd.DataFrame({"query_id": [], id_col: [], "score": []})
+        t_order = np.argsort(tpdf[id_col].to_numpy(), kind="stable")
+        tids = tpdf[id_col].to_numpy()[t_order]
+        T = np.stack([np.asarray(v, np.float64) for v in tpdf["v"]])[t_order]
+        Q = np.stack([np.asarray(v, np.float64) for v in qpdf["v"]])
+        qids = qpdf[id_col].to_numpy()
+        tn = np.linalg.norm(T, axis=1)[None, :]
+        qn = np.linalg.norm(Q, axis=1)
+        kk = min(k, len(tids))
+        outs = []
+        # chunk the query side so the score matrix never exceeds
+        # ~max_elems float64s (256 MB): a degenerate mega-bucket at
+        # the cap boundary would otherwise allocate |Q| x |T| in one go
+        step = max(1, max_elems // max(1, len(tids)))
+        for s in range(0, len(qids), step):
+            e = min(len(qids), s + step)
+            S = (Q[s:e] @ T.T) / (qn[s:e, None] * tn)
+            S[qids[s:e, None] == tids[None, :]] = -np.inf  # exclude self
+            # O(nt) argpartition to the kk winners, then order just
+            # those by (-score, id): re-sorting the partition indices
+            # ascending makes positions == ascending target id (tids
+            # are pre-sorted), so the stable score argsort breaks ties
+            # by lowest id like the rank window. (A tie ACROSS the
+            # partition boundary can admit either member — same class
+            # of near-tie freedom the refine='kernel' contract already
+            # grants.)
+            part = np.sort(np.argpartition(-S, kk - 1, axis=1)[:, :kk], axis=1)
+            ps = np.take_along_axis(S, part, axis=1)
+            idx = np.take_along_axis(
+                part, np.argsort(-ps, axis=1, kind="stable"), axis=1
+            )
+            scores = np.take_along_axis(S, idx, axis=1).ravel()
+            keep = np.isfinite(scores)  # drop self rows that slipped in
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids[s:e], kk)[keep],
+                        id_col: tids[idx].ravel()[keep],
+                        "score": scores[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    schema = f"query_id {id_dtype}, {id_col} {id_dtype}, score double"
+    return kernel, schema
+
+
 def ann_topk(
     vectors: DataFrame,
     k: int = 5,
@@ -250,7 +329,8 @@ def ann_topk(
     n_bits: int | None = None,
     target_bucket: int = TARGET_BUCKET,
     n_probe: int = 1,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
+    refine: str = "expr",
 ) -> DataFrame:
     """Approximate all-pairs top-k: bucket equi-join then exact cosine
     refine inside each bucket. Output (query_id, vec_id, score, rank).
@@ -260,11 +340,47 @@ def ann_topk(
     per-bucket refine stays O(target_bucket^2) at any N; multi-probe
     (n_probe bit flips on the query side) keeps recall as n_bits
     grows; max_bucket drops degenerate mega-buckets whole (visible via
-    ann_bucket_stats)."""
+    ann_bucket_stats). Default max_bucket='auto' = 32 * target_bucket:
+    with auto n_bits the MEAN bucket holds ~target_bucket vectors, so
+    a bucket 32x over the mean is a degenerate pile of near-identical
+    vectors whose O(n^2) refine belongs to exact dedup — the guard is
+    armed by default (opt out with max_bucket=None), and only such
+    degenerate piles are affected.
+
+    refine='expr' (default) scores candidates with sequential Catalyst
+    folds — bit-identical to the DuckDB oracle, the cross-engine
+    reference. refine='kernel' is the PRODUCTION path: a cogrouped
+    per-bucket Arrow kernel scores each bucket with one BLAS matmul
+    and emits only each query's bucket-local top-k (candidate stream
+    N x probes x k instead of N x probes x bucket_n), then a window
+    merges the per-bucket winners. Same candidate set and tie rules;
+    scores may differ from the fold path in final ulps (matmul
+    reassociation), so near-exact score ties can rank differently —
+    the standard ANN trade, not a correctness surface."""
+    if max_bucket == "auto":
+        max_bucket = 32 * target_bucket
     if n_bits is None:
         n_bits = auto_n_bits(vectors.count(), target_bucket)
     v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket)
-    a = _probed(v, n_bits, n_probe).alias("a")
+    a = _probed(v, n_bits, n_probe)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    if refine == "kernel":
+        id_dtype = dict(vectors.select(id_col).dtypes)[id_col]
+        kernel, schema = _bucket_topk_kernel(id_col, id_dtype, k)
+        # fresh exprIds on the target side (self-cogroup ambiguity)
+        t = v.select(*[F.col(c).alias(c) for c in v.columns])
+        scored = (
+            a.groupBy("bucket")
+            .cogroup(t.groupBy("bucket"))
+            .applyInPandas(kernel, schema)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if refine != "expr":
+        raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
+    a = a.alias("a")
     t = v.alias("b")
     dot = F.expr(_dot_expr("a.v", "b.v"))
     na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
@@ -278,7 +394,6 @@ def ann_topk(
             (dot / (na * nb)).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -290,7 +405,8 @@ def embedding_neardup_pairs(
     n_bits: int | None = None,
     target_bucket: int = TARGET_BUCKET,
     n_probe: int = 1,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
+    refine: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, score) with
     cosine >= threshold, candidates from a sign-LSH bucket equi-join
@@ -299,10 +415,62 @@ def embedding_neardup_pairs(
 
     Same corpus-scaling controls as ann_topk: n_bits auto-scales with
     N (default), n_probe bit-flip probes protect recall at high bit
-    counts, max_bucket is the degenerate-corpus skew guard."""
+    counts, max_bucket is the degenerate-corpus skew guard — default
+    'auto' = 32 * target_bucket (see ann_topk: armed by default, only
+    degenerate near-identical piles are dropped; opt out with None).
+
+    refine='kernel' scores each bucket with one BLAS matmul and emits
+    only above-threshold pairs map-side (see ann_topk) — same pair
+    set; scores differ from the fold path only in final ulps, so a
+    pair whose cosine sits EXACTLY on the threshold could flip."""
+    if max_bucket == "auto":
+        max_bucket = 32 * target_bucket
     if n_bits is None:
         n_bits = auto_n_bits(vectors.count(), target_bucket)
     v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket)
+    if refine == "kernel":
+        id_dtype = dict(vectors.select(id_col).dtypes)[id_col]
+
+        max_elems = 1 << 25
+
+        def kernel(key, qpdf, tpdf):
+            if len(qpdf) == 0 or len(tpdf) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+            Q = np.stack([np.asarray(x, np.float64) for x in qpdf["v"]])
+            T = np.stack([np.asarray(x, np.float64) for x in tpdf["v"]])
+            qids = qpdf[id_col].to_numpy()
+            tids = tpdf[id_col].to_numpy()
+            qn = np.linalg.norm(Q, axis=1)
+            tn = np.linalg.norm(T, axis=1)[None, :]
+            outs = []
+            # chunked like the top-k kernel: score-matrix memory bound
+            step = max(1, max_elems // max(1, len(tids)))
+            for s in range(0, len(qids), step):
+                e = min(len(qids), s + step)
+                S = (Q[s:e] @ T.T) / (qn[s:e, None] * tn)
+                qi, ti = np.nonzero(
+                    (S >= threshold) & (qids[s:e, None] < tids[None, :])
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": qids[s:e][qi], "id_b": tids[ti], "score": S[qi, ti]}
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        schema = f"id_a {id_dtype}, id_b {id_dtype}, score double"
+        # fresh exprIds on the target side: a cogroup of two frames
+        # sharing a lineage is an ambiguous self-join to the analyzer
+        t = v.select(*[F.col(c).alias(c) for c in v.columns])
+        return (
+            _probed(v, n_bits, n_probe)
+            .groupBy("bucket")
+            .cogroup(t.groupBy("bucket"))
+            .applyInPandas(kernel, schema)
+            .distinct()
+        )
+    if refine != "expr":
+        raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
     a = _probed(v, n_bits, n_probe).alias("a")
     t = v.alias("b")
     dot = F.expr(_dot_expr("a.v", "b.v"))
@@ -420,12 +588,15 @@ def kmeans_fit(
     """Fully distributed Lloyd k-means over an embedding column.
 
     Per iteration: the k x dim codebook broadcasts out, an Arrow
-    kernel computes per-BATCH partial sums per list (k*dim tiny rows
-    out per batch — a map-side combine), one shuffle reduces them,
-    and only the k x dim result returns to the driver. No iteration
-    ever pulls vectors driver-side, so the fit scales to any corpus
-    (unlike the `ivf_centroids` sample fit, whose Lloyd steps are
-    driver NumPy over a .limit() pull).
+    kernel computes per-BATCH partial sums per list (at most k rows
+    out per batch, each carrying one array<double> sum — a map-side
+    combine; the earlier k*dim scalar-row emit built Python lists
+    per centroid and pushed up to 4.2M tiny rows per batch at
+    n_lists=2^16), one grouped reduce sums the partials per list,
+    and only the k x dim result returns to the driver (k rows). No
+    iteration ever pulls vectors driver-side, so the fit scales to
+    any corpus (unlike the `ivf_centroids` sample fit, whose Lloyd
+    steps are driver NumPy over a .limit() pull).
 
     Seeds = the first k vectors by id (deterministic). Note: the
     reduce sums float64 in partition order, so centroids can differ
@@ -447,32 +618,49 @@ def kmeans_fit(
                     continue
                 emb = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
                 a = _argmin_list(emb, c)
-                lists, poss, ss, ns = [], [], [], []
-                for j in range(len(c)):
-                    m = a == j
-                    if m.any():
-                        lists += [j] * dim
-                        poss += list(range(dim))
-                        ss += list(emb[m].sum(axis=0))
-                        ns += [int(m.sum())] * dim
+                # group rows by assigned list via one stable argsort;
+                # each present list's sum is one vectorized np.sum over
+                # its slice (rows stay in original order, so the
+                # pairwise summation is bit-identical to a mask-based
+                # per-centroid fold). Emits ONE array row per present
+                # list — k rows per batch, not k*dim scalar rows.
+                order = np.argsort(a, kind="stable")
+                srt = a[order]
+                uniq, starts = np.unique(srt, return_index=True)
+                bounds = np.append(starts, len(srt))
+                sums = [
+                    emb[order[bounds[u]:bounds[u + 1]]].sum(axis=0).tolist()
+                    for u in range(len(uniq))
+                ]
                 yield pd.DataFrame(
                     {
-                        "list": pd.Series(lists, dtype="int64"),
-                        "pos": pd.Series(poss, dtype="int32"),
-                        "s": pd.Series(ss, dtype="float64"),
-                        "n": pd.Series(ns, dtype="int64"),
+                        "list": uniq.astype("int64"),
+                        "s": sums,
+                        "n": np.diff(bounds).astype("int64"),
                     }
                 )
 
+        def reduce_list(pdf):
+            s = np.zeros(dim, np.float64)
+            for arr in pdf["s"]:
+                s += np.asarray(arr, np.float64)
+            return pd.DataFrame(
+                {
+                    "list": [int(pdf["list"].iloc[0])],
+                    "s": [s.tolist()],
+                    "n": [int(pdf["n"].sum())],
+                }
+            )
+
         rows = (
-            src.mapInPandas(partial, "list long, pos int, s double, n long")
-            .groupBy("list", "pos")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            src.mapInPandas(partial, "list long, s array<double>, n long")
+            .groupBy("list")
+            .applyInPandas(reduce_list, "list long, s array<double>, n long")
             .collect()
         )
         new = cent.copy()
         for r in rows:
-            new[r["list"], r["pos"]] = r["s"] / r["n"]
+            new[r["list"]] = np.asarray(r["s"], np.float64) / r["n"]
         cent = new
         bc.destroy()
     return cent

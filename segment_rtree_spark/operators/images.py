@@ -337,6 +337,20 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             ),
         )
         .when(
+            # non-positive dims before any length equation: w=-1,h=-1
+            # with 3 payload bytes satisfies length==w*h*3, but the
+            # decode contract (reshape to (h,w,3)) can never hold —
+            # the Catalyst tier must agree with the kernel tier on
+            # pathological metadata, not just clean rows
+            (F.col("w") <= 0) | (F.col("h") <= 0),
+            _pre(
+                IMG_ERR_DIMENSION_MISMATCH,
+                F.format_string(
+                    "w=%d h=%d must be positive", F.col("w"), F.col("h")
+                ),
+            ),
+        )
+        .when(
             F.col("fmt").isin("jpeg", "webp"),
             _pre(IMG_ERR_CODEC_UNAVAILABLE, F.concat(F.lit("fmt="), F.col("fmt"))),
         )
@@ -359,6 +373,8 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
     )
 
     def classify(buf, fmt, w, h, stored_phash):
+        if w <= 0 or h <= 0:  # mirrors the Catalyst prefilter exactly
+            return IMG_ERR_DIMENSION_MISMATCH, f"w={w} h={h} must be positive"
         if fmt in ("jpeg", "webp"):
             return IMG_ERR_CODEC_UNAVAILABLE, f"fmt={fmt}"
         if fmt not in ("raw", "png"):

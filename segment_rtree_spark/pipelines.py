@@ -183,11 +183,22 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
 
     done = job.run(narrow, "cell", survivors,
                    keys_per_batch=keys_per_batch, max_batches=max_batches)
-    todo = job.progress_remaining(narrow, "cell")
-    if todo:
+    # run() already computed the remaining key set — re-deriving it via
+    # progress_remaining() would repeat the same distinct+collect pass
+    # over the full input every invocation
+    if job.remaining_keys:
         return done, None
 
-    ok = job.output().drop("cell")
+    try:
+        ok = job.output().drop("cell")
+    except Exception:
+        # every key produced zero survivors: the output dir holds no
+        # parquet files, so the read cannot infer a schema — the
+        # correct result is an EMPTY curated frame, not an error
+        # (schema from the transform's plan; no action runs)
+        ok = spark.createDataFrame(
+            [], survivors(narrow.limit(0)).schema
+        ).drop("cell")
     comp = phash_components(
         ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands
     )

@@ -21,9 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..operators.dedup import phash_neardup_against
+from ..operators.dedup import lsh_pairs_against, phash_neardup_against
 
-__all__ = ["streaming_neardup_matches"]
+__all__ = ["streaming_neardup_matches", "streaming_text_matches"]
 
 
 def streaming_neardup_matches(
@@ -33,6 +33,7 @@ def streaming_neardup_matches(
     id_col: str = "image_id",
     phash: str = "phash",
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(new_id, corpus_id, hamming) append stream of corpus near-dups.
 
@@ -47,6 +48,12 @@ def streaming_neardup_matches(
     arrivals in the consumer (static-vs-static per micro-batch window
     or via foreachBatch) to get the pass-through set; emitting matches
     keeps THIS query stateless and append-only.
+
+    `max_bucket` is the stream path's skew guard: over-cap CORPUS band
+    buckets are dropped whole before the join (the adaptive tiling the
+    batch operator uses needs a sizing action a stream cannot run).
+    With a cap set, a matching pair may emit once per surviving shared
+    band — harmless to consumers keying on new_id.
     """
     return phash_neardup_against(
         stream_images,
@@ -55,4 +62,40 @@ def streaming_neardup_matches(
         id_col=id_col,
         phash=phash,
         n_bands=n_bands,
+        max_bucket=max_bucket,
+    )
+
+
+def streaming_text_matches(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id) append stream of corpus near-dup DOCUMENTS —
+    the minhash twin of streaming_neardup_matches, so text ingest gets
+    the same continuous filter images have.
+
+    `stream_docs` is a streaming DataFrame with at least (id_col,
+    text); `corpus` is the static kept-document table. Each arriving
+    document's minhash signature (the Arrow kernel runs per
+    micro-batch) band-joins the corpus's banded signatures — identical
+    output rows to `lsh_pairs_against` over the same input set
+    (asserted stream==batch in tests). Stateless stream-static
+    equi-join on the band key: no custom state, restarts from the
+    stream checkpoint, corpus refresh = planned restart.
+
+    `max_bucket` drops over-cap CORPUS band buckets whole (the
+    stream-side skew guard; see streaming_neardup_matches for the
+    per-surviving-band emission caveat under a cap).
+    """
+    return lsh_pairs_against(
+        stream_docs,
+        corpus,
+        id_col=id_col,
+        text=text,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
     )

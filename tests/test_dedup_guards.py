@@ -290,3 +290,122 @@ def test_phash_incremental_matches_full(spark):
         if parity[a] != parity[b]:
             cross.add((a, b, h) if parity[a] == 0 else (b, a, h))
     assert inc == cross and inc
+
+
+def test_tiled_join_bounds_hot_bucket_tasks(spark):
+    """Two-sided hot-bucket tiling: a new batch and a corpus sharing
+    ONE band key must split into g_a x g_b bounded tiles, every cross
+    pair meeting in EXACTLY one tile (no dups, no losses)."""
+    from collections import Counter
+
+    from segment_rtree_spark.operators.dedup import _tiled_join
+
+    a = spark.range(600).select(
+        F.col("id").alias("new_id"), F.lit(0).alias("band"), F.lit("k").alias("bkey")
+    )
+    b = spark.range(400).select(
+        (F.col("id") + 10_000).alias("corpus_id"),
+        F.lit(0).alias("band"),
+        F.lit("k").alias("bkey"),
+    )
+    rows = (
+        _tiled_join(a, b, "new_id", "corpus_id", hot_threshold=100)
+        .select("new_id", "corpus_id", "i", "j")
+        .collect()
+    )
+    pairs = {(r["new_id"], r["corpus_id"]) for r in rows}
+    assert len(rows) == len(pairs) == 600 * 400  # exactly-once per pair
+    tiles = Counter((r["i"], r["j"]) for r in rows)
+    assert len(tiles) == 24  # g_a=6 x g_b=4 sub-tasks, not one task
+    # per-task pair budget held up to hash-salting variance (groups
+    # are ~n/g, not exactly n/g): every tile far below the 240k
+    # single-task blowup, within 2x of the T^2 budget
+    assert max(tiles.values()) <= 2 * 100 * 100
+
+
+def test_tiled_join_cold_path_untouched(spark):
+    """No bucket over the pair budget -> the plain equi-join (no tile
+    columns, no replication)."""
+    from segment_rtree_spark.operators.dedup import _tiled_join
+
+    a = spark.range(50).select(
+        F.col("id").alias("new_id"), F.lit(0).alias("band"), F.lit("k").alias("bkey")
+    )
+    b = spark.range(40).select(
+        (F.col("id") + 100).alias("corpus_id"),
+        F.lit(0).alias("band"),
+        F.lit("k").alias("bkey"),
+    )
+    out = _tiled_join(a, b, "new_id", "corpus_id", hot_threshold=100)
+    assert "i" not in out.columns and out.count() == 50 * 40
+
+
+def test_phash_incremental_hot_bucket_end_to_end(spark):
+    """Degenerate corpus (every image one phash) through the tiled
+    incremental path == the plain-join result, with tiling forced on
+    via a tiny hot_threshold."""
+    from segment_rtree_spark.operators.dedup import phash_neardup_against
+
+    new = spark.range(300).select(
+        F.concat(F.lit("n"), F.col("id")).alias("image_id"),
+        F.lit(0x1234).cast("long").alias("phash"),
+    )
+    corp = spark.range(200).select(
+        F.concat(F.lit("c"), F.col("id")).alias("image_id"),
+        F.lit(0x1234).cast("long").bitwiseXOR((F.col("id") % 2).cast("long")).alias("phash"),
+    )
+    tiled = phash_neardup_against(new, corp, max_hamming=2, hot_threshold=50)
+    plain = phash_neardup_against(new, corp, max_hamming=2, hot_threshold=10**6)
+    t = {tuple(r) for r in tiled.collect()}
+    p = {tuple(r) for r in plain.collect()}
+    assert t == p and len(t) == 300 * 200
+
+
+def test_lsh_incremental_hot_bucket_end_to_end(spark):
+    """Identical-text ingest (all docs share every band key) tiles the
+    new-vs-corpus band join and still emits each cross pair once."""
+    from segment_rtree_spark.operators.dedup import lsh_pairs_against
+
+    new = spark.range(150).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
+    )
+    corp = spark.range(100).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit("a b c d e").alias("text")
+    )
+    got = lsh_pairs_against(new, corp, hot_threshold=32)
+    assert got.count() == 150 * 100
+    assert got.distinct().count() == 150 * 100
+
+
+def test_ngram_auto_df_guard(spark):
+    """max_df defaults to 'auto': stopword-phrase shingles (df > cap)
+    are dropped WITHOUT caller opt-in, so the degenerate corpus runs
+    bounded; max_df=None re-arms the unguarded path."""
+    from segment_rtree_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = spark.range(1100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the quick brown fox t"), F.col("id")).alias("text"),
+    )
+    # the two corpus-wide trigrams exceed the auto cap (1100 > 1000)
+    # and leave the index; the remaining shingle is unique per doc
+    assert ngram_jaccard_pairs(hot, threshold=0.01).count() == 0
+    small = hot.limit(50)
+    # under the auto cap (df=50 <= 1000) the same corpus pairs freely
+    assert ngram_jaccard_pairs(small, threshold=0.01).count() == 50 * 49 // 2
+
+
+def test_phash_components_rep_join_broadcast(spark):
+    """rep_join='broadcast' == the window default, and its plan really
+    broadcasts the per-cluster min table (no single-task window over a
+    giant cluster)."""
+    from segment_rtree_spark.operators.dedup import phash_components
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 300).select("image_id", "phash")
+    w = sorted(map(tuple, phash_components(imgs, max_hamming=16).collect()))
+    b = phash_components(imgs, max_hamming=16, rep_join="broadcast")
+    assert sorted(map(tuple, b.collect())) == w
+    jvm = spark.sparkContext._jvm
+    plan = jvm.PythonSQLUtils.explainString(b._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan

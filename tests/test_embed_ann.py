@@ -142,3 +142,48 @@ def test_lsh_buckets_matmul_parity(spark):
     exact = lsh_buckets(df, n_bits=8).toPandas().set_index("vec_id")["bucket"]
     fast = lsh_buckets(df, n_bits=8, bit_exact=False).toPandas().set_index("vec_id")["bucket"]
     assert (exact.sort_index() == fast.sort_index()).all()
+
+
+def test_embed_auto_max_bucket_guard(spark):
+    """max_bucket defaults to 'auto' (32 x target_bucket): a degenerate
+    pile of identical vectors exceeding the cap is dropped WHOLE from
+    the candidate join without caller opt-in; max_bucket=None re-arms
+    the unguarded O(n^2) bucket."""
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.embed import embedding_neardup_pairs
+
+    vecs = spark.range(150).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array_repeat(1.0d, 64)").alias("embedding"),
+    )
+    # auto cap = 32 * 2 = 64 < 150 -> the single degenerate bucket drops
+    armed = embedding_neardup_pairs(vecs, threshold=0.9, n_bits=1, target_bucket=2)
+    assert armed.count() == 0
+    disarmed = embedding_neardup_pairs(
+        vecs, threshold=0.9, n_bits=1, target_bucket=2, max_bucket=None
+    )
+    assert disarmed.count() == 150 * 149 // 2
+
+
+def test_ann_refine_kernel_matches_expr(spark):
+    """refine='kernel' (per-bucket BLAS + bucket-local top-k) returns
+    the same neighbors and ranks as the bit-exact fold path on data
+    without score ties."""
+    from segment_rtree_spark.operators.embed import ann_topk, embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = ann_topk(emb, k=3, n_bits=4, n_probe=1).toPandas()
+    g = ann_topk(emb, k=3, n_bits=4, n_probe=1, refine="kernel").toPandas()
+    key = lambda df: sorted(zip(df.query_id, df.vec_id, df["rank"]))  # noqa: E731
+    assert key(e) == key(g) and len(g)
+    # scores agree to float-reassociation tolerance
+    es = {(q, v): s for q, v, s in zip(e.query_id, e.vec_id, e.score)}
+    for q, v, s in zip(g.query_id, g.vec_id, g.score):
+        assert abs(es[(q, v)] - s) < 1e-12
+
+    ep = embedding_neardup_pairs(emb, threshold=0.35, n_bits=4).toPandas()
+    gp = embedding_neardup_pairs(
+        emb, threshold=0.35, n_bits=4, refine="kernel"
+    ).toPandas()
+    assert sorted(zip(ep.id_a, ep.id_b)) == sorted(zip(gp.id_a, gp.id_b)) and len(gp)

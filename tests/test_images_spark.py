@@ -192,3 +192,33 @@ def test_validate_images_error_taxonomy(spark):
     gn = {r["image_id"]: r for r in validate_images(nulls, check_phash=True).collect()}
     assert gn["n0"]["err_code"] == "NullPayload"
     assert gn["n1"]["err_code"] == "NullMetadata"
+
+
+def test_validate_nonpositive_dims_both_tiers(spark):
+    """w=-1,h=-1 with 3 payload bytes satisfies length==w*h*3 but can
+    never reshape to (h,w,3): the Catalyst fast path and the kernel
+    path must agree on DimensionMismatch (ADVICE r3)."""
+    from segment_rtree_spark.operators.images import (
+        IMG_ERR_DIMENSION_MISMATCH,
+        validate_images,
+    )
+
+    rows = [
+        ("neg", bytearray(b"abc"), "raw", -1, -1, 7),
+        ("zero", bytearray(b""), "raw", 0, 5, 7),
+        ("good", bytearray(b"abc"), "raw", 1, 1, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int, phash long"
+    )
+    for check_phash in (False, True):
+        got = {
+            r["image_id"]: (r["ok"], r["err_code"])
+            for r in validate_images(df, check_phash=check_phash).collect()
+        }
+        assert got["neg"] == (False, IMG_ERR_DIMENSION_MISMATCH)
+        assert got["zero"] == (False, IMG_ERR_DIMENSION_MISMATCH)
+        assert got["good"][0] is (not check_phash) or got["good"][0]
+    # clean raw row stays valid on the pure-Catalyst tier
+    clean = validate_images(df.filter("image_id = 'good'")).collect()[0]
+    assert clean["ok"] and clean["err_code"] is None

@@ -94,3 +94,23 @@ def test_curate_checkpointed_kill_resume_matches_oneshot(spark, tmp_path):
     )
     assert done3 == 0
     assert final3.count() == len(got)
+
+
+def test_curate_checkpointed_all_empty(spark, tmp_path):
+    """Every key producing zero survivors must yield an EMPTY curated
+    frame, not an unreadable output dir (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.pipelines import curate_images_checkpointed
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 60, skew_frac=0.1).withColumn(
+        "caption", F.lit("x")
+    )
+    done, curated = curate_images_checkpointed(
+        imgs, entry_layer(), str(tmp_path / "job"), min_caption_tokens=99
+    )
+    assert curated is not None
+    assert curated.count() == 0
+    assert {"image_id", "caption", "n_regions", "cluster_size"} <= set(curated.columns)

@@ -225,3 +225,50 @@ def test_streaming_neardup_matches_batch(spark, tmp_path):
         for r in phash_neardup_against(arrivals, corpus, max_hamming=16).collect()
     }
     assert got == want and got
+
+
+def test_streaming_text_matches_batch(spark, tmp_path):
+    """Minhash stream-static ingest filter == batch lsh_pairs_against
+    over the same arrivals — the text twin of the phash ingest filter
+    (the Arrow signature kernel runs per micro-batch; the band join is
+    stream-static, append mode, no state)."""
+    import time
+
+    from segment_rtree_spark.operators.dedup import lsh_pairs_against
+    from segment_rtree_spark.streaming.ingest_stream import streaming_text_matches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).cache()
+    arrivals = docs.filter(F.col("doc_id") % 5 == 0)
+
+    src = str(tmp_path / "doc_arrivals")
+    half1 = arrivals.filter(F.col("doc_id") % 2 == 0)
+    half2 = arrivals.filter(F.col("doc_id") % 2 != 0)
+    half1.coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    half2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_text_matches(stream, corpus)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("text_matches")
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in spark.sql("select * from text_matches").collect()
+    }
+    want = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_pairs_against(arrivals, corpus).collect()
+    }
+    assert got == want and got
