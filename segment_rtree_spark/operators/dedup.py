@@ -214,7 +214,7 @@ def _first_band_pred(n_bands: int) -> str:
 
 
 def _tiled_self_join(exploded: DataFrame, id_col: str,
-                     hot_threshold: int = 4096,
+                     hot_threshold: int | None = 4096,
                      materialize: bool = False) -> DataFrame:
     """Skew-proof intra-bucket self-join: (a, b) rows sharing
     (band, bkey), with HOT buckets tiled into sub-tasks.
@@ -256,6 +256,15 @@ def _tiled_self_join(exploded: DataFrame, id_col: str,
     """
     if materialize:
         exploded = exploded.localCheckpoint(eager=False)
+    if hot_threshold is None:
+        # caller ASSERTS no hot buckets (e.g. it just distinct-collapsed
+        # the join key upstream and knows the distinct count is below
+        # any threshold): skip the sizing job, plain equi-join
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return a.join(b, ["band", "bkey"]).filter(
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
     spark = exploded.sparkSession
     hot = (
         exploded.groupBy("band", "bkey")
@@ -775,7 +784,8 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
 def phash_components(images: DataFrame, id_col: str = "image_id",
                      phash: str = "phash", max_hamming: int = 8,
                      max_iter: int = 50, n_bands: int = 4,
-                     rep_join: str = "window") -> DataFrame:
+                     rep_join: str = "window",
+                     hot_threshold: int | None = 4096) -> DataFrame:
     """Image near-duplicate clusters: (image_id, component) with
     component = the minimum image id in the cluster.
 
@@ -808,6 +818,7 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     pairs = phash_neardup_pairs(
         distinct_ph.withColumn("pid", F.col("ph")),
         max_hamming=max_hamming, id_col="pid", phash="ph", n_bands=n_bands,
+        hot_threshold=hot_threshold,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = label_propagate(
@@ -938,7 +949,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "te
 
 def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
                         id_col: str = "image_id", phash: str = "phash",
-                        n_bands: int = 4) -> DataFrame:
+                        n_bands: int = 4,
+                        hot_threshold: int | None = 4096) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance.
 
     Band trick: split the 64-bit hash into n_bands equal bands; by
@@ -996,7 +1008,10 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
         F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys"),
     )
     pairs = (
-        _tiled_self_join(ex, id_col)
+        # hot_threshold=None skips the adaptive sizing job (see
+        # _tiled_self_join) — for callers that distinct-collapsed the
+        # hash upstream and counted the survivors
+        _tiled_self_join(ex, id_col, hot_threshold)
         .filter(F.expr(_first_band_pred(n_bands)))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -30,6 +30,7 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
                   how: str = "broadcast",
                   n_bands: int = 4,
                   materialize: bool = True,
+                  hot_threshold: int | None = 4096,
                   id_col: str = "image_id",
                   caption: str = "caption",
                   phash: str = "phash",
@@ -96,7 +97,8 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
         # their own persistence strategy)
         ok = ok.localCheckpoint()
     comp = phash_components(
-        ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands
+        ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands,
+        hot_threshold=hot_threshold,
     )
     return _keep_representatives(ok, comp, id_col, caption)
 
