@@ -1,5 +1,7 @@
 """SpatialFrame facade + kNN broadcast operator checks."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -230,3 +232,24 @@ def test_frame_neardup_against(spark):
     )
     direct = sorted(map(tuple, phash_neardup_against(new, corpus, max_hamming=16).collect()))
     assert chained == direct and chained
+
+
+def test_boundary_distance_tree_pruning_exact():
+    """The packed-tree branch-and-bound distance path returns the
+    BIT-IDENTICAL minimum to the dense points x segments fold on every
+    africa polygon (the tree only prunes provably-farther segments;
+    both paths reduce the same _point_segment_dist2 values)."""
+    import numpy as np
+
+    from segment_rtree_spark.layer import PolygonLayer
+
+    layer = PolygonLayer.from_wkt_file(
+        os.path.join(os.path.dirname(__file__), "..", "data", "wkt", "africa.wkt")
+    )
+    rng = np.random.default_rng(11)
+    px = rng.uniform(-20, 55, 2000)
+    py = rng.uniform(-35, 40, 2000)
+    for poly in layer.polygons:
+        brute = boundary_distance(px, py, poly, tree_min_segments=10**9)
+        tree = boundary_distance(px, py, poly, tree_min_segments=1)
+        assert np.array_equal(brute, tree)
