@@ -406,14 +406,23 @@ def _cap_buckets(exploded: DataFrame, max_bucket: int | None) -> DataFrame:
     """The shared skew guard for every band-bucket join: drop whole
     buckets larger than the cap BEFORE any join over them (their
     members are exact/near-exact dups better handled by exact_dups;
-    the dropped buckets stay visible via lsh_bucket_stats)."""
+    the dropped buckets stay visible via lsh_bucket_stats).
+
+    Physical shape: broadcast ANTI-join against the OVER-cap keys —
+    over-cap buckets number at most rows/max_bucket (tiny by
+    definition), so the guard is one partial-agg sizing pass plus a
+    map-side anti join, never a shuffle of the exploded frame keyed
+    by bucket (the inner-join-on-all-sizes formulation shuffled every
+    row to re-attach a filter verdict)."""
     if max_bucket is None:
         return exploded
-    sizes = exploded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bucket_n"))
-    return (
-        exploded.join(sizes.filter(F.col("bucket_n") <= max_bucket), ["band", "bkey"])
-        .drop("bucket_n")
+    over = (
+        exploded.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .select("band", "bkey")
     )
+    return exploded.join(F.broadcast(over), ["band", "bkey"], "left_anti")
 
 
 def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",

@@ -219,10 +219,20 @@ def _bucketed_vectors(
         F.col(id_col), F.col(vec).alias("v"), "bucket"
     ).localCheckpoint(eager=False)
     if max_bucket is not None:
-        sizes = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
-        v = v.join(sizes.filter(F.col("bucket_n") <= max_bucket), "bucket").drop(
-            "bucket_n"
+        # drop via broadcast ANTI-join against the OVER-cap keys only:
+        # over-cap buckets number at most N/max_bucket (tiny by
+        # definition), so the cap costs one partial-agg pass + a
+        # map-side anti join — never a shuffle of the wide vector
+        # frame keyed by bucket (the inner-join-on-sizes formulation
+        # measured ~2 s of the 4 s ann bench at 100k just re-attaching
+        # a filter verdict)
+        over = (
+            v.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket)
+            .select("bucket")
         )
+        v = v.join(F.broadcast(over), "bucket", "left_anti")
     return v
 
 
