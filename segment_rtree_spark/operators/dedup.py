@@ -638,9 +638,11 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
         # else: per-surviving-band emission (see docstring)
         return verify(joined)
     if max_bucket is not None:
-        a = _cap_buckets(a, max_bucket)
+        # the capped path dedups with distinct(), so the first-band
+        # key arrays are dead weight — drop before the tiled join
+        a = _cap_buckets(a.drop("bi", "keys"), max_bucket)
         return verify(
-            _tiled_join(a, b, "new_id", "corpus_id", hot_threshold)
+            _tiled_join(a, b.drop("keys"), "new_id", "corpus_id", hot_threshold)
         ).distinct()
     return verify(
         _tiled_join(a, b, "new_id", "corpus_id", hot_threshold).filter(

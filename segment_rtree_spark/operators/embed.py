@@ -695,6 +695,7 @@ def ivf_topk(
     vec: str = "embedding",
     sample: int | None = None,
     fit: str = "distributed",
+    refine: str = "expr",
 ) -> DataFrame:
     """IVF ANN: coarse-quantize every vector to its nearest centroid
     (one mapInPandas pass with the broadcast codebook), then exact
@@ -705,7 +706,12 @@ def ivf_topk(
     n_lists=None scales the list count with the corpus (~sqrt(N),
     the standard IVF sizing: fit cost k*dim*N and per-list refine
     (N/k)^2 balance at k ~ sqrt(N)); assignment kernels chunk the
-    distance tensor so large codebooks stay memory-bounded."""
+    distance tensor so large codebooks stay memory-bounded.
+
+    refine='kernel' scores each list with one cogrouped BLAS matmul
+    and emits per-query local top-k (the same production kernel as
+    ann_topk; the fold path stays the cross-engine reference — see
+    ann_topk for the near-tie caveat)."""
     import math
 
     spark = vectors.sparkSession
@@ -748,6 +754,22 @@ def ivf_topk(
     v = vectors.select(id_col, vec).mapInPandas(
         assign, f"{id_col} long, list long, v array<double>"
     ).localCheckpoint(eager=False)
+    if refine == "kernel":
+        id_dtype = dict(vectors.select(id_col).dtypes)[id_col]
+        kernel, schema = _bucket_topk_kernel(id_col, id_dtype, k)
+        t = v.select(*[F.col(c).alias(c) for c in v.columns])
+        scored = (
+            v.groupBy("list").cogroup(t.groupBy("list")).applyInPandas(kernel, schema)
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+        )
+    if refine != "expr":
+        raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
     a, t = v.alias("a"), v.alias("b")
     dot = F.expr(_dot_expr("a.v", "b.v"))
     na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))

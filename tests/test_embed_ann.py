@@ -187,3 +187,15 @@ def test_ann_refine_kernel_matches_expr(spark):
         emb, threshold=0.35, n_bits=4, refine="kernel"
     ).toPandas()
     assert sorted(zip(ep.id_a, ep.id_b)) == sorted(zip(gp.id_a, gp.id_b)) and len(gp)
+
+
+def test_ivf_refine_kernel_matches_expr(spark):
+    """ivf_topk refine='kernel' == the fold path (same lists, same
+    neighbors, same ranks on tie-free data)."""
+    from segment_rtree_spark.operators.embed import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = ivf_topk(emb, k=3, n_lists=4).toPandas()
+    g = ivf_topk(emb, k=3, n_lists=4, refine="kernel").toPandas()
+    key = lambda df: sorted(zip(df.query_id, df.vec_id, df["rank"]))  # noqa: E731
+    assert key(e) == key(g) and len(g)

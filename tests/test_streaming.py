@@ -272,3 +272,59 @@ def test_streaming_text_matches_batch(spark, tmp_path):
         for r in lsh_pairs_against(arrivals, corpus).collect()
     }
     assert got == want and got
+
+
+def test_streaming_neardup_capped_corpus_bucket(spark, tmp_path):
+    """Stream path with max_bucket: over-cap CORPUS band buckets drop
+    whole (the stream-side skew guard); surviving matches may emit once
+    per surviving shared band, so compare as SETS against the batch
+    capped operator."""
+    import time
+
+    from segment_rtree_spark.operators.dedup import phash_neardup_against
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 300).select("image_id", "phash")
+    corpus = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) != 0).cache()
+    arrivals = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) == 0)
+
+    src = str(tmp_path / "capped_arrivals")
+    arrivals.coalesce(1).write.parquet(src)
+    time.sleep(0.2)
+
+    stream = spark.readStream.schema("image_id string, phash long").parquet(src)
+    from segment_rtree_spark.streaming.ingest_stream import streaming_neardup_matches
+
+    out = streaming_neardup_matches(stream, corpus, max_hamming=16, max_bucket=3)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("capped_matches")
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in spark.sql("select * from capped_matches").collect()
+    }
+    # batch reference with the same corpus-side cap: cap BOTH sides
+    # in batch mode would also drop new-side buckets, so build the
+    # reference as uncapped-new vs capped-corpus via the uncapped
+    # operator on a pre-capped corpus band space — equivalently, the
+    # batch op with the same max_bucket must be a SUBSET of got (batch
+    # also caps the new side) and every got pair must verify Hamming
+    batch_capped = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in phash_neardup_against(
+            arrivals, corpus, max_hamming=16, max_bucket=3
+        ).collect()
+    }
+    assert batch_capped <= got
+    full = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in phash_neardup_against(arrivals, corpus, max_hamming=16).collect()
+    }
+    assert got <= full  # the cap only ever REMOVES pairs
+    assert got  # and something survives on this corpus
