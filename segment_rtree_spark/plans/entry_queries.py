@@ -2049,3 +2049,55 @@ from rings
 
 
 REGISTRY["geom_measures"] = (q_geom_measures, _geom_measures_oracle)
+
+
+# -- ANN production refine (kernel path), rank-only oracle ----------------
+
+def q_ann_kernel(spark, sf_dir):
+    """The PRODUCTION ANN path under the oracle gate: cogrouped
+    per-bucket BLAS refine (refine='kernel') with 1-bit multi-probe.
+    Output is RANK-ONLY (query_id, vec_id, rank): ranks are integers,
+    so the cross-engine hash is immune to the matmul reassociation
+    that keeps raw scores out of bit-exact reach — near-exact score
+    TIES could rank differently, but the synthetic embeddings are
+    tie-free (asserted by the expr==kernel pytest parity)."""
+    return _embed.ann_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, n_bits=4, n_probe=1,
+        refine="kernel",
+    ).select("query_id", "vec_id", "rank")
+
+
+def _ann_kernel_oracle():
+    dot = ("list_reduce(list_prepend(0.0::double, list_transform("
+           "list_zip({a}, {b}), p -> p[1] * p[2])), (acc, v) -> acc + v)")
+    terms = []
+    for b in range(4):
+        plane = _embed.hyperplane(b)
+        lits = ",".join(repr(float(v)) for v in plane)
+        d = dot.format(a="tv", b=f"[{lits}]::double[]")
+        terms.append(f"case when {d} > 0.0 then {1 << b}::bigint else 0::bigint end")
+    score = dot.format(a="a.tv", b="b.tv")
+    norm = (f"(sqrt({dot.format(a='a.tv', b='a.tv')}) * "
+            f"sqrt({dot.format(a='b.tv', b='b.tv')}))")
+    flips = ", ".join(str(1 << i) for i in range(4))
+    return f"""
+with v as (
+  select vec_id, embedding::double[] as tv,
+         ({' + '.join(terms)}) as bucket
+  from embeddings
+),
+scored as (
+  select a.vec_id as query_id, b.vec_id as vec_id,
+         {score} / {norm} as score
+  from v a join v b
+    on (a.bucket = b.bucket or xor(a.bucket, b.bucket) in ({flips}))
+   and a.vec_id <> b.vec_id
+),
+r as (select *, row_number() over (partition by query_id
+                                   order by score desc, vec_id asc) as rank
+      from scored)
+select query_id, vec_id, cast(rank as int) as rank from r where rank <= 3
+"""
+
+
+REGISTRY["ann_kernel"] = (q_ann_kernel, _ann_kernel_oracle)
