@@ -409,3 +409,43 @@ def test_phash_components_rep_join_broadcast(spark):
     jvm = spark.sparkContext._jvm
     plan = jvm.PythonSQLUtils.explainString(b._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tiled_join_random_parity(spark):
+    """Randomized bucket structures: the tiled two-sided join equals
+    the plain equi-join pair set for every hot/cold mix (tiny
+    hot_threshold forces tiling on most buckets)."""
+    import random
+
+    from segment_rtree_spark.operators.dedup import _tiled_join
+
+    rnd = random.Random(13)
+    rows_a, rows_b = [], []
+    for band in range(3):
+        for bk in range(6):
+            key = f"k{bk}"
+            for i in range(rnd.randint(0, 40)):
+                rows_a.append((rnd.randint(0, 10_000), band, key))
+            for i in range(rnd.randint(0, 40)):
+                rows_b.append((20_000 + rnd.randint(0, 10_000), band, key))
+    a = spark.createDataFrame(rows_a, "new_id long, band int, bkey string").distinct()
+    b = spark.createDataFrame(rows_b, "corpus_id long, band int, bkey string").distinct()
+    plain = {
+        (r["new_id"], r["corpus_id"])
+        for r in a.alias("a").join(b.alias("b"), ["band", "bkey"])
+        .select("new_id", "corpus_id").collect()
+    }
+    tiled = [
+        (r["new_id"], r["corpus_id"])
+        for r in _tiled_join(a, b, "new_id", "corpus_id", hot_threshold=8)
+        .select("new_id", "corpus_id").collect()
+    ]
+    # NOTE: plain pairs sharing several bands appear once per shared
+    # band in both formulations; compare multisets via sorted lists
+    plain_ms = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in a.alias("a").join(b.alias("b"), ["band", "bkey"])
+        .select("new_id", "corpus_id").collect()
+    )
+    assert sorted(tiled) == plain_ms
+    assert set(tiled) == plain
