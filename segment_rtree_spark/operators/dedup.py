@@ -453,11 +453,11 @@ def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
             _lsh_exploded(docs, id_col, text, rows_per_band, materialize=True),
             max_bucket,
         )
-        a = exploded.alias("a")
-        b = exploded.alias("b")
+        # still tiled: a surviving bucket AT the cap (e.g. 32768) is
+        # n^2/2 ~ 5*10^8 pairs in one task under a plain join — the cap
+        # bounds memory blowup, the tiling bounds task runtime
         return (
-            a.join(b, ["band", "bkey"])
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            _tiled_self_join(exploded, id_col)
             .select(
                 F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
             )
@@ -841,11 +841,14 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     #     through ONE task (rows are narrow, so tolerable far past the
     #     band-join skew point);
     #   'broadcast': groupBy partial-agg shrinks each cluster to one
-    #     (label, min-id) row map-side, the tiny min table broadcasts
+    #     (label, min-id) row map-side, the min table broadcasts
     #     back — NO task ever holds a whole cluster, the shape for
     #     corpora whose largest cluster is itself web-scale. The
-    #     labelled frame checkpoints because both the agg and the
-    #     rejoin consume it.
+    #     broadcast is one narrow row PER CLUSTER: fine up to ~10^7
+    #     clusters; a mostly-unique corpus (cluster count ~ N) should
+    #     keep the window default, whose per-task rows are bounded by
+    #     the LARGEST cluster instead. The labelled frame checkpoints
+    #     because both the agg and the rejoin consume it.
     labelled = ph.join(comp, ph["ph"] == comp["node"]).select(id_col, "label")
     if rep_join == "broadcast":
         labelled = labelled.localCheckpoint(eager=False)
