@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame
 
 from ..operators.dedup import lsh_pairs_against, phash_neardup_against
 
-__all__ = ["streaming_neardup_matches", "streaming_text_matches"]
+__all__ = [
+    "streaming_neardup_matches",
+    "streaming_text_matches",
+    "streaming_ingest_pass_through",
+]
 
 
 def streaming_neardup_matches(
@@ -99,3 +103,53 @@ def streaming_text_matches(
         rows_per_band=rows_per_band,
         max_bucket=max_bucket,
     )
+
+
+def streaming_ingest_pass_through(
+    stream_images: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    checkpoint: str,
+    max_hamming: int = 8,
+    id_col: str = "image_id",
+    phash: str = "phash",
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+    hot_threshold: int = 4096,
+    trigger_available_now: bool = False,
+):
+    """End-to-end ingest filter: continuously append to `path` the
+    arriving images that are NOT near-dups of the kept corpus.
+
+    foreachBatch turns each micro-batch into a STATIC DataFrame, so
+    the match step runs the full BATCH operator — including the
+    adaptive hot-bucket tiling and two-sided caps the stream-static
+    join cannot plan (its sizing pass is an action) — then anti-joins
+    the arrivals against their matched ids. Exactly-once output comes
+    from the stream checkpoint + parquet append semantics
+    (re-delivered batches re-run with the same epoch id; downstream
+    dedup-by-id absorbs replays, the standard foreachBatch contract).
+
+    Returns the started StreamingQuery; callers own awaitTermination.
+    """
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df, _epoch):
+        matches = phash_neardup_against(
+            batch_df, corpus, max_hamming=max_hamming, id_col=id_col,
+            phash=phash, n_bands=n_bands, max_bucket=max_bucket,
+            hot_threshold=hot_threshold,
+        )
+        keep = batch_df.join(
+            matches.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        keep.write.mode("append").parquet(path)
+
+    writer = stream_images.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -328,3 +328,45 @@ def test_streaming_neardup_capped_corpus_bucket(spark, tmp_path):
     }
     assert got <= full  # the cap only ever REMOVES pairs
     assert got  # and something survives on this corpus
+
+
+def test_streaming_ingest_pass_through(spark, tmp_path):
+    """foreachBatch ingest filter: the appended pass-through set equals
+    arrivals minus the batch operator's matches (and the batch operator
+    inside foreachBatch is the TILED one — micro-batches are static)."""
+    import time
+
+    from segment_rtree_spark.operators.dedup import phash_neardup_against
+    from segment_rtree_spark.streaming.ingest_stream import (
+        streaming_ingest_pass_through,
+    )
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 300).select("image_id", "phash")
+    corpus = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) != 0).cache()
+    arrivals = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) == 0)
+
+    src = str(tmp_path / "pt_arrivals")
+    half1 = arrivals.filter(F.col("phash").bitwiseAND(F.lit(2)) == 0)
+    half2 = arrivals.filter(F.col("phash").bitwiseAND(F.lit(2)) != 0)
+    half1.coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    half2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("image_id string, phash long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out_dir = str(tmp_path / "passed")
+    q = streaming_ingest_pass_through(
+        stream, corpus, out_dir, str(tmp_path / "ptckpt"),
+        max_hamming=16, trigger_available_now=True,
+    )
+    q.awaitTermination()
+
+    got = {r["image_id"] for r in spark.read.parquet(out_dir).collect()}
+    matched = {
+        r["new_id"]
+        for r in phash_neardup_against(arrivals, corpus, max_hamming=16).collect()
+    }
+    want = {r["image_id"] for r in arrivals.collect()} - matched
+    assert got == want and got
