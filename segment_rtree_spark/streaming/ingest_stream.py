@@ -27,6 +27,7 @@ __all__ = [
     "streaming_neardup_matches",
     "streaming_text_matches",
     "streaming_ingest_pass_through",
+    "streaming_text_pass_through",
 ]
 
 
@@ -132,22 +133,59 @@ def streaming_ingest_pass_through(
 
     Returns the started StreamingQuery; callers own awaitTermination.
     """
-    from pyspark.sql import functions as F
-
-    def write_batch(batch_df, _epoch):
-        matches = phash_neardup_against(
+    def matcher(batch_df):
+        return phash_neardup_against(
             batch_df, corpus, max_hamming=max_hamming, id_col=id_col,
             phash=phash, n_bands=n_bands, max_bucket=max_bucket,
             hot_threshold=hot_threshold,
         )
+
+    return _pass_through(
+        stream_images, matcher, id_col, path, checkpoint, trigger_available_now
+    )
+
+
+def streaming_text_pass_through(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+    hot_threshold: int = 4096,
+    trigger_available_now: bool = False,
+):
+    """Text twin of streaming_ingest_pass_through: continuously append
+    to `path` the arriving documents that are NOT minhash near-dups of
+    the kept corpus (full tiled batch operator per micro-batch via
+    foreachBatch — see the image variant for the semantics)."""
+    def matcher(batch_df):
+        return lsh_pairs_against(
+            batch_df, corpus, id_col=id_col, text=text,
+            rows_per_band=rows_per_band, max_bucket=max_bucket,
+            hot_threshold=hot_threshold,
+        )
+
+    return _pass_through(
+        stream_docs, matcher, id_col, path, checkpoint, trigger_available_now
+    )
+
+
+def _pass_through(stream, matcher, id_col, path, checkpoint,
+                  trigger_available_now):
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df, _epoch):
         keep = batch_df.join(
-            matches.select(F.col("new_id").alias(id_col)).distinct(),
+            matcher(batch_df).select(F.col("new_id").alias(id_col)).distinct(),
             id_col,
             "left_anti",
         )
         keep.write.mode("append").parquet(path)
 
-    writer = stream_images.writeStream.foreachBatch(write_batch).option(
+    writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
     )
     if trigger_available_now:

@@ -370,3 +370,36 @@ def test_streaming_ingest_pass_through(spark, tmp_path):
     }
     want = {r["image_id"] for r in arrivals.collect()} - matched
     assert got == want and got
+
+
+def test_streaming_text_pass_through(spark, tmp_path):
+    """Text foreachBatch ingest filter == arrivals minus batch minhash
+    matches."""
+    from segment_rtree_spark.operators.dedup import lsh_pairs_against
+    from segment_rtree_spark.streaming.ingest_stream import (
+        streaming_text_pass_through,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).cache()
+    arrivals = docs.filter(F.col("doc_id") % 5 == 0)
+
+    src = str(tmp_path / "tpt_arrivals")
+    arrivals.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out_dir = str(tmp_path / "tpt_passed")
+    q = streaming_text_pass_through(
+        stream, corpus, out_dir, str(tmp_path / "tptckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    matched = {
+        r["new_id"] for r in lsh_pairs_against(arrivals, corpus).collect()
+    }
+    want = {r["doc_id"] for r in arrivals.collect()} - matched
+    assert got == want and got
