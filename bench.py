@@ -115,6 +115,16 @@ def bench_queries(spark, sf_dir):
 
         return ann_topk(vecs, k=5, target_bucket=256, refine="kernel").count()
 
+    def q_phash_incremental():
+        # the round-4 two-sided tiled band join: 150k arrivals vs a
+        # 150k kept corpus (sizing pass + equi-join; cold buckets here,
+        # so this line prices the adaptive machinery itself)
+        from segment_rtree_spark.operators.dedup import phash_neardup_against
+
+        new = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) == 0)
+        corp = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) != 0)
+        return phash_neardup_against(new, corp, max_hamming=8).count()
+
     def q_knn_boundary():
         # 20% sample: exact boundary-distance kNN is ~57us/point against
         # the 49-ring layer; the full 300k would dominate the bench
@@ -137,6 +147,7 @@ def bench_queries(spark, sf_dir):
         "validate_images": q_validate_images,
         "ann_topk": q_ann_topk,
         "knn_boundary": q_knn_boundary,
+        "phash_incremental": q_phash_incremental,
     }, imgs
 
 
