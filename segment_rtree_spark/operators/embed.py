@@ -40,6 +40,10 @@ N_BITS = 8
 # join is O(target^2 / 2) comparisons per bucket, so 1024 keeps every
 # bucket's self-join ~500k cosine evals — one comfortable Spark task
 TARGET_BUCKET = 1024
+# score-matrix memory bound for the cogrouped refine kernels (float64
+# elements; 1<<25 = 256 MB). Module-level so tests can shrink it to
+# force the multi-chunk path.
+REFINE_CHUNK_ELEMS = 1 << 25
 
 
 def auto_n_bits(n_rows: int, target_bucket: int = TARGET_BUCKET,
@@ -279,9 +283,8 @@ def _bucket_topk_kernel(id_col: str, id_dtype: str, k: int):
     N x probes x bucket_n to N x probes x k BEFORE the shuffle, and
     the scoring runs at BLAS speed instead of one interpreted Catalyst
     fold per candidate (the refine='expr' path's cost)."""
-    max_elems = 1 << 25
-
     def kernel(key, qpdf, tpdf):
+        max_elems = REFINE_CHUNK_ELEMS
         if len(qpdf) == 0 or len(tpdf) == 0:
             return pd.DataFrame({"query_id": [], id_col: [], "score": []})
         t_order = np.argsort(tpdf[id_col].to_numpy(), kind="stable")
@@ -441,9 +444,8 @@ def embedding_neardup_pairs(
     if refine == "kernel":
         id_dtype = dict(vectors.select(id_col).dtypes)[id_col]
 
-        max_elems = 1 << 25
-
         def kernel(key, qpdf, tpdf):
+            max_elems = REFINE_CHUNK_ELEMS
             if len(qpdf) == 0 or len(tpdf) == 0:
                 return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
             Q = np.stack([np.asarray(x, np.float64) for x in qpdf["v"]])

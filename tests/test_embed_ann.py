@@ -199,3 +199,31 @@ def test_ivf_refine_kernel_matches_expr(spark):
     g = ivf_topk(emb, k=3, n_lists=4, refine="kernel").toPandas()
     key = lambda df: sorted(zip(df.query_id, df.vec_id, df["rank"]))  # noqa: E731
     assert key(e) == key(g) and len(g)
+
+
+def test_refine_kernel_chunked_parity(spark, monkeypatch):
+    """Tiny REFINE_CHUNK_ELEMS forces the multi-chunk score-matrix path
+    in both cogrouped kernels; results must not change."""
+    import segment_rtree_spark.operators.embed as E
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ref_topk = sorted(
+        map(tuple, ann_topk(emb, k=3, n_bits=4, refine="kernel")
+            .select("query_id", "vec_id", "rank").collect())
+    )
+    ref_pairs = sorted(
+        map(tuple, embedding_neardup_pairs(emb, threshold=0.35, n_bits=4,
+                                           refine="kernel")
+            .select("id_a", "id_b").collect())
+    )
+    monkeypatch.setattr(E, "REFINE_CHUNK_ELEMS", 64)  # ~1 query row/chunk
+    got_topk = sorted(
+        map(tuple, ann_topk(emb, k=3, n_bits=4, refine="kernel")
+            .select("query_id", "vec_id", "rank").collect())
+    )
+    got_pairs = sorted(
+        map(tuple, embedding_neardup_pairs(emb, threshold=0.35, n_bits=4,
+                                           refine="kernel")
+            .select("id_a", "id_b").collect())
+    )
+    assert got_topk == ref_topk and got_pairs == ref_pairs and ref_topk

@@ -199,3 +199,22 @@ def test_phash_banding_prunes_wide_input(spark):
             assert "bytes" not in l and "caption" not in l, l
     finally:
         imgs.unpersist()
+
+
+def test_cap_buckets_plans_broadcast_anti_join(spark):
+    """The bucket-cap guard must be a broadcast ANTI-join against the
+    over-cap keys — never a shuffle of the guarded frame keyed by
+    bucket (a regression here re-shuffles the full exploded/vector
+    frame just to apply a filter verdict)."""
+    from segment_rtree_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ex = D._lsh_exploded(docs, "doc_id", "text", 4)
+    p = plan_str(D._cap_buckets(ex, 10))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+    from segment_rtree_spark.operators.embed import _bucketed_vectors
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pv = plan_str(_bucketed_vectors(emb, 4, "vec_id", "embedding", 10))
+    assert "BroadcastHashJoin" in pv and "LeftAnti" in pv
