@@ -6,10 +6,12 @@
   At scale the target side stays partitioned; only queries broadcast.
 
 * lsh_buckets — the scale path: sign-random-projection buckets from
-  deterministic arithmetic hyperplanes, computed in a NumPy kernel
-  whose accumulation order matches the SQL fold (sequential over
-  dims) so the oracle reproduces buckets exactly. ANN search = equi
-  join on bucket, refine with exact cosine.
+  deterministic splitmix64-mixed hyperplanes, computed in a NumPy
+  kernel whose accumulation order matches the SQL fold (sequential
+  over dims) so the oracle reproduces buckets exactly. ANN search =
+  equi join on bucket, refine with exact cosine — refine='expr' is
+  the bit-exact cross-engine reference, refine='kernel' the
+  production per-bucket BLAS path.
 """
 
 from __future__ import annotations
