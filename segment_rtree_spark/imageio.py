@@ -10,10 +10,13 @@ ever added — `psnr` is provided for that check):
   * fmt='png': a real, spec-compliant PNG (8-bit RGB, filter 0), built
     with stdlib zlib — readable by any standard decoder.
 
-Decoders for genuinely external formats (jpeg/webp/mp4 frames) are
-stubbed behind NotImplementedError: the Spark-side plumbing (binary
-column + typed metadata, mapInPandas batch shape) is identical, only
-the per-batch codec body differs.
+fmt='jpeg' is REAL as of round 4: a pure-NumPy baseline JFIF codec
+(`jpegio.py` — encoder + decoder, tables embedded per spec, round
+trip PSNR>=40dB at quality>=90 on smooth content). Decoders for the
+remaining external formats (webp/mp4 frames) stay stubbed behind
+NotImplementedError: the Spark-side plumbing (binary column + typed
+metadata, mapInPandas batch shape) is identical, only the per-batch
+codec body differs.
 
 `phash64` is a 64-bit average-hash: downsample to 8x8 luma by block
 mean, threshold at the mean. Deterministic, pure NumPy.
@@ -29,12 +32,20 @@ import numpy as np
 __all__ = [
     "encode_raw",
     "encode_png",
+    "encode_jpeg",
     "decode_image",
     "decode_batch",
     "phash64",
     "psnr",
     "hamming64",
 ]
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """uint8[h,w,3] -> baseline JFIF bytes (see jpegio for the scope)."""
+    from .jpegio import encode_jpeg as _enc
+
+    return _enc(pixels, quality)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -70,7 +81,11 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "png":
         return _decode_png(buf, w, h)
-    # jpeg/webp/video-frame decode needs codecs not present in this
+    if fmt == "jpeg":
+        from .jpegio import decode_jpeg
+
+        return decode_jpeg(buf)
+    # webp/video-frame decode needs codecs not present in this
     # container — the distributed plumbing is identical; only this
     # per-batch body changes.
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")

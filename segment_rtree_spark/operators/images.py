@@ -4,11 +4,12 @@ Images are opaque `binary` columns + typed metadata (w, h, fmt); all
 pixel work happens in Arrow-batched mapInPandas kernels that decode
 per IMAGE (never per pixel in Python — the inner loops are NumPy).
 
-Real implementations for the formats this engine controls (raw, png —
-lossless, so equality checks are exact); genuinely external codecs
-(jpeg/webp/video) raise NotImplementedError inside the same batch body:
-the distributed plumbing (schema, batching, partitioning) is identical
-and tested, only the codec call changes when the library exists.
+Real implementations for raw + png (lossless, equality checks exact)
+AND jpeg (pure-NumPy baseline codec, jpegio.py — lossy, PSNR>=40dB at
+quality>=90); the remaining external codecs (webp/video) raise
+NotImplementedError inside the same batch body: the distributed
+plumbing (schema, batching, partitioning) is identical and tested,
+only the codec call changes when the library exists.
 """
 
 from __future__ import annotations
@@ -351,11 +352,11 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             ),
         )
         .when(
-            F.col("fmt").isin("jpeg", "webp"),
+            F.col("fmt") == "webp",
             _pre(IMG_ERR_CODEC_UNAVAILABLE, F.concat(F.lit("fmt="), F.col("fmt"))),
         )
         .when(
-            ~F.col("fmt").isin("raw", "png"),
+            ~F.col("fmt").isin("raw", "png", "jpeg"),
             _pre(IMG_ERR_UNKNOWN_FORMAT, F.concat(F.lit("fmt="), F.col("fmt"))),
         )
         .when(
@@ -370,16 +371,30 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             & (F.expr("substring(bytes, 1, 8)") != F.lit(PNG_SIG)),
             _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing PNG signature")),
         )
+        .when(
+            (F.col("fmt") == "jpeg")
+            & (F.expr("substring(bytes, 1, 2)") != F.lit(b"\xff\xd8")),
+            _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing JPEG SOI")),
+        )
     )
 
     def classify(buf, fmt, w, h, stored_phash):
         if w <= 0 or h <= 0:  # mirrors the Catalyst prefilter exactly
             return IMG_ERR_DIMENSION_MISMATCH, f"w={w} h={h} must be positive"
-        if fmt in ("jpeg", "webp"):
+        if fmt == "webp":
             return IMG_ERR_CODEC_UNAVAILABLE, f"fmt={fmt}"
-        if fmt not in ("raw", "png"):
+        if fmt not in ("raw", "png", "jpeg"):
             return IMG_ERR_UNKNOWN_FORMAT, f"fmt={fmt}"
-        if fmt == "raw":
+        if fmt == "jpeg":
+            from ..jpegio import JPEG_SOI, JpegError, decode_jpeg
+
+            if buf[:2] != JPEG_SOI:
+                return IMG_ERR_BAD_SIGNATURE, "missing JPEG SOI"
+            try:
+                px = decode_jpeg(buf)
+            except JpegError as e:
+                return IMG_ERR_CORRUPT_STREAM, str(e)[:80]
+        elif fmt == "raw":
             want = w * h * 3
             if len(buf) != want:
                 return IMG_ERR_TRUNCATED, f"{len(buf)} bytes, want {want}"
@@ -453,8 +468,10 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
         decided_ok = None
     else:
         # raw rows with the right length are fully valid — reshape
-        # cannot fail and nothing else is checked: pure Catalyst verdict
-        needs_kernel = F.col("pre").isNull() & (F.col("fmt") == "png")
+        # cannot fail and nothing else is checked: pure Catalyst verdict.
+        # png/jpeg rows that passed the signature prefilter still need
+        # a stream decode to rule on CorruptStream / dims
+        needs_kernel = F.col("pre").isNull() & F.col("fmt").isin("png", "jpeg")
         decided_ok = src.filter(
             F.col("pre").isNull() & (F.col("fmt") == "raw")
         ).select(

@@ -1469,9 +1469,11 @@ REGISTRY["curate_images"] = (q_curate_images, _curate_images_oracle)
 def q_validate_images(spark, sf_dir):
     """Image payload validity with deterministically injected, SQL-
     decidable corruption: i%5==0 -> unknown fmt, i%5==1 -> codec-less
-    fmt, i%5==2 on raw rows -> truncated payload; the rest stay clean.
-    (Stream-level PNG corruption is classified too, but is pytest-only
-    — SQL cannot decode PNG; see test_validate_images_error_taxonomy.)"""
+    fmt (webp — jpeg became a REAL codec in round 4, so it no longer
+    belongs in this class), i%5==2 on raw rows -> truncated payload;
+    the rest stay clean. (Stream-level PNG/JPEG corruption is
+    classified too, but is pytest-only — SQL cannot decode them; see
+    test_validate_images_error_taxonomy and the jpeg tests.)"""
     from ..operators.images import validate_images
     from ..synth import images_df_arith
 
@@ -1480,7 +1482,7 @@ def q_validate_images(spark, sf_dir):
     corrupted = imgs.withColumn(
         "fmt",
         F.when(i % 5 == 0, F.lit("tiff"))
-        .when(i % 5 == 1, F.lit("jpeg"))
+        .when(i % 5 == 1, F.lit("webp"))
         .otherwise(F.col("fmt")),
     ).withColumn(
         "bytes",
@@ -1504,7 +1506,7 @@ select image_id,
        when i % 5 = 2 and i % 2 = 0 then 'TruncatedPayload'
        else null end as err_code,
   case when i % 5 = 0 then 'fmt=tiff'
-       when i % 5 = 1 then 'fmt=jpeg'
+       when i % 5 = 1 then 'fmt=webp'
        when i % 5 = 2 and i % 2 = 0 then '96 bytes, want 192'
        else null end as err_detail
 from imgs

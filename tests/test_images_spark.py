@@ -159,7 +159,7 @@ def test_validate_images_error_taxonomy(spark):
     rows.append(("t1", r["bytes"], "tiff", r["w"], r["h"], r["phash"]))
     # 2: codec-unavailable format
     r = base[2]
-    rows.append(("t2", r["bytes"], "jpeg", r["w"], r["h"], r["phash"]))
+    rows.append(("t2", r["bytes"], "webp", r["w"], r["h"], r["phash"]))
     # 3: png with broken signature
     png = next(x for x in base if x["fmt"] == "png")
     rows.append(("t3", b"\x00" * 8 + png["bytes"][8:], "png", png["w"], png["h"], png["phash"]))

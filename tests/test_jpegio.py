@@ -1,0 +1,142 @@
+"""Pure-NumPy baseline JPEG codec: round-trip quality, structural
+errors-as-data, and the Spark validate/stats integration."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from segment_rtree_spark.imageio import psnr
+from segment_rtree_spark.jpegio import JPEG_SOI, JpegError, decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            yy * 255 // max(1, h - 1),
+            xx * 255 // max(1, w - 1),
+            (yy + xx) * 255 // max(1, h + w - 2),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (16, 24), (13, 9), (64, 64), (33, 47)])
+def test_roundtrip_psnr_smooth(h, w):
+    """The graft's lossy contract: PSNR >= 40dB at quality >= 90 on
+    smooth content, every shape (including non-multiples of 8)."""
+    px = _gradient(h, w)
+    out = decode_jpeg(encode_jpeg(px, quality=90))
+    assert out.shape == (h, w, 3)
+    assert psnr(px, out) >= 40.0
+
+
+def test_quality_monotone():
+    px = _gradient(32, 32)
+    p50 = psnr(px, decode_jpeg(encode_jpeg(px, quality=50)))
+    p95 = psnr(px, decode_jpeg(encode_jpeg(px, quality=95)))
+    assert p95 > p50
+    assert len(encode_jpeg(px, 95)) > len(encode_jpeg(px, 50))
+
+
+def test_noise_roundtrip_decodes():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=95))
+    assert out.shape == px.shape
+    assert psnr(px, out) > 25.0  # noise is the worst case; must still decode
+
+
+def test_structural_errors():
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"\x00\x01")
+    with pytest.raises(JpegError, match="no (SOS|scan)"):
+        decode_jpeg(JPEG_SOI + b"\xff\xd9")
+    # truncated entropy stream
+    buf = encode_jpeg(_gradient(16, 16), 90)
+    with pytest.raises(JpegError):
+        decode_jpeg(buf[: len(buf) // 2])
+    # progressive SOF rejected, not misdecoded
+    sof2 = bytearray(buf)
+    i = sof2.find(b"\xff\xc0")
+    sof2[i + 1] = 0xC2
+    with pytest.raises(JpegError, match="progressive"):
+        decode_jpeg(bytes(sof2))
+
+
+def test_spec_structure():
+    """The stream is a structurally valid JFIF file: tables embedded,
+    segment lengths consistent, EOI terminated — any compliant external
+    decoder can read it (tables travel with the file)."""
+    buf = encode_jpeg(_gradient(16, 16), 90)
+    assert buf[:2] == JPEG_SOI and buf[-2:] == b"\xff\xd9"
+    import struct
+
+    pos, seen = 2, []
+    while pos < len(buf) - 2:
+        assert buf[pos] == 0xFF
+        marker = buf[pos + 1]
+        seen.append(marker)
+        (length,) = struct.unpack_from(">H", buf, pos + 2)
+        pos += 2 + length
+        if marker == 0xDA:
+            break
+    assert 0xDB in seen and 0xC4 in seen and 0xC0 in seen and 0xDA in seen
+    assert seen.count(0xC4) == 4  # DC/AC x luma/chroma
+
+
+def test_validate_images_jpeg_taxonomy(spark):
+    """fmt='jpeg' is a real decode path now: valid file -> ok, missing
+    SOI -> BadSignature (Catalyst tier), corrupt stream -> CorruptStream
+    (kernel tier), metadata mismatch -> DimensionMismatch."""
+    from segment_rtree_spark.operators.images import validate_images
+
+    px = _gradient(16, 16)
+    good = encode_jpeg(px, 90)
+    rows = [
+        ("ok", bytearray(good), "jpeg", 16, 16, 0),
+        ("nosig", bytearray(b"\x00" + good[1:]), "jpeg", 16, 16, 0),
+        ("trunc", bytearray(good[: len(good) // 2]), "jpeg", 16, 16, 0),
+        ("dims", bytearray(good), "jpeg", 99, 16, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int, phash long"
+    )
+    got = {
+        r["image_id"]: (r["ok"], r["err_code"])
+        for r in validate_images(df).collect()
+    }
+    assert got["ok"] == (True, None)
+    assert got["nosig"] == (False, "BadSignature")
+    assert got["trunc"] == (False, "CorruptStream")
+    assert got["dims"] == (False, "DimensionMismatch")
+
+
+def test_image_stats_over_jpeg_rows(spark):
+    """The stats kernel decodes jpeg payloads through the same seam as
+    raw/png (decode_image), with means within lossy tolerance."""
+    from segment_rtree_spark.imageio import phash64
+    from segment_rtree_spark.operators.images import with_pixel_stats
+
+    rows = []
+    means = {}
+    for i in range(4):
+        px = _gradient(16 + i, 24 - i)
+        buf = encode_jpeg(px, 90)
+        decoded = decode_jpeg(buf)  # phash of the DECODED pixels: the
+        # stored hash an ingest pipeline would compute post-transcode
+        rows.append(
+            (f"j{i}", bytearray(buf), np.int32(24 - i), np.int32(16 + i),
+             "jpeg", np.int64(phash64(decoded)))
+        )
+        means[f"j{i}"] = float(px.mean())
+    pdf = pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "phash"]
+    )
+    df = spark.createDataFrame(pdf)
+    out = with_pixel_stats(df).toPandas().set_index("image_id")
+    for iid, true_mean in means.items():
+        r = out.loc[iid]
+        got_mean = (r["mean_r"] + r["mean_g"] + r["mean_b"]) / 3.0
+        assert abs(got_mean - true_mean) < 3.0  # lossy tolerance
+        assert bool(r["phash_ok"])  # decode is deterministic

@@ -144,8 +144,9 @@ def test_validate_images_prefilter_pushed(spark):
 
     df = validate_images(images_df_arith(spark, 50))
     p = plan_str(df)
-    # the decode kernel's input branch is gated on fmt = png ...
-    assert "AND (fmt" in p and "= png)))" in p
+    # the decode kernel's input branch is gated on fmt IN (png, jpeg)
+    # — the two stream formats; raw never crosses to Python
+    assert "AND fmt" in p and "IN (png,jpeg))" in p
     # ... and the raw-valid verdict branch is a pure Catalyst filter
     assert "= raw)))" in p
     # prefilter verdicts (NULLs / formats / raw length / signature) are
