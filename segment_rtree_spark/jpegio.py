@@ -10,11 +10,15 @@ Scope (stated, not hidden):
     (libjpeg's 5000/Q | 200-2Q rule), Annex-K Huffman tables. The DQT
     and DHT segments are embedded in the stream per the spec, so ANY
     compliant decoder reads our files regardless of table choice.
-  * decode: baseline sequential, 8-bit, 1 or 3 components, sampling
-    factors 1x1 (what we emit), restart markers honored (DC predictors
-    reset); progressive (SOF2), arithmetic coding, 12-bit precision
-    and subsampled streams raise JpegError — a typed, catchable
+  * decode: baseline sequential, 8-bit, 1 or 3 components, GENERAL
+    sampling factors (4:4:4, 4:2:0, 4:2:2, any dividing Hi,Vi <= 4 —
+    nearest-neighbor chroma upsample), restart markers honored (DC
+    predictors reset); progressive (SOF2), arithmetic coding and
+    12-bit precision raise JpegError — a typed, catchable
     "corrupt/unsupported stream" for the errors-as-data validator.
+    Interop is TESTED against the JVM's javax.imageio codec in both
+    directions (our encoder -> Java decoder, Java 4:2:0 encoder ->
+    our decoder).
 
 The DCT is the orthonormal matrix form: one einsum over all blocks per
 component (no per-pixel Python); only the entropy (Huffman) layer is a
@@ -452,9 +456,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise JpegError("chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise JpegError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             sof = (hh, ww, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -478,59 +483,86 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 
 
 def _decode_scan(buf, pos, sof, scan, qts, dc_tabs, ac_tabs, restart_interval):
+    """Interleaved baseline scan with GENERAL sampling factors: an MCU
+    holds Hi x Vi blocks per component (raster order within the MCU);
+    subsampled chroma planes upsample by pixel replication. 4:4:4
+    (what our encoder emits), 4:2:0 / 4:2:2 (what libjpeg-family
+    encoders emit by default) and any Hi,Vi <= 4 with Hmax % Hi == 0
+    all decode through the same path."""
     hh, ww, comps = sof
     if len(scan) != len(comps):
         raise JpegError("scan/frame component mismatch")
-    by_id = dict(comps)
-    ph, pw = hh + (-hh % 8), ww + (-ww % 8)
-    nby, nbx = ph // 8, pw // 8
-    n_blocks = nby * nbx
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    for _, hi, vi, _ in comps:
+        if hmax % hi or vmax % vi:
+            raise JpegError(f"non-dividing sampling factors {hi}x{vi}")
+    nmx = -(-ww // (8 * hmax))  # MCUs per row
+    nmy = -(-hh // (8 * vmax))
+    n_mcu = nmx * nmy
     br = _BitReader(buf, pos)
-    coefs = [np.zeros((n_blocks, 64), np.int64) for _ in scan]
+    # per scan component: block grid (rows = nmy*Vi, cols = nmx*Hi)
+    geo = []
+    coefs = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise JpegError("unknown scan component")
+        hi, vi, tq = by_id[cs]
+        geo.append((hi, vi, tq))
+        coefs.append(np.zeros((nmy * vi, nmx * hi, 64), np.int64))
     preds = [0] * len(scan)
     try:
-        for bi in range(n_blocks):
-            if restart_interval and bi and bi % restart_interval == 0:
+        for mi in range(n_mcu):
+            if restart_interval and mi and mi % restart_interval == 0:
                 br.align_restart()
                 preds = [0] * len(scan)
+            my, mx = divmod(mi, nmx)
             for ci, (cs, td, ta) in enumerate(scan):
-                if cs not in by_id:
-                    raise JpegError("unknown scan component")
+                hi, vi, _ = geo[ci]
                 dct = dc_tabs.get(td)
                 act = ac_tabs.get(ta)
                 if dct is None or act is None:
                     raise JpegError("missing Huffman table")
-                s = _read_symbol(br, dct)
-                diff = _extend(br.read_bits(s), s) if s else 0
-                preds[ci] += diff
-                zz = coefs[ci][bi]
-                zz[0] = preds[ci]
-                k = 1
-                while k <= 63:
-                    rs = _read_symbol(br, act)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise JpegError("AC coefficient index overflow")
-                    zz[k] = _extend(br.read_bits(s), s)
-                    k += 1
+                for v in range(vi):
+                    for u in range(hi):
+                        s = _read_symbol(br, dct)
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz = coefs[ci][my * vi + v, mx * hi + u]
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = _read_symbol(br, act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC coefficient index overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
     except IndexError as e:  # defensive: malformed stream indexing
         raise JpegError(f"malformed stream: {e}") from None
 
     planes = []
     for ci, (cs, td, ta) in enumerate(scan):
-        tq = by_id[cs]
+        hi, vi, tq = geo[ci]
         qt = qts.get(tq)
         if qt is None:
             raise JpegError("missing quant table")
-        c = coefs[ci][:, _UNZZ].reshape(-1, 8, 8) * qt[None, :, :]
+        grid = coefs[ci]
+        cph, cpw = grid.shape[0] * 8, grid.shape[1] * 8
+        c = grid.reshape(-1, 64)[:, _UNZZ].reshape(-1, 8, 8) * qt[None, :, :]
         blocks = np.einsum("ji,njk,kl->nil", _D, c.astype(np.float64), _D) + 128.0
-        planes.append(_from_blocks(blocks, ph, pw)[:hh, :ww])
+        plane = _from_blocks(blocks, cph, cpw)
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:  # nearest-neighbor chroma upsample
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:hh, :ww])
     if len(planes) == 1:
         y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)

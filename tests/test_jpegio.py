@@ -140,3 +140,40 @@ def test_image_stats_over_jpeg_rows(spark):
         got_mean = (r["mean_r"] + r["mean_g"] + r["mean_b"]) / 3.0
         assert abs(got_mean - true_mean) < 3.0  # lossy tolerance
         assert bool(r["phash_ok"])  # decode is deterministic
+
+
+def test_interop_with_jvm_codec(spark):
+    """Spec compliance against an INDEPENDENT implementation: the
+    JVM's javax.imageio. Our encoder's files decode in Java at
+    >=40dB vs the original; Java's default writer (quality ~0.75,
+    4:2:0 chroma subsampling) produces files OUR decoder reads at
+    >=30dB — i.e. the general-sampling-factor path handles foreign
+    streams, not just our own 4:4:4 output."""
+    h, w = 16, 24
+    px = _gradient(h, w)
+    jvm = spark.sparkContext._jvm
+
+    buf = encode_jpeg(px, quality=90)
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(buf))
+    )
+    assert img is not None, "javax.imageio could not parse our stream"
+    assert (img.getWidth(), img.getHeight()) == (w, h)
+    arr = np.array(list(img.getRGB(0, 0, w, h, None, 0, w)), np.int64).reshape(h, w)
+    dec_java = np.stack(
+        [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
+    ).astype(np.uint8)
+    assert psnr(px, dec_java) >= 40.0
+
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(
+                x, y,
+                int((int(px[y, x, 0]) << 16) | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])),
+            )
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "jpeg", bos)
+    out = decode_jpeg(bytes(bos.toByteArray()))
+    assert out.shape == (h, w, 3)
+    assert psnr(px, out) >= 30.0  # bounded by JAVA's lossy defaults
