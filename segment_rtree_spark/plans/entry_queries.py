@@ -2103,3 +2103,50 @@ select query_id, vec_id, cast(rank as int) as rank from r where rank <= 3
 
 
 REGISTRY["ann_kernel"] = (q_ann_kernel, _ann_kernel_oracle)
+
+
+# -- jpeg codec round trip (rows-only; PSNR is not SQL-expressible) -------
+
+def q_jpeg_roundtrip(spark, sf_dir):
+    """rows-only driver visibility for the round-4 pure-NumPy JPEG
+    codec: synthesize 120 gradient images in an Arrow kernel, encode
+    at quality 90, decode, and emit one row per image that survives
+    the graft's lossy gate (PSNR >= 40dB) with its stream size. A
+    healthy codec returns ALL rows; the deeper checks (structural
+    errors, taxonomy, javax.imageio interop both directions) are
+    pytest (tests/test_jpegio.py)."""
+    import pandas as pd_
+
+    def kernel(batches):
+        import numpy as np_
+
+        from ..imageio import psnr as _psnr
+        from ..jpegio import decode_jpeg as _dec, encode_jpeg as _enc
+
+        for pdf in batches:
+            ids, ok, nbytes, ps = [], [], [], []
+            for i in pdf["id"]:
+                h, w = 8 + int(i) % 24, 8 + (int(i) * 7) % 24
+                yy, xx = np_.mgrid[0:h, 0:w]
+                px = np_.stack(
+                    [yy * 255 // max(1, h - 1), xx * 255 // max(1, w - 1),
+                     (yy + xx) * 255 // max(1, h + w - 2)], axis=-1
+                ).astype(np_.uint8)
+                buf = _enc(px, 90)
+                p = _psnr(px, _dec(buf))
+                ids.append(int(i))
+                ok.append(bool(p >= 40.0))
+                nbytes.append(len(buf))
+                ps.append(round(float(min(p, 99.0)), 1))
+            yield pd_.DataFrame(
+                {"img_i": ids, "psnr_ok": ok, "n_bytes": nbytes, "psnr_db": ps}
+            )
+
+    return (
+        spark.range(120)
+        .mapInPandas(kernel, "img_i long, psnr_ok boolean, n_bytes long, psnr_db double")
+        .filter("psnr_ok")
+    )
+
+
+REGISTRY["jpeg_roundtrip"] = (q_jpeg_roundtrip, None)
