@@ -2105,16 +2105,18 @@ select query_id, vec_id, cast(rank as int) as rank from r where rank <= 3
 REGISTRY["ann_kernel"] = (q_ann_kernel, _ann_kernel_oracle)
 
 
-# -- jpeg codec round trip (rows-only; PSNR is not SQL-expressible) -------
+# -- jpeg codec round trip --------------------------------------------
 
 def q_jpeg_roundtrip(spark, sf_dir):
-    """rows-only driver visibility for the round-4 pure-NumPy JPEG
-    codec: synthesize 120 gradient images in an Arrow kernel, encode
-    at quality 90, decode, and emit one row per image that survives
-    the graft's lossy gate (PSNR >= 40dB) with its stream size. A
-    healthy codec returns ALL rows; the deeper checks (structural
-    errors, taxonomy, javax.imageio interop both directions) are
-    pytest (tests/test_jpegio.py)."""
+    """Driver visibility for the round-4 pure-NumPy JPEG codec:
+    synthesize 120 gradient images in an Arrow kernel, encode at
+    quality 90, decode, and emit (img_i, psnr_ok) for images that
+    survive the graft's lossy gate (PSNR >= 40dB). The oracle is the
+    EXPECTED-healthy set — range(120) all-true — so the hash compare
+    fails iff any image misses the gate. PSNR itself is not
+    SQL-expressible; the float details plus the deeper checks
+    (structural errors, taxonomy, javax.imageio interop both
+    directions) live in pytest (tests/test_jpegio.py)."""
     import pandas as pd_
 
     def kernel(batches):
@@ -2124,7 +2126,7 @@ def q_jpeg_roundtrip(spark, sf_dir):
         from ..jpegio import decode_jpeg as _dec, encode_jpeg as _enc
 
         for pdf in batches:
-            ids, ok, nbytes, ps = [], [], [], []
+            ids, ok = [], []
             for i in pdf["id"]:
                 h, w = 8 + int(i) % 24, 8 + (int(i) * 7) % 24
                 yy, xx = np_.mgrid[0:h, 0:w]
@@ -2132,21 +2134,20 @@ def q_jpeg_roundtrip(spark, sf_dir):
                     [yy * 255 // max(1, h - 1), xx * 255 // max(1, w - 1),
                      (yy + xx) * 255 // max(1, h + w - 2)], axis=-1
                 ).astype(np_.uint8)
-                buf = _enc(px, 90)
-                p = _psnr(px, _dec(buf))
+                p = _psnr(px, _dec(_enc(px, 90)))
                 ids.append(int(i))
                 ok.append(bool(p >= 40.0))
-                nbytes.append(len(buf))
-                ps.append(round(float(min(p, 99.0)), 1))
-            yield pd_.DataFrame(
-                {"img_i": ids, "psnr_ok": ok, "n_bytes": nbytes, "psnr_db": ps}
-            )
+            yield pd_.DataFrame({"img_i": ids, "psnr_ok": ok})
 
     return (
         spark.range(120)
-        .mapInPandas(kernel, "img_i long, psnr_ok boolean, n_bytes long, psnr_db double")
+        .mapInPandas(kernel, "img_i long, psnr_ok boolean")
         .filter("psnr_ok")
     )
 
 
-REGISTRY["jpeg_roundtrip"] = (q_jpeg_roundtrip, None)
+def _jpeg_roundtrip_oracle():
+    return "select i as img_i, true as psnr_ok from range(120) t(i)"
+
+
+REGISTRY["jpeg_roundtrip"] = (q_jpeg_roundtrip, _jpeg_roundtrip_oracle)
