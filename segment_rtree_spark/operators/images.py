@@ -5,11 +5,13 @@ pixel work happens in Arrow-batched mapInPandas kernels that decode
 per IMAGE (never per pixel in Python — the inner loops are NumPy).
 
 Real implementations for raw + png (lossless, equality checks exact)
-AND jpeg (pure-NumPy baseline codec, jpegio.py — lossy, PSNR>=40dB at
-quality>=90); the remaining external codecs (webp/video) raise
-NotImplementedError inside the same batch body: the distributed
-plumbing (schema, batching, partitioning) is identical and tested,
-only the codec call changes when the library exists.
+AND jpeg (pure-NumPy baseline codec, jpegio.py — lossy, PSNR>=40dB
+at quality>=90) AND mjpeg video containers (frame-sample by marker
+scan, frames decode as jpeg); the remaining external codecs
+(webp, inter-frame video like mp4/h264) raise NotImplementedError
+inside the same batch body: the distributed plumbing (schema,
+batching, partitioning) is identical and tested, only the codec call
+changes when the library exists.
 """
 
 from __future__ import annotations
@@ -158,20 +160,48 @@ def resize_images(images: DataFrame, out_w: int, out_h: int, fmt: str = "raw") -
 def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame sampling for video binary columns.
 
-    STUB: no video codec exists in this container. The Spark plumbing
-    (exploding one row into frame rows with typed metadata) is real and
-    tested with a deterministic fake decoder when fmt == 'fakevid'
-    (payload = concatenated raw frames); real codecs slot into
-    _decode_frames unchanged.
+    REAL for two container formats; everything else stays an honest
+    stub:
+      * fmt='fakevid' — concatenated raw RGB frames (the deterministic
+        test container; frame boundaries from w*h*3);
+      * fmt='mjpeg' — concatenated baseline JFIF frames (Motion-JPEG,
+        the classic capture container): frame boundaries come from the
+        SOI/EOI marker structure (safe to scan — within entropy data
+        0xFF is always stuffed or a restart marker, so FFD9 only ever
+        terminates a frame), sampled frames pass through as fmt='jpeg'
+        rows the rest of the image suite decodes with jpegio.
+    Compressed inter-frame codecs (mp4/h264/webm) need libraries this
+    container lacks: NotImplementedError, same batch body.
+
+    Scale note: sampling slices BYTES only — no frame is decoded here;
+    decode happens downstream on the sampled subset (with_pixel_stats
+    / validate_images over the emitted rows), so the kernel's cost is
+    marker scanning, not IDCTs for frames that get skipped.
     """
     schema = "video_id string, frame_idx int, bytes binary, w int, h int, fmt string"
+
+    def _split_mjpeg(buf: bytes):
+        frames = []
+        pos = 0
+        n = len(buf)
+        while pos < n:
+            if buf[pos : pos + 2] != b"\xff\xd8":
+                raise ValueError(f"mjpeg: expected SOI at offset {pos}")
+            end = buf.find(b"\xff\xd9", pos + 2)
+            if end < 0:
+                raise ValueError("mjpeg: unterminated frame (no EOI)")
+            frames.append(buf[pos : end + 2])
+            pos = end + 2
+        return frames
 
     def _decode_frames(buf: bytes, fmt: str, w: int, h: int):
         if fmt == "fakevid":
             frame_size = w * h * 3
-            return [
+            return "raw", [
                 buf[i : i + frame_size] for i in range(0, len(buf), frame_size)
             ]
+        if fmt == "mjpeg":
+            return "jpeg", _split_mjpeg(buf)
         raise NotImplementedError(
             f"video codec for fmt={fmt!r} not available in this environment"
         )
@@ -180,7 +210,7 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in ("video_id", "frame_idx", "bytes", "w", "h", "fmt")}
             for k in range(len(pdf)):
-                frames = _decode_frames(
+                out_fmt, frames = _decode_frames(
                     pdf["bytes"].iloc[k], pdf["fmt"].iloc[k],
                     int(pdf["w"].iloc[k]), int(pdf["h"].iloc[k]),
                 )
@@ -190,7 +220,7 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
                     rows["bytes"].append(frames[fi])
                     rows["w"].append(int(pdf["w"].iloc[k]))
                     rows["h"].append(int(pdf["h"].iloc[k]))
-                    rows["fmt"].append("raw")
+                    rows["fmt"].append(out_fmt)
             yield pd.DataFrame(rows)
 
     return videos.mapInPandas(kernel, schema)

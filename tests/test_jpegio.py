@@ -177,3 +177,33 @@ def test_interop_with_jvm_codec(spark):
     out = decode_jpeg(bytes(bos.toByteArray()))
     assert out.shape == (h, w, 3)
     assert psnr(px, out) >= 30.0  # bounded by JAVA's lossy defaults
+
+
+def test_mjpeg_frame_sampling(spark):
+    """fmt='mjpeg' video rows: frame boundaries from SOI/EOI markers,
+    sampled frames emitted as fmt='jpeg' rows that decode with the
+    engine's codec at lossy fidelity."""
+    from segment_rtree_spark.operators.images import sample_video_frames
+
+    h, w, n_frames = 16, 16, 10
+    frames_px = [
+        np.clip(_gradient(h, w).astype(np.int64) + 5 * i, 0, 255).astype(np.uint8)
+        for i in range(n_frames)
+    ]
+    blob = b"".join(encode_jpeg(px, 90) for px in frames_px)
+    pdf = pd.DataFrame(
+        {"video_id": ["v0"], "bytes": [blob], "w": np.int32(w),
+         "h": np.int32(h), "fmt": "mjpeg"}
+    )
+    out = sample_video_frames(spark.createDataFrame(pdf), every_n=3).toPandas()
+    assert out["frame_idx"].tolist() == [0, 3, 6, 9]
+    assert (out["fmt"] == "jpeg").all()
+    for _, r in out.iterrows():
+        px = decode_jpeg(bytes(r["bytes"]))
+        assert px.shape == (h, w, 3)
+        assert psnr(frames_px[int(r["frame_idx"])], px) >= 40.0
+    # corrupt container: missing EOI -> loud error, not silent truncation
+    bad = pdf.copy()
+    bad["bytes"] = [blob[:-2]]
+    with pytest.raises(Exception, match="unterminated|EOI"):
+        sample_video_frames(spark.createDataFrame(bad), every_n=3).collect()
