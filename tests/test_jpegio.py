@@ -207,3 +207,31 @@ def test_mjpeg_frame_sampling(spark):
     bad["bytes"] = [blob[:-2]]
     with pytest.raises(Exception, match="unterminated|EOI"):
         sample_video_frames(spark.createDataFrame(bad), every_n=3).collect()
+
+
+def test_jpeg_fuzz_shapes_and_content():
+    """Property fuzz: any uint8[h,w,3] with h,w >= 1 encodes and
+    decodes back to the same shape with finite error — including
+    sub-8x8 images (pure padding blocks) and extreme values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        flat=st.booleans(),
+    )
+    def check(h, w, seed, flat):
+        rng = np.random.default_rng(seed)
+        if flat:  # constant blocks: pure-DC streams
+            px = np.full((h, w, 3), rng.integers(0, 256), np.uint8)
+        else:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=92))
+        assert out.shape == (h, w, 3)
+        if flat:
+            assert psnr(px, out) >= 40.0  # constants survive quantization
+
+    check()
