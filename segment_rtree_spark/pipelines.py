@@ -126,6 +126,7 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
                                min_caption_tokens: int = 2,
                                max_hamming: int = 8,
                                n_bands: int = 4,
+                               hot_threshold: int | None = 4096,
                                res: int = 4,
                                keys_per_batch: int = 8,
                                max_batches: int | None = None,
@@ -202,6 +203,7 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
             [], survivors(narrow.limit(0)).schema
         ).drop("cell")
     comp = phash_components(
-        ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands
+        ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands,
+        hot_threshold=hot_threshold,
     )
     return done, _keep_representatives(ok, comp, id_col, caption)
