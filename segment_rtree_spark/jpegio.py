@@ -316,9 +316,17 @@ def _from_blocks(blocks: np.ndarray, hh: int, ww: int) -> np.ndarray:
 
 # -- encoder -----------------------------------------------------------
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                restart_interval: int = 0,
+                grayscale: bool = False) -> bytes:
     """uint8[h,w,3] -> baseline JFIF bytes (4:4:4, quality-scaled
-    Annex-K tables; see module docstring for the exact scope)."""
+    Annex-K tables; see module docstring for the exact scope).
+
+    restart_interval > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (DC predictors reset, stream byte-aligned) — the
+    resync structure long streams carry so one bit error cannot
+    corrupt everything after it. grayscale=True writes a 1-component
+    (luma-only) frame; the decoder returns it replicated to RGB."""
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_jpeg expects uint8[h,w,3]")
@@ -330,6 +338,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     ph, pw = -h % 8, -w % 8
     padded = np.pad(px, ((0, ph), (0, pw), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded)
+    n_comp = 1 if grayscale else 3
 
     dc_codes = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
                 _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
@@ -338,7 +347,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     # all blocks per component, FDCT + quantize vectorized
     comp_zz = []
-    for c in range(3):
+    for c in range(n_comp):
         t = 0 if c == 0 else 1
         blocks = _to_blocks(ycc[..., c]) - 128.0
         coef = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
@@ -348,8 +357,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     bw = _BitWriter()
     preds = [0, 0, 0]
     n_blocks = comp_zz[0].shape[0]
+    rst = 0
     for bi in range(n_blocks):  # MCU order: one block per component (4:4:4)
-        for c in range(3):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.flush()  # byte-align, then RSTn, then fresh predictors
+            bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0, 0, 0]
+        for c in range(n_comp):
             t = 0 if c == 0 else 1
             zz = comp_zz[c][bi]
             diff = int(zz[0]) - preds[c]
@@ -384,21 +399,33 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     out = bytearray(JPEG_SOI)
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for t in (0, 1):
+    for t in range(1 if grayscale else 2):
         out += seg(0xDB, bytes([t]) + bytes(qt[t].ravel()[_ZZ].astype(np.uint8)))
-    out += seg(
-        0xC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
-    )
-    for cls, tid, bits, vals in (
+    if grayscale:
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    else:
+        out += seg(
+            0xC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+    tables = [
         (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
-        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-    ):
+    ]
+    if not grayscale:
+        tables += [
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for cls, tid, bits, vals in tables:
         out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    if grayscale:
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    else:
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

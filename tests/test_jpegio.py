@@ -235,3 +235,41 @@ def test_jpeg_fuzz_shapes_and_content():
             assert psnr(px, out) >= 40.0  # constants survive quantization
 
     check()
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_restart_interval_roundtrip(ri):
+    """DRI/RSTn: the encoder byte-aligns and resets predictors every
+    `ri` MCUs; the decoder's restart path reproduces the image."""
+    px = _gradient(48, 40)
+    out = decode_jpeg(encode_jpeg(px, 90, restart_interval=ri))
+    assert psnr(px, out) >= 40.0
+
+
+def test_grayscale_roundtrip():
+    """1-component frames: luma-only stream, decoder replicates to
+    RGB."""
+    px = _gradient(48, 40)
+    g = decode_jpeg(encode_jpeg(px, 90, grayscale=True))
+    assert g.shape == (48, 40, 3)
+    assert np.array_equal(g[..., 0], g[..., 1])
+    luma = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2])
+    ref = np.stack([luma] * 3, axis=-1).astype(np.uint8)
+    assert psnr(ref, g) >= 40.0
+
+
+def test_restart_interval_interop_java(spark):
+    """RST-bearing streams read in javax.imageio too."""
+    h, w = 24, 24
+    px = _gradient(h, w)
+    buf = encode_jpeg(px, 90, restart_interval=2)
+    jvm = spark.sparkContext._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(buf))
+    )
+    assert img is not None
+    arr = np.array(list(img.getRGB(0, 0, w, h, None, 0, w)), np.int64).reshape(h, w)
+    dec = np.stack(
+        [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
+    ).astype(np.uint8)
+    assert psnr(px, dec) >= 40.0
