@@ -115,6 +115,52 @@ def bench_queries(spark, sf_dir):
 
         return ann_topk(vecs, k=5, target_bucket=256, refine="kernel").count()
 
+    def _jpeg_rows(n):
+        # synthesized-on-executor jpeg payloads (gradient content,
+        # quality 90) — built once and cached outside the timings
+        import pandas as pd
+
+        def kernel(batches):
+            import numpy as np
+
+            from segment_rtree_spark.jpegio import encode_jpeg
+
+            for pdf in batches:
+                ids, bufs, ws, hs = [], [], [], []
+                for i in pdf["id"]:
+                    h = 8 + int(i) % 24
+                    w = 8 + (int(i) * 7) % 24
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [yy * 255 // max(1, h - 1), xx * 255 // max(1, w - 1),
+                         (yy + xx) * 255 // max(1, h + w - 2)], axis=-1
+                    ).astype(np.uint8)
+                    ids.append(f"jp{int(i)}")
+                    bufs.append(encode_jpeg(px, 90))
+                    ws.append(w)
+                    hs.append(h)
+                yield pd.DataFrame(
+                    {"image_id": ids, "bytes": bufs, "w": ws, "h": hs,
+                     "fmt": ["jpeg"] * len(ids)}
+                )
+
+        return spark.range(n).mapInPandas(
+            kernel, "image_id string, bytes binary, w int, h int, fmt string"
+        )
+
+    jpeg_imgs = _jpeg_rows(2000).cache()
+    jpeg_imgs.count()  # encode once, outside the timings
+
+    def q_validate_mixed():
+        # the two-tier validator over a MIXED corpus: 60k raw rows stay
+        # pure-Catalyst, 2k jpeg rows route through the decode kernel
+        from segment_rtree_spark.operators.images import validate_images
+
+        mixed = imgs.sample(0.2, seed=11).select(
+            "image_id", "bytes", "w", "h", "fmt"
+        ).unionByName(jpeg_imgs)
+        return validate_images(mixed).count()
+
     def q_phash_incremental():
         # the round-4 two-sided tiled band join: 150k arrivals vs a
         # 150k kept corpus (sizing pass + equi-join; cold buckets here,
@@ -148,6 +194,7 @@ def bench_queries(spark, sf_dir):
         "ann_topk": q_ann_topk,
         "knn_boundary": q_knn_boundary,
         "phash_incremental": q_phash_incremental,
+        "validate_mixed": q_validate_mixed,
     }, imgs
 
 
