@@ -189,12 +189,17 @@ def ann_bucket_stats(
     n_bits: int = N_BITS,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
+    target_bucket: int = TARGET_BUCKET,
 ) -> DataFrame:
     """Per-bucket size monitor for the ANN joins: (bucket, bucket_n,
     truncated) — the embedding-side twin of dedup.lsh_bucket_stats.
     Run alongside a capped ann_topk/embedding_neardup_pairs to see
-    exactly which mega-buckets were dropped."""
+    exactly which mega-buckets were dropped. Accepts the same
+    max_bucket='auto' (= 32 * target_bucket) the operators default to,
+    so the monitor and the guard always agree on the cap."""
+    if max_bucket == "auto":
+        max_bucket = 32 * target_bucket
     stats = lsh_buckets(vectors, n_bits, id_col, vec).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )

@@ -227,3 +227,19 @@ def test_refine_kernel_chunked_parity(spark, monkeypatch):
             .select("id_a", "id_b").collect())
     )
     assert got_topk == ref_topk and got_pairs == ref_pairs and ref_topk
+
+
+def test_ann_bucket_stats_auto_cap(spark):
+    """The stats monitor accepts max_bucket='auto' and flags exactly
+    the buckets the auto-capped operators drop."""
+    from pyspark.sql import functions as F
+
+    vecs = spark.range(150).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array_repeat(1.0d, 64)").alias("embedding"),
+    )
+    stats = ann_bucket_stats(
+        vecs, n_bits=1, max_bucket="auto", target_bucket=2
+    ).toPandas()
+    assert stats["truncated"].any()
+    assert int(stats.loc[stats["truncated"], "bucket_n"].max()) == 150
