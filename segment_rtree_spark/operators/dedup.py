@@ -35,6 +35,7 @@ __all__ = [
     "label_propagate",
     "phash_components",
     "simhash64",
+    "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "phash_neardup_pairs",
     "phash_neardup_against",
@@ -55,10 +56,14 @@ def exact_dups(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> D
     )
 
 
-def _tokens(docs: DataFrame, id_col: str, text: str) -> DataFrame:
+def _tokens(docs: DataFrame, id_col: str, text: str,
+            mod: int | None = TOKEN_MOD) -> DataFrame:
+    h = F.expr(token_hash_expr("tok"))
+    if mod is not None:
+        h = h % mod
     return docs.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
-    ).withColumn("h", F.expr(token_hash_expr("tok")) % TOKEN_MOD)
+    ).withColumn("h", h)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
@@ -869,9 +874,17 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     )
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
+              full_width: bool = False) -> DataFrame:
     """64-bit simhash: bit b set iff more than half the tokens have bit
     b set in their hash.
+
+    full_width=True hashes tokens WITHOUT the TOKEN_MOD reduction
+    (60 md5-prefix bits), so all 60 signature bits carry signal — the
+    variant the BANDED near-dup join needs (with the default 20-bit
+    reduction, bands over bits 20..63 would all collide in one
+    mega-bucket). The default stays mod-reduced for parity with the
+    pinned `simhash` oracle.
 
     ONE hash-agg over token rows with 60 conditional-sum expressions
     (plus the token count) — no per-bit explode: the earlier
@@ -887,8 +900,8 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     every document and can never pass the majority test — identical
     output to the full 60-bit fold (the SQL oracle still folds all 60
     and hashes equal)."""
-    n_bits = (TOKEN_MOD - 1).bit_length()
-    toks = _tokens(docs, id_col, text)
+    n_bits = 60 if full_width else (TOKEN_MOD - 1).bit_length()
+    toks = _tokens(docs, id_col, text, mod=None if full_width else TOKEN_MOD)
     aggs = [
         F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"o{b}") for b in range(n_bits)
     ] + [F.count(F.lit(1)).alias("n")]
@@ -899,6 +912,31 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
             F.col(f"o{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
+                          id_col: str = "doc_id", text: str = "text",
+                          n_bands: int = 4,
+                          hot_threshold: int | None = 4096) -> DataFrame:
+    """Document near-dup pairs by SIMHASH Hamming distance: compute the
+    64-bit simhash signature (one hash-agg, no UDF), then reuse the
+    phash band machinery — band split by pigeonhole (guaranteed recall
+    while max_hamming < n_bands), adaptive hot-bucket tiling, exact
+    bit_count verify. Output (id_a < id_b, hamming).
+
+    This is the classic large-scale text near-dup shape (simhash +
+    Hamming ball) beside the minhash/Jaccard family: simhash favors
+    small perturbations of LONG documents (a few changed tokens flip
+    few bits), minhash favors set overlap. The signature frame
+    checkpoints: the band join consumes it on both sides plus the
+    sizing pass, and the signature aggregation is the dominant cost."""
+    sig = simhash64(docs, id_col, text, full_width=True).localCheckpoint(
+        eager=False
+    )
+    return phash_neardup_pairs(
+        sig, max_hamming=max_hamming, id_col=id_col, phash="simhash",
+        n_bands=n_bands, hot_threshold=hot_threshold,
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",

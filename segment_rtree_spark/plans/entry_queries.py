@@ -2151,3 +2151,51 @@ def _jpeg_roundtrip_oracle():
 
 
 REGISTRY["jpeg_roundtrip"] = (q_jpeg_roundtrip, _jpeg_roundtrip_oracle)
+
+
+# -- simhash near-dup pairs (banded Hamming over full-width simhash) ------
+
+def q_simhash_neardup(spark, sf_dir):
+    """Document near-dups by simhash Hamming ball: full-width (60-bit)
+    signatures, 4x16-bit band candidates (pigeonhole-guaranteed at
+    max_hamming=3), exact bit_count verify — the simhash member of the
+    dedup family, sharing the adaptive tiled band join."""
+    return _dedup.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def _simhash_neardup_oracle():
+    th = _text.token_hash_expr_duckdb("tok")
+    return f"""
+with toks as (
+  select doc_id, {th} as h
+  from (select doc_id, unnest(string_split(text, ' ')) as tok from documents)
+),
+bits as (
+  select doc_id, bit, sum((h >> bit) & 1) as ones, count(*) as n
+  from toks, (select unnest(range(0, 60)) as bit)
+  group by 1, 2
+),
+sh as (
+  select doc_id,
+    cast(sum(case when ones * 2 > n then (1::bigint << bit) else 0::bigint end)
+         as bigint) as s
+  from bits group by 1
+),
+nb as (
+  select doc_id, s, b as band, (s >> (b * 16)) & 65535 as bkey
+  from sh, (select unnest(range(0, 4)) as b)
+),
+pairs as (
+  select distinct a.doc_id as ia, b.doc_id as ib, a.s as sa, b.s as sb
+  from nb a join nb b on a.band = b.band and a.bkey = b.bkey
+                     and a.doc_id < b.doc_id
+)
+select ia as id_a, ib as id_b,
+       cast(bit_count(xor(sa, sb)) as int) as hamming
+from pairs where bit_count(xor(sa, sb)) <= 3
+"""
+
+
+REGISTRY["simhash_neardup"] = (q_simhash_neardup, _simhash_neardup_oracle)

@@ -449,3 +449,30 @@ def test_tiled_join_random_parity(spark):
     )
     assert sorted(tiled) == plain_ms
     assert set(tiled) == plain
+
+
+def test_simhash_neardup_pairs(spark):
+    """Full-width simhash Hamming pairs: exact dups at hamming 0,
+    light perturbations inside the ball, unrelated docs absent."""
+    from segment_rtree_spark.operators.dedup import simhash_neardup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain keeps falling on the quiet grey town").split()
+    perturbed = list(base)
+    perturbed[3] = "wolf"  # one token swap: few sign flips on long docs
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(base)),          # exact dup of 1
+            (3, " ".join(perturbed)),     # near dup of 1
+            (4, "completely different content about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=8).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 8
+    assert not any(4 in p for p in got)
