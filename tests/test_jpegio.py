@@ -273,3 +273,36 @@ def test_restart_interval_interop_java(spark):
         [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
     ).astype(np.uint8)
     assert psnr(px, dec) >= 40.0
+
+
+def test_subsample_420_roundtrip_and_size():
+    """4:2:0 encode: smaller streams, decodes through our own
+    general-sampling decoder, PSNR bounded by the halved chroma."""
+    px = _gradient(64, 64)
+    b444 = encode_jpeg(px, 90)
+    b420 = encode_jpeg(px, 90, subsample=True)
+    assert len(b420) < len(b444)
+    out = decode_jpeg(b420)
+    assert out.shape == px.shape
+    assert psnr(px, out) >= 40.0  # smooth content survives 4:2:0
+    # with restart markers interleaved at MCU granularity too
+    out2 = decode_jpeg(encode_jpeg(px, 90, subsample=True, restart_interval=2))
+    assert psnr(px, out2) >= 40.0
+
+
+def test_subsample_420_interop_java(spark):
+    """Our 4:2:0 streams (the production sampling every encoder
+    defaults to) read in javax.imageio at >=40dB."""
+    h, w = 32, 48
+    px = _gradient(h, w)
+    buf = encode_jpeg(px, 90, subsample=True)
+    jvm = spark.sparkContext._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(buf))
+    )
+    assert img is not None
+    arr = np.array(list(img.getRGB(0, 0, w, h, None, 0, w)), np.int64).reshape(h, w)
+    dec = np.stack(
+        [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
+    ).astype(np.uint8)
+    assert psnr(px, dec) >= 40.0
