@@ -495,6 +495,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             while o < len(body):
                 cls, tid = body[o] >> 4, body[o] & 0xF
                 bits = list(body[o + 1 : o + 17])
+                if len(bits) != 16:
+                    raise JpegError("short DHT")
                 n = sum(bits)
                 vals = list(body[o + 17 : o + 17 + n])
                 if len(vals) != n:
@@ -502,9 +504,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_tables(bits, vals)
                 o += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            if len(body) < 6:
+                raise JpegError("short SOF")
             prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise JpegError("only 8-bit precision supported")
+            # declared segment length can be self-consistent yet too
+            # small for nc components — validate before slicing so a
+            # corrupt stream raises JpegError, not a bare ValueError
+            if len(body) < 6 + 3 * nc:
+                raise JpegError("short SOF component list")
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -517,10 +526,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         0xCD, 0xCE, 0xCF):
             raise JpegError("progressive/extended JPEG unsupported (baseline only)")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegError("short DRI")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise JpegError("SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise JpegError("short SOS header")
             ns = body[0]
             scan = []
             for c in range(ns):

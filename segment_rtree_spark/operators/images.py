@@ -165,11 +165,15 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
       * fmt='fakevid' — concatenated raw RGB frames (the deterministic
         test container; frame boundaries from w*h*3);
       * fmt='mjpeg' — concatenated baseline JFIF frames (Motion-JPEG,
-        the classic capture container): frame boundaries come from the
-        SOI/EOI marker structure (safe to scan — within entropy data
-        0xFF is always stuffed or a restart marker, so FFD9 only ever
-        terminates a frame), sampled frames pass through as fmt='jpeg'
-        rows the rest of the image suite decodes with jpegio.
+        the classic capture container): frame boundaries come from a
+        STRUCTURAL parse of the marker stream — marker segments are
+        skipped by their declared length fields (FF D9 can legally
+        occur inside a segment payload, e.g. a DQT table value or an
+        APPn EXIF thumbnail, so a naive find(FFD9) mis-splits), and
+        only the entropy-coded section after SOS is byte-scanned,
+        where T.81 stuffing guarantees a bare FF D9 is the EOI.
+        Sampled frames pass through as fmt='jpeg' rows the rest of
+        the image suite decodes with jpegio.
     Compressed inter-frame codecs (mp4/h264/webm) need libraries this
     container lacks: NotImplementedError, same batch body.
 
@@ -179,32 +183,6 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     marker scanning, not IDCTs for frames that get skipped.
     """
     schema = "video_id string, frame_idx int, bytes binary, w int, h int, fmt string"
-
-    def _split_mjpeg(buf: bytes):
-        frames = []
-        pos = 0
-        n = len(buf)
-        while pos < n:
-            if buf[pos : pos + 2] != b"\xff\xd8":
-                raise ValueError(f"mjpeg: expected SOI at offset {pos}")
-            end = buf.find(b"\xff\xd9", pos + 2)
-            if end < 0:
-                raise ValueError("mjpeg: unterminated frame (no EOI)")
-            frames.append(buf[pos : end + 2])
-            pos = end + 2
-        return frames
-
-    def _decode_frames(buf: bytes, fmt: str, w: int, h: int):
-        if fmt == "fakevid":
-            frame_size = w * h * 3
-            return "raw", [
-                buf[i : i + frame_size] for i in range(0, len(buf), frame_size)
-            ]
-        if fmt == "mjpeg":
-            return "jpeg", _split_mjpeg(buf)
-        raise NotImplementedError(
-            f"video codec for fmt={fmt!r} not available in this environment"
-        )
 
     def kernel(batches):
         for pdf in batches:
@@ -224,6 +202,82 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return videos.mapInPandas(kernel, schema)
+
+
+def _mjpeg_frame_end(buf: bytes, pos: int) -> int:
+    """Return the offset one past the EOI of the frame starting at
+    `pos` via a structural marker-stream walk (T.81 B.1.1): header
+    segments are skipped by their 16-bit length fields — never
+    byte-scanned, because FF D9 may appear inside a payload (a DQT
+    table value, an APPn EXIF thumbnail) — and only entropy-coded
+    data (after an SOS) is scanned for a bare marker, where byte
+    stuffing (FF 00) and restart markers are the only legal FF uses,
+    so FF D9 there IS the frame terminator."""
+    n = len(buf)
+    if buf[pos : pos + 2] != b"\xff\xd8":
+        raise ValueError(f"mjpeg: expected SOI at offset {pos}")
+    p = pos + 2
+    while True:
+        if p + 2 > n:
+            raise ValueError("mjpeg: unterminated frame (no EOI)")
+        if buf[p] != 0xFF:
+            raise ValueError(f"mjpeg: expected marker at offset {p}")
+        m = buf[p + 1]
+        if m == 0xFF:  # fill byte before marker (T.81 B.1.1.2)
+            p += 1
+            continue
+        if m == 0xD9:  # EOI
+            return p + 2
+        if m == 0x01 or 0xD0 <= m <= 0xD8:  # standalone markers
+            p += 2
+            continue
+        if p + 4 > n:
+            raise ValueError("mjpeg: truncated marker segment")
+        seglen = int.from_bytes(buf[p + 2 : p + 4], "big")
+        if seglen < 2:
+            raise ValueError(f"mjpeg: bad segment length at offset {p}")
+        p += 2 + seglen
+        if m != 0xDA:  # header segment: skip by length, done
+            continue
+        # SOS: entropy-coded data follows until the next real marker
+        while True:
+            q = buf.find(b"\xff", p)
+            if q < 0 or q + 1 >= n:
+                raise ValueError("mjpeg: unterminated frame (no EOI)")
+            b2 = buf[q + 1]
+            if b2 == 0x00 or 0xD0 <= b2 <= 0xD7:  # stuffed / RSTn
+                p = q + 2
+            elif b2 == 0xFF:  # fill byte
+                p = q + 1
+            elif b2 == 0xD9:  # EOI ends the frame
+                return q + 2
+            else:  # next scan / DNL etc. — back to the marker walk
+                p = q
+                break
+
+
+def _split_mjpeg(buf: bytes):
+    frames = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        end = _mjpeg_frame_end(buf, pos)
+        frames.append(buf[pos:end])
+        pos = end
+    return frames
+
+
+def _decode_frames(buf: bytes, fmt: str, w: int, h: int):
+    if fmt == "fakevid":
+        frame_size = w * h * 3
+        return "raw", [
+            buf[i : i + frame_size] for i in range(0, len(buf), frame_size)
+        ]
+    if fmt == "mjpeg":
+        return "jpeg", _split_mjpeg(buf)
+    raise NotImplementedError(
+        f"video codec for fmt={fmt!r} not available in this environment"
+    )
 
 
 def psnr_refine_pairs(pairs: DataFrame, images: DataFrame,
@@ -422,7 +476,11 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 return IMG_ERR_BAD_SIGNATURE, "missing JPEG SOI"
             try:
                 px = decode_jpeg(buf)
-            except JpegError as e:
+            except (JpegError, ValueError, IndexError, struct_error) as e:
+                # decode_jpeg raises JpegError for every corruption it
+                # can name; belt-and-braces for slice/unpack shapes a
+                # fuzzer finds first — still CorruptStream, never
+                # InternalError (the taxonomy contract)
                 return IMG_ERR_CORRUPT_STREAM, str(e)[:80]
         elif fmt == "raw":
             want = w * h * 3

@@ -64,6 +64,34 @@ def test_structural_errors():
         decode_jpeg(bytes(sof2))
 
 
+def test_corrupt_headers_raise_jpeg_error_not_bare():
+    """Length-consistent but under-sized segment bodies must raise
+    JpegError (the CorruptStream taxonomy tier), never bare ValueError
+    / struct.error / IndexError from a slice or unpack (r4 advisor)."""
+    import struct as _s
+
+    def seg(marker, body):
+        return marker + _s.pack(">H", len(body) + 2) + body
+
+    # SOF declares nc=3 but carries one component triple
+    sof_short = seg(b"\xff\xc0", _s.pack(">BHHB", 8, 16, 16, 3) + bytes([1, 0x11, 0]))
+    with pytest.raises(JpegError, match="short SOF"):
+        decode_jpeg(JPEG_SOI + sof_short + b"\xff\xd9")
+    # SOF body shorter than its fixed 6-byte prefix
+    with pytest.raises(JpegError, match="short SOF"):
+        decode_jpeg(JPEG_SOI + seg(b"\xff\xc0", b"\x08\x00") + b"\xff\xd9")
+    sof_ok = seg(b"\xff\xc0", _s.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+    # SOS declares ns=3 with a 1-byte tail
+    with pytest.raises(JpegError, match="short SOS"):
+        decode_jpeg(JPEG_SOI + sof_ok + seg(b"\xff\xda", bytes([3, 1])))
+    # DRI with an empty body
+    with pytest.raises(JpegError, match="short DRI"):
+        decode_jpeg(JPEG_SOI + seg(b"\xff\xdd", b"") + b"\xff\xd9")
+    # DHT with a truncated bits table
+    with pytest.raises(JpegError, match="short DHT"):
+        decode_jpeg(JPEG_SOI + seg(b"\xff\xc4", bytes([0x00, 1, 2])) + b"\xff\xd9")
+
+
 def test_spec_structure():
     """The stream is a structurally valid JFIF file: tables embedded,
     segment lengths consistent, EOI terminated — any compliant external
@@ -207,6 +235,36 @@ def test_mjpeg_frame_sampling(spark):
     bad["bytes"] = [blob[:-2]]
     with pytest.raises(Exception, match="unterminated|EOI"):
         sample_video_frames(spark.createDataFrame(bad), every_n=3).collect()
+
+
+def test_mjpeg_structural_split_ffd9_in_headers():
+    """FF D9 can legally appear inside marker-segment payloads (a DQT
+    table value at low quality, an EXIF thumbnail in APP1); the splitter
+    must walk segments by their length fields, not find() the first
+    FF D9.  Repro from the r4 advisor: our own encoder at quality=6
+    emits FF D9 inside the DQT."""
+    from segment_rtree_spark.operators.images import _split_mjpeg
+
+    px = (np.arange(16 * 24 * 3, dtype=np.int64) * 7 % 256).astype(np.uint8)
+    px = px.reshape(16, 24, 3)
+    f_low = encode_jpeg(px, quality=6)
+    assert f_low.find(b"\xff\xd9") < len(f_low) - 2, "repro precondition"
+    f_hi = encode_jpeg(px, quality=90)
+    frames = _split_mjpeg(f_low + f_hi + f_low)
+    assert [len(f) for f in frames] == [len(f_low), len(f_hi), len(f_low)]
+    for f in frames:
+        assert decode_jpeg(f).shape == (16, 24, 3)
+
+    # APP1 payload containing a literal FF D9 (EXIF-thumbnail shape)
+    app1 = b"\xff\xe1" + (10).to_bytes(2, "big") + b"Ex\xff\xd9if\x00\x00"
+    with_app = f_hi[:2] + app1 + f_hi[2:]
+    frames = _split_mjpeg(with_app + f_hi)
+    assert [len(f) for f in frames] == [len(with_app), len(f_hi)]
+    assert decode_jpeg(frames[0]).shape == (16, 24, 3)
+
+    # garbage between frames is a loud structural error
+    with pytest.raises(ValueError, match="expected SOI"):
+        _split_mjpeg(f_hi + b"\x00\x01" + f_hi)
 
 
 def test_jpeg_fuzz_shapes_and_content():
