@@ -31,6 +31,22 @@ __all__ = [
 ]
 
 
+def _auto_cap(corpus: DataFrame) -> int:
+    """Corpus-scaled band-bucket cap: max(1024, 1% of corpus rows).
+
+    The stream-static band join cannot tile at runtime (sizing is an
+    action a micro-batch plan cannot run), so the corpus-side cap is
+    the stream path's ONLY skew guard — it must be armed by default,
+    not documented. The corpus is static for the query's lifetime, so
+    this is one count() job at query build, the same price
+    `ngram_jaccard_pairs` pays for max_df='auto'. At the default a
+    band bucket must hold over 1024 members AND over 1% of the corpus
+    before it drops — no discriminating signature does; buckets that
+    big are boilerplate/constant payloads whose members are
+    exact-dup-shaped and belong to exact_dups anyway."""
+    return max(1024, int(0.01 * corpus.count()))
+
+
 def streaming_neardup_matches(
     stream_images: DataFrame,
     corpus: DataFrame,
@@ -38,7 +54,7 @@ def streaming_neardup_matches(
     id_col: str = "image_id",
     phash: str = "phash",
     n_bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """(new_id, corpus_id, hamming) append stream of corpus near-dups.
 
@@ -57,9 +73,16 @@ def streaming_neardup_matches(
     `max_bucket` is the stream path's skew guard: over-cap CORPUS band
     buckets are dropped whole before the join (the adaptive tiling the
     batch operator uses needs a sizing action a stream cannot run).
-    With a cap set, a matching pair may emit once per surviving shared
-    band — harmless to consumers keying on new_id.
+    Default 'auto' ARMS the guard at a corpus-scaled cap (one corpus
+    count() at query build — see `_auto_cap`): a hot corpus bucket
+    would otherwise put |bucket| x |micro-batch∩bucket| pairs in one
+    task EVERY micro-batch, forever, and the guarded path must be the
+    default path. Pass None to opt out explicitly. With a cap set, a
+    matching pair may emit once per surviving shared band — harmless
+    to consumers keying on new_id.
     """
+    if max_bucket == "auto":
+        max_bucket = _auto_cap(corpus)
     return phash_neardup_against(
         stream_images,
         corpus,
@@ -77,7 +100,7 @@ def streaming_text_matches(
     id_col: str = "doc_id",
     text: str = "text",
     rows_per_band: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """(new_id, corpus_id) append stream of corpus near-dup DOCUMENTS —
     the minhash twin of streaming_neardup_matches, so text ingest gets
@@ -93,9 +116,13 @@ def streaming_text_matches(
     stream checkpoint, corpus refresh = planned restart.
 
     `max_bucket` drops over-cap CORPUS band buckets whole (the
-    stream-side skew guard; see streaming_neardup_matches for the
-    per-surviving-band emission caveat under a cap).
+    stream-side skew guard, ARMED by default at the corpus-scaled
+    'auto' cap — see streaming_neardup_matches for the rationale and
+    the per-surviving-band emission caveat under a cap; None opts
+    out).
     """
+    if max_bucket == "auto":
+        max_bucket = _auto_cap(corpus)
     return lsh_pairs_against(
         stream_docs,
         corpus,

@@ -403,3 +403,65 @@ def test_streaming_text_pass_through(spark, tmp_path):
     }
     want = {r["doc_id"] for r in arrivals.collect()} - matched
     assert got == want and got
+
+
+def test_streaming_default_cap_drops_degenerate_corpus_bucket(spark, tmp_path):
+    """The r4 weak item: the stream path cannot tile, so the corpus-side
+    cap must be ARMED by default. A degenerate corpus (1100 rows sharing
+    one phash — every band bucket over the 1024 floor) must contribute
+    ZERO join pairs per micro-batch under the default, while healthy
+    buckets keep matching; max_bucket=None restores the unguarded
+    fan-out (opt-out, not default)."""
+    import time
+
+    from segment_rtree_spark.streaming.ingest_stream import (
+        _auto_cap,
+        streaming_neardup_matches,
+    )
+
+    hot_phash = 0x123456789ABCDEF0
+    hot = spark.range(1100).select(
+        F.concat(F.lit("hot"), F.col("id")).alias("image_id"),
+        F.lit(hot_phash).alias("phash"),
+    )
+    cold = spark.range(50).select(
+        F.concat(F.lit("cold"), F.col("id")).alias("image_id"),
+        (F.col("id") * 2).alias("phash"),
+    )
+    corpus = hot.unionAll(cold).cache()
+    assert _auto_cap(corpus) == 1024  # floor dominates at this scale
+
+    arrivals = pd.DataFrame(
+        {"image_id": ["newhot", "newok"], "phash": [hot_phash, 84]}
+    )
+    src = str(tmp_path / "deg_arrivals")
+    spark.createDataFrame(arrivals).coalesce(1).write.parquet(src)
+    time.sleep(0.2)
+
+    stream = spark.readStream.schema("image_id string, phash long").parquet(src)
+
+    def drain(out, name):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"select * from {name}").collect()
+
+    got = drain(
+        streaming_neardup_matches(stream, corpus, max_hamming=16), "deg_default"
+    )
+    new_ids = {r["new_id"] for r in got}
+    assert "newhot" not in new_ids  # hot bucket dropped whole: bounded tasks
+    assert "newok" in new_ids       # healthy buckets unaffected
+
+    got_off = drain(
+        streaming_neardup_matches(stream, corpus, max_hamming=16, max_bucket=None),
+        "deg_optout",
+    )
+    hot_pairs = {r["corpus_id"] for r in got_off if r["new_id"] == "newhot"}
+    assert len(hot_pairs) == 1100  # the fan-out the default now prevents
