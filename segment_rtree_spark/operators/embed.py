@@ -133,18 +133,20 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec: str = "embedding",
     dim: int = DIM,
-    bit_exact: bool = True,
+    bit_exact: bool = False,
     keep_vec: bool = False,
 ) -> DataFrame:
     """Sign-random-projection bucket id per vector (NumPy kernel).
 
-    bit_exact=True (default) accumulates the dot product SEQUENTIALLY
-    over dimensions so the result is bit-identical to the SQL fold
-    oracle. bit_exact=False uses one BLAS matmul per batch (~10x per
-    kernel call) — the production path: a sign can only differ when
-    the projection is within float-reassociation error of 0, where
-    bucket membership is arbitrary anyway (LSH semantics unaffected;
-    the exact cosine refine downstream is identical).
+    bit_exact=False (default) uses one BLAS matmul per batch — the
+    PRODUCTION path (~10x per kernel call). bit_exact=True accumulates
+    the dot product SEQUENTIALLY over dimensions so the result is
+    bit-identical to the SQL fold oracle — the oracle registry pins it
+    for cross-engine hashing; production callers should not. A sign
+    can only differ between the two when the projection is within
+    float-reassociation error of 0, where bucket membership is
+    arbitrary anyway (LSH semantics unaffected; the exact cosine
+    refine downstream is identical).
 
     keep_vec=True passes the embedding column through the kernel
     (cast to array<double>), so consumers that need (id, v, bucket)
@@ -191,16 +193,20 @@ def ann_bucket_stats(
     vec: str = "embedding",
     max_bucket: int | str | None = None,
     target_bucket: int = TARGET_BUCKET,
+    bit_exact: bool = False,
 ) -> DataFrame:
     """Per-bucket size monitor for the ANN joins: (bucket, bucket_n,
     truncated) — the embedding-side twin of dedup.lsh_bucket_stats.
     Run alongside a capped ann_topk/embedding_neardup_pairs to see
     exactly which mega-buckets were dropped. Accepts the same
-    max_bucket='auto' (= 32 * target_bucket) the operators default to,
-    so the monitor and the guard always agree on the cap."""
+    max_bucket='auto' (= 32 * target_bucket) and bit_exact the
+    operators default to, so the monitor and the guard always agree
+    on both the cap and the bucket arithmetic."""
     if max_bucket == "auto":
         max_bucket = 32 * target_bucket
-    stats = lsh_buckets(vectors, n_bits, id_col, vec).groupBy("bucket").agg(
+    stats = lsh_buckets(
+        vectors, n_bits, id_col, vec, bit_exact=bit_exact
+    ).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )
     cap = F.lit(max_bucket) if max_bucket is not None else F.lit(None).cast("int")
@@ -209,7 +215,7 @@ def ann_bucket_stats(
 
 def _bucketed_vectors(
     vectors: DataFrame, n_bits: int, id_col: str, vec: str,
-    max_bucket: int | None,
+    max_bucket: int | None, bit_exact: bool = False,
 ) -> DataFrame:
     """(id, v, bucket) with over-cap buckets dropped WHOLE before any
     join over them (the dedup._cap_buckets discipline): a degenerate
@@ -226,7 +232,9 @@ def _bucketed_vectors(
     exchange-reusable, so the kernel would otherwise run once per
     consumer — materializing the bucketed vectors IS the classic
     'build the ANN index once' step."""
-    v = lsh_buckets(vectors, n_bits, id_col, vec, keep_vec=True).select(
+    v = lsh_buckets(
+        vectors, n_bits, id_col, vec, bit_exact=bit_exact, keep_vec=True
+    ).select(
         F.col(id_col), F.col(vec).alias("v"), "bucket"
     ).localCheckpoint(eager=False)
     if max_bucket is not None:
@@ -350,7 +358,8 @@ def ann_topk(
     target_bucket: int = TARGET_BUCKET,
     n_probe: int = 1,
     max_bucket: int | str | None = "auto",
-    refine: str = "expr",
+    refine: str = "kernel",
+    bit_exact: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs top-k: bucket equi-join then exact cosine
     refine inside each bucket. Output (query_id, vec_id, score, rank).
@@ -367,21 +376,25 @@ def ann_topk(
     armed by default (opt out with max_bucket=None), and only such
     degenerate piles are affected.
 
-    refine='expr' (default) scores candidates with sequential Catalyst
-    folds — bit-identical to the DuckDB oracle, the cross-engine
-    reference. refine='kernel' is the PRODUCTION path: a cogrouped
+    refine='kernel' (default) is the PRODUCTION path: a cogrouped
     per-bucket Arrow kernel scores each bucket with one BLAS matmul
     and emits only each query's bucket-local top-k (candidate stream
     N x probes x k instead of N x probes x bucket_n), then a window
-    merges the per-bucket winners. Same candidate set and tie rules;
-    scores may differ from the fold path in final ulps (matmul
-    reassociation), so near-exact score ties can rank differently —
-    the standard ANN trade, not a correctness surface."""
+    merges the per-bucket winners. refine='expr' scores candidates
+    with sequential Catalyst folds — bit-identical to the DuckDB
+    oracle, the cross-engine reference the oracle registry pins
+    (~75x slower at 100k vectors; never the production choice). Same
+    candidate set and tie rules either way; kernel scores may differ
+    from the fold path in final ulps (matmul reassociation), so
+    near-exact score ties can rank differently — the standard ANN
+    trade, not a correctness surface. `bit_exact` (default False)
+    selects the bucket-assignment arithmetic the same way — the
+    oracle registry pins True alongside refine='expr'."""
     if max_bucket == "auto":
         max_bucket = 32 * target_bucket
     if n_bits is None:
         n_bits = auto_n_bits(vectors.count(), target_bucket)
-    v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket)
+    v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket, bit_exact)
     a = _probed(v, n_bits, n_probe)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     if refine == "kernel":
@@ -426,7 +439,8 @@ def embedding_neardup_pairs(
     target_bucket: int = TARGET_BUCKET,
     n_probe: int = 1,
     max_bucket: int | str | None = "auto",
-    refine: str = "expr",
+    refine: str = "kernel",
+    bit_exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, score) with
     cosine >= threshold, candidates from a sign-LSH bucket equi-join
@@ -439,15 +453,17 @@ def embedding_neardup_pairs(
     'auto' = 32 * target_bucket (see ann_topk: armed by default, only
     degenerate near-identical piles are dropped; opt out with None).
 
-    refine='kernel' scores each bucket with one BLAS matmul and emits
-    only above-threshold pairs map-side (see ann_topk) — same pair
-    set; scores differ from the fold path only in final ulps, so a
-    pair whose cosine sits EXACTLY on the threshold could flip."""
+    refine='kernel' (default, the production path) scores each bucket
+    with one BLAS matmul and emits only above-threshold pairs map-side
+    (see ann_topk) — same pair set; scores differ from the fold path
+    only in final ulps, so a pair whose cosine sits EXACTLY on the
+    threshold could flip. refine='expr' + bit_exact=True is the
+    cross-engine reference the oracle registry pins."""
     if max_bucket == "auto":
         max_bucket = 32 * target_bucket
     if n_bits is None:
         n_bits = auto_n_bits(vectors.count(), target_bucket)
-    v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket)
+    v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket, bit_exact)
     if refine == "kernel":
         id_dtype = dict(vectors.select(id_col).dtypes)[id_col]
 
@@ -704,7 +720,7 @@ def ivf_topk(
     vec: str = "embedding",
     sample: int | None = None,
     fit: str = "distributed",
-    refine: str = "expr",
+    refine: str = "kernel",
 ) -> DataFrame:
     """IVF ANN: coarse-quantize every vector to its nearest centroid
     (one mapInPandas pass with the broadcast codebook), then exact
@@ -717,10 +733,11 @@ def ivf_topk(
     (N/k)^2 balance at k ~ sqrt(N)); assignment kernels chunk the
     distance tensor so large codebooks stay memory-bounded.
 
-    refine='kernel' scores each list with one cogrouped BLAS matmul
-    and emits per-query local top-k (the same production kernel as
-    ann_topk; the fold path stays the cross-engine reference — see
-    ann_topk for the near-tie caveat)."""
+    refine='kernel' (default) scores each list with one cogrouped
+    BLAS matmul and emits per-query local top-k (the same production
+    kernel as ann_topk); refine='expr' is the fold-based cross-engine
+    reference — the oracle registry exercises that arithmetic through
+    ivf_topk_fixed (see ann_topk for the near-tie caveat)."""
     import math
 
     spark = vectors.sparkSession

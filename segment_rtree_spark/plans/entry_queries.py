@@ -623,7 +623,8 @@ select query_id, vec_id, score, cast(rank as int) as rank from r where rank <= 5
 
 
 def q_ann_buckets(spark, sf_dir):
-    return _embed.lsh_buckets(_t(spark, sf_dir, "embeddings"))
+    # bit_exact pinned: the oracle reproduces the sequential fold
+    return _embed.lsh_buckets(_t(spark, sf_dir, "embeddings"), bit_exact=True)
 
 
 def _ann_buckets_oracle():
@@ -1598,8 +1599,11 @@ def q_embed_neardup(spark, sf_dir):
     differ in at most one bit."""
     from ..operators.embed import embedding_neardup_pairs
 
+    # refine/bit_exact pinned to the cross-engine reference arithmetic
+    # (the production default is the kernel path; ann_kernel gates it)
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_bits=4, n_probe=1
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_bits=4, n_probe=1,
+        refine="expr", bit_exact=True,
     )
 
 
@@ -2065,7 +2069,7 @@ def q_ann_kernel(spark, sf_dir):
     tie-free (asserted by the expr==kernel pytest parity)."""
     return _embed.ann_topk(
         _t(spark, sf_dir, "embeddings"), k=3, n_bits=4, n_probe=1,
-        refine="kernel",
+        refine="kernel", bit_exact=True,  # buckets must match the SQL fold
     ).select("query_id", "vec_id", "rank")
 
 

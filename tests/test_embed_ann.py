@@ -139,7 +139,7 @@ def test_lsh_buckets_matmul_parity(spark):
          "embedding": [list(map(float, v)) for v in emb]}
     )
     df = spark.createDataFrame(pdf).cache()
-    exact = lsh_buckets(df, n_bits=8).toPandas().set_index("vec_id")["bucket"]
+    exact = lsh_buckets(df, n_bits=8, bit_exact=True).toPandas().set_index("vec_id")["bucket"]
     fast = lsh_buckets(df, n_bits=8, bit_exact=False).toPandas().set_index("vec_id")["bucket"]
     assert (exact.sort_index() == fast.sort_index()).all()
 
@@ -173,7 +173,7 @@ def test_ann_refine_kernel_matches_expr(spark):
     from segment_rtree_spark.operators.embed import ann_topk, embedding_neardup_pairs
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    e = ann_topk(emb, k=3, n_bits=4, n_probe=1).toPandas()
+    e = ann_topk(emb, k=3, n_bits=4, n_probe=1, refine="expr", bit_exact=True).toPandas()
     g = ann_topk(emb, k=3, n_bits=4, n_probe=1, refine="kernel").toPandas()
     key = lambda df: sorted(zip(df.query_id, df.vec_id, df["rank"]))  # noqa: E731
     assert key(e) == key(g) and len(g)
@@ -182,7 +182,7 @@ def test_ann_refine_kernel_matches_expr(spark):
     for q, v, s in zip(g.query_id, g.vec_id, g.score):
         assert abs(es[(q, v)] - s) < 1e-12
 
-    ep = embedding_neardup_pairs(emb, threshold=0.35, n_bits=4).toPandas()
+    ep = embedding_neardup_pairs(emb, threshold=0.35, n_bits=4, refine="expr", bit_exact=True).toPandas()
     gp = embedding_neardup_pairs(
         emb, threshold=0.35, n_bits=4, refine="kernel"
     ).toPandas()
@@ -195,7 +195,7 @@ def test_ivf_refine_kernel_matches_expr(spark):
     from segment_rtree_spark.operators.embed import ivf_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    e = ivf_topk(emb, k=3, n_lists=4).toPandas()
+    e = ivf_topk(emb, k=3, n_lists=4, refine="expr").toPandas()
     g = ivf_topk(emb, k=3, n_lists=4, refine="kernel").toPandas()
     key = lambda df: sorted(zip(df.query_id, df.vec_id, df["rank"]))  # noqa: E731
     assert key(e) == key(g) and len(g)
