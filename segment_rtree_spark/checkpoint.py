@@ -29,6 +29,7 @@ import os
 import time
 from typing import Callable, Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["CheckpointJob"]
@@ -134,10 +135,14 @@ class CheckpointJob:
                     .count()
                     .collect()
                 }
-            except Exception:
+            except AnalysisException:
                 # zero rows written so far: the output dir holds no
                 # parquet files to infer a schema from — every key's
-                # n_out is 0, which is a valid (all-filtered) outcome
+                # n_out is 0, which is a valid (all-filtered) outcome.
+                # Anything other than AnalysisException (permissions,
+                # corrupt footer, transient FS error) propagates —
+                # recording n_out=0 for keys that DID write would make
+                # the progress log lie
                 n_out = {}
             wall = int((time.time() - t0) * 1000)
             per_key = max(1, wall // max(1, len(batch)))

@@ -15,6 +15,7 @@ linear) — the full-width image bytes are never shuffled at all.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
 from .layer import PolygonLayer
@@ -194,11 +195,14 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
 
     try:
         ok = job.output().drop("cell")
-    except Exception:
+    except AnalysisException:
         # every key produced zero survivors: the output dir holds no
         # parquet files, so the read cannot infer a schema — the
         # correct result is an EMPTY curated frame, not an error
-        # (schema from the transform's plan; no action runs)
+        # (schema from the transform's plan; no action runs). ONLY
+        # AnalysisException means "nothing to read" — permissions,
+        # corrupt footers, and transient FS failures propagate instead
+        # of masquerading as an empty result
         ok = spark.createDataFrame(
             [], survivors(narrow.limit(0)).schema
         ).drop("cell")
