@@ -407,7 +407,39 @@ def lsh_bucket_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text"
     return stats.withColumn("truncated", cap.isNotNull() & (F.col("bucket_n") > cap))
 
 
-def _cap_buckets(exploded: DataFrame, max_bucket: int | None) -> DataFrame:
+def phash_band_stats(images: DataFrame, id_col: str = "image_id",
+                     phash: str = "phash", n_bands: int = 4,
+                     max_bucket: int | None = None) -> DataFrame:
+    """Per-band-bucket size monitor for the phash joins: (band, bkey,
+    bucket_n, truncated) — the image twin of lsh_bucket_stats. Run it
+    alongside a capped phash_neardup_against (or let the streaming
+    wrappers run it for you at query build) to see exactly which
+    mega-buckets a max_bucket cap drops."""
+    if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
+        raise ValueError(
+            f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(phash), b * width)
+            .bitwiseAND(F.lit(mask)).alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    stats = (
+        images.select(F.explode(F.array(*entries)).alias("e"))
+        .groupBy(F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
+    cap = F.lit(max_bucket) if max_bucket is not None else F.lit(None).cast("int")
+    return stats.withColumn("truncated", cap.isNotNull() & (F.col("bucket_n") > cap))
+
+
+def _cap_buckets(exploded: DataFrame, max_bucket: int | None,
+                 observation=None) -> DataFrame:
     """The shared skew guard for every band-bucket join: drop whole
     buckets larger than the cap BEFORE any join over them (their
     members are exact/near-exact dups better handled by exact_dups;
@@ -418,20 +450,52 @@ def _cap_buckets(exploded: DataFrame, max_bucket: int | None) -> DataFrame:
     definition), so the guard is one partial-agg sizing pass plus a
     map-side anti join, never a shuffle of the exploded frame keyed
     by bucket (the inner-join-on-all-sizes formulation shuffled every
-    row to re-attach a filter verdict)."""
+    row to re-attach a filter verdict).
+
+    `observation` (a pyspark Observation) makes the silent drop
+    visible: it is filled EAGERLY by one tiny job at operator build
+    (the over-cap agg — which also materializes the exploded frame's
+    checkpoint for the main query to reuse), so observation.get
+    carries dropped_buckets / dropped_rows as soon as the operator
+    returns, before any action on the result. Eager, not lazy, by
+    necessity: AQE collects observed metrics from the FINAL plan, and
+    empty-relation propagation can rewrite away a CollectMetrics node
+    in the join subtree exactly when everything was dropped — the
+    loudest case would be the one that never reported."""
     if max_bucket is None:
+        if observation is not None:
+            _observe_zero_drops(observation, exploded.sparkSession)
         return exploded
     over = (
         exploded.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") > max_bucket)
-        .select("band", "bkey")
     )
+    if observation is not None:
+        # bounded collect: over-cap buckets number at most
+        # rows/max_bucket by definition
+        over.observe(
+            observation,
+            F.count(F.lit(1)).alias("dropped_buckets"),
+            F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("dropped_rows"),
+        ).collect()
+    over = over.select("band", "bkey")
     return exploded.join(F.broadcast(over), ["band", "bkey"], "left_anti")
 
 
+def _observe_zero_drops(observation, spark) -> None:
+    """Fill a drop observation with zeros when no cap is armed, so
+    observation.get never blocks on a metric that will never fire."""
+    spark.range(0).observe(
+        observation,
+        F.count(F.lit(1)).alias("dropped_buckets"),
+        F.coalesce(F.sum(F.lit(0)), F.lit(0)).alias("dropped_rows"),
+    ).collect()
+
+
 def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
-              rows_per_band: int = 4, max_bucket: int | None = None) -> DataFrame:
+              rows_per_band: int = 4, max_bucket: int | None = None,
+              drop_observation=None) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b sharing >= 1 band).
 
     The band key is an equi-join key: Catalyst plans a plain shuffled
@@ -456,7 +520,7 @@ def lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
     if max_bucket is not None:
         exploded = _cap_buckets(
             _lsh_exploded(docs, id_col, text, rows_per_band, materialize=True),
-            max_bucket,
+            max_bucket, drop_observation,
         )
         # still tiled: a surviving bucket AT the cap (e.g. 32768) is
         # n^2/2 ~ 5*10^8 pairs in one task under a plain join — the cap
@@ -485,7 +549,8 @@ def lsh_pairs_against(new_docs: DataFrame, corpus: DataFrame,
                       id_col: str = "doc_id", text: str = "text",
                       rows_per_band: int = 4,
                       max_bucket: int | None = None,
-                      hot_threshold: int = 4096) -> DataFrame:
+                      hot_threshold: int = 4096,
+                      drop_observation=None) -> DataFrame:
     """Incremental dedup: banded-LSH candidate pairs between a NEW
     batch and an EXISTING corpus — (new_id, corpus_id) sharing >= 1
     band. The daily-ingest shape: a 10^12-doc corpus is deduped ONCE
@@ -524,7 +589,12 @@ def lsh_pairs_against(new_docs: DataFrame, corpus: DataFrame,
 
     A pair is emitted only for ids on opposite sides; a doc present in
     both frames matches itself (hash-identical signatures) — filter
-    ids upstream if re-ingestion is possible."""
+    ids upstream if re-ingestion is possible.
+
+    `drop_observation` (a pyspark Observation) surfaces the CORPUS
+    side's capped drops: filled eagerly at operator build, so
+    observation.get has dropped_buckets / dropped_rows as soon as the
+    call returns (see _cap_buckets)."""
     streaming = new_docs.isStreaming
     n_bands = (len(MINHASH_PARAMS) + rows_per_band - 1) // rows_per_band
     out = lambda j: j.select(  # noqa: E731
@@ -537,7 +607,7 @@ def lsh_pairs_against(new_docs: DataFrame, corpus: DataFrame,
         )
         b = _cap_buckets(
             _lsh_exploded(corpus, id_col, text, rows_per_band, materialize=True),
-            max_bucket,
+            max_bucket, drop_observation,  # CORPUS-side drops observed
         )
         if streaming:
             # corpus-side cap only (a stream-side _cap_buckets would
@@ -568,7 +638,8 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
                           id_col: str = "image_id", phash: str = "phash",
                           n_bands: int = 4,
                           max_bucket: int | None = None,
-                          hot_threshold: int = 4096) -> DataFrame:
+                          hot_threshold: int = 4096,
+                          drop_observation=None) -> DataFrame:
     """Incremental image near-dup: (new_id, corpus_id, hamming) pairs
     within the Hamming ball, candidates from the same band split as
     phash_neardup_pairs but joined new-batch-vs-corpus — the ingest
@@ -592,7 +663,13 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
     max_bucket on a stream, a matching pair emits once per SURVIVING
     shared band (the first-band dedup rule needs bucket-survival
     knowledge a stream filter cannot have); consumers keying on
-    new_id are unaffected."""
+    new_id are unaffected.
+
+    `drop_observation` (a pyspark Observation) surfaces the corpus
+    side's capped drops: filled eagerly at operator build (the corpus
+    side is static even under a streaming new_images frame, so the
+    one sizing job is always legal), observation.get is ready as soon
+    as the call returns — see _cap_buckets."""
     if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
         raise ValueError(
             f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
@@ -626,7 +703,7 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
     a = banded(new_images, "new")
     b = banded(corpus, "corpus").drop("bi")
     if max_bucket is not None:
-        b = _cap_buckets(b, max_bucket)
+        b = _cap_buckets(b, max_bucket, drop_observation)  # corpus side
     xor = F.col("ph_new").bitwiseXOR(F.col("ph_corpus"))
 
     def verify(joined):

@@ -216,6 +216,7 @@ def ann_bucket_stats(
 def _bucketed_vectors(
     vectors: DataFrame, n_bits: int, id_col: str, vec: str,
     max_bucket: int | None, bit_exact: bool = False,
+    drop_observation=None,
 ) -> DataFrame:
     """(id, v, bucket) with over-cap buckets dropped WHOLE before any
     join over them (the dedup._cap_buckets discipline): a degenerate
@@ -237,6 +238,10 @@ def _bucketed_vectors(
     ).select(
         F.col(id_col), F.col(vec).alias("v"), "bucket"
     ).localCheckpoint(eager=False)
+    if max_bucket is None and drop_observation is not None:
+        from .dedup import _observe_zero_drops
+
+        _observe_zero_drops(drop_observation, vectors.sparkSession)
     if max_bucket is not None:
         # drop via broadcast ANTI-join against the OVER-cap keys only:
         # over-cap buckets number at most N/max_bucket (tiny by
@@ -249,9 +254,23 @@ def _bucketed_vectors(
             v.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("bucket_n"))
             .filter(F.col("bucket_n") > max_bucket)
-            .select("bucket")
         )
-        v = v.join(F.broadcast(over), "bucket", "left_anti")
+        if drop_observation is not None:
+            # filled EAGERLY at operator build (one tiny job, which
+            # also materializes the bucketed checkpoint the main query
+            # reuses): drop_observation.get is ready before any action
+            # on the result. Lazy in-plan metrics are not an option —
+            # AQE reads observed metrics from the FINAL plan and its
+            # empty-relation propagation prunes the CollectMetrics
+            # node exactly when every vector was dropped (see
+            # dedup._cap_buckets).
+            drop_observation_df = over.observe(
+                drop_observation,
+                F.count(F.lit(1)).alias("dropped_buckets"),
+                F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("dropped_rows"),
+            )
+            drop_observation_df.collect()
+        v = v.join(F.broadcast(over.select("bucket")), "bucket", "left_anti")
     return v
 
 
@@ -360,9 +379,17 @@ def ann_topk(
     max_bucket: int | str | None = "auto",
     refine: str = "kernel",
     bit_exact: bool = False,
+    drop_observation=None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: bucket equi-join then exact cosine
     refine inside each bucket. Output (query_id, vec_id, score, rank).
+
+    `drop_observation` (a pyspark Observation) makes the default-armed
+    max_bucket guard observable from the operator itself: it is filled
+    eagerly at operator build (one tiny job that doubles as the index
+    materialization), so observation.get carries dropped_buckets /
+    dropped_rows as soon as the call returns — no separate
+    ann_bucket_stats run needed to learn that the cap fired.
 
     n_bits=None (default) scales the bucket count with the corpus
     (auto_n_bits: ~log2(N / target_bucket), one count() job) so the
@@ -394,7 +421,9 @@ def ann_topk(
         max_bucket = 32 * target_bucket
     if n_bits is None:
         n_bits = auto_n_bits(vectors.count(), target_bucket)
-    v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket, bit_exact)
+    v = _bucketed_vectors(
+        vectors, n_bits, id_col, vec, max_bucket, bit_exact, drop_observation
+    )
     a = _probed(v, n_bits, n_probe)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     if refine == "kernel":
@@ -441,6 +470,7 @@ def embedding_neardup_pairs(
     max_bucket: int | str | None = "auto",
     refine: str = "kernel",
     bit_exact: bool = False,
+    drop_observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, score) with
     cosine >= threshold, candidates from a sign-LSH bucket equi-join
@@ -463,7 +493,9 @@ def embedding_neardup_pairs(
         max_bucket = 32 * target_bucket
     if n_bits is None:
         n_bits = auto_n_bits(vectors.count(), target_bucket)
-    v = _bucketed_vectors(vectors, n_bits, id_col, vec, max_bucket, bit_exact)
+    v = _bucketed_vectors(
+        vectors, n_bits, id_col, vec, max_bucket, bit_exact, drop_observation
+    )
     if refine == "kernel":
         id_dtype = dict(vectors.select(id_col).dtypes)[id_col]
 

@@ -19,9 +19,13 @@ same operational model as any dimension-table refresh.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, functions as F
 
 from ..operators.dedup import lsh_pairs_against, phash_neardup_against
+
+log = logging.getLogger(__name__)
 
 __all__ = [
     "streaming_neardup_matches",
@@ -47,6 +51,27 @@ def _auto_cap(corpus: DataFrame) -> int:
     return max(1024, int(0.01 * corpus.count()))
 
 
+def _warn_drops(stats: DataFrame, cap: int, tag: str) -> None:
+    """Eager build-time visibility for the stream-side cap: the corpus
+    is static, so ONE extra job at query build prices exactly what the
+    armed guard will silently drop for the stream's whole lifetime —
+    logged loudly instead of discoverable only via a separate stats
+    run. Streaming queries can't surface Observation metrics through
+    observation.get, hence the eager count here."""
+    row = stats.filter(F.col("bucket_n") > cap).agg(
+        F.count(F.lit(1)).alias("b"), F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("r")
+    ).first()
+    if row["b"]:
+        log.warning(
+            "%s: corpus-side skew cap max_bucket=%d drops %d band bucket(s) "
+            "(%d corpus rows) from the stream join — matches against those "
+            "rows will NOT be reported (their members are exact-dup-shaped; "
+            "handle via exact dedup). Pass max_bucket=None to opt out, or "
+            "warn_drops=False to skip this check.",
+            tag, cap, row["b"], row["r"],
+        )
+
+
 def streaming_neardup_matches(
     stream_images: DataFrame,
     corpus: DataFrame,
@@ -55,6 +80,7 @@ def streaming_neardup_matches(
     phash: str = "phash",
     n_bands: int = 4,
     max_bucket: int | str | None = "auto",
+    warn_drops: bool = True,
 ) -> DataFrame:
     """(new_id, corpus_id, hamming) append stream of corpus near-dups.
 
@@ -83,6 +109,13 @@ def streaming_neardup_matches(
     """
     if max_bucket == "auto":
         max_bucket = _auto_cap(corpus)
+    if warn_drops and max_bucket is not None:
+        from ..operators.dedup import phash_band_stats
+
+        _warn_drops(
+            phash_band_stats(corpus, id_col, phash, n_bands),
+            max_bucket, "streaming_neardup_matches",
+        )
     return phash_neardup_against(
         stream_images,
         corpus,
@@ -101,6 +134,7 @@ def streaming_text_matches(
     text: str = "text",
     rows_per_band: int = 4,
     max_bucket: int | str | None = "auto",
+    warn_drops: bool = True,
 ) -> DataFrame:
     """(new_id, corpus_id) append stream of corpus near-dup DOCUMENTS —
     the minhash twin of streaming_neardup_matches, so text ingest gets
@@ -123,6 +157,16 @@ def streaming_text_matches(
     """
     if max_bucket == "auto":
         max_bucket = _auto_cap(corpus)
+    if warn_drops and max_bucket is not None:
+        # prices one extra minhash pass over the static corpus at
+        # query build — a one-time cost against a forever stream;
+        # warn_drops=False skips it
+        from ..operators.dedup import lsh_bucket_stats
+
+        _warn_drops(
+            lsh_bucket_stats(corpus, id_col, text, rows_per_band),
+            max_bucket, "streaming_text_matches",
+        )
     return lsh_pairs_against(
         stream_docs,
         corpus,

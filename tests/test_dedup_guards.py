@@ -476,3 +476,73 @@ def test_simhash_neardup_pairs(spark):
     assert got[(1, 2)] == 0
     assert (1, 3) in got and got[(1, 3)] <= 8
     assert not any(4 in p for p in got)
+
+
+def test_drop_observation_counts_capped_corpus_buckets(spark):
+    """drop_observation makes the max_bucket guard observable in-band:
+    after one action on the result, observation.get carries the count
+    of dropped corpus band buckets and rows — no separate stats run."""
+    from pyspark.sql import Observation
+
+    from segment_rtree_spark.operators.dedup import phash_neardup_against
+
+    hot = spark.range(40).select(
+        F.concat(F.lit("h"), F.col("id")).alias("image_id"),
+        F.lit(0x0F0F0F0F0F0F0F0F).alias("phash"),
+    )
+    cold = spark.range(5).select(
+        F.concat(F.lit("c"), F.col("id")).alias("image_id"),
+        (F.col("id") * 3 + 1).alias("phash"),
+    )
+    corpus = hot.unionAll(cold)
+    new = spark.createDataFrame(
+        [("n0", 0x0F0F0F0F0F0F0F0F), ("n1", 4)], "image_id string, phash long"
+    )
+    obs = Observation("corpus_drops")
+    out = phash_neardup_against(
+        new, corpus, max_hamming=16, max_bucket=10, drop_observation=obs
+    )
+    rows = out.collect()  # the action that materializes the metrics
+    # all 4 bands of the 40-image pile exceed the cap of 10
+    assert obs.get == {"dropped_buckets": 4, "dropped_rows": 160}
+    assert not any(r["new_id"] == "n0" for r in rows)  # pile dropped
+    assert any(r["new_id"] == "n1" for r in rows)      # cold side intact
+
+    # healthy corpus: guard armed but nothing over cap -> zero metrics
+    obs2 = Observation("no_drops")
+    phash_neardup_against(
+        new, cold, max_hamming=16, max_bucket=10, drop_observation=obs2
+    ).collect()
+    assert obs2.get == {"dropped_buckets": 0, "dropped_rows": 0}
+
+
+def test_phash_band_stats_matches_bruteforce(spark):
+    """phash_band_stats (band, bkey, bucket_n, truncated) equals a
+    brute-force python recount of the band split."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+
+    from segment_rtree_spark.operators.dedup import phash_band_stats
+
+    rng = np.random.default_rng(7)
+    hashes = [int(x) for x in rng.integers(0, 2**63, size=200)]
+    hashes += [hashes[0]] * 30  # one hot pile
+    pdf = pd.DataFrame(
+        {"image_id": [f"i{k}" for k in range(len(hashes))],
+         "phash": np.array(hashes, np.int64)}
+    )
+    got = {
+        (r["band"], r["bkey"]): (r["bucket_n"], r["truncated"])
+        for r in phash_band_stats(
+            spark.createDataFrame(pdf), n_bands=4, max_bucket=20
+        ).collect()
+    }
+    want = collections.Counter()
+    for h in hashes:
+        for b in range(4):
+            want[(b, (h >> (16 * b)) & 0xFFFF)] += 1
+    assert {k: v[0] for k, v in got.items()} == dict(want)
+    for k, (n, trunc) in got.items():
+        assert trunc == (n > 20)

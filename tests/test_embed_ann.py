@@ -243,3 +243,50 @@ def test_ann_bucket_stats_auto_cap(spark):
     ).toPandas()
     assert stats["truncated"].any()
     assert int(stats.loc[stats["truncated"], "bucket_n"].max()) == 150
+
+
+def test_embed_drop_observation(spark):
+    """The default-armed max_bucket guard is observable from the
+    operator itself: drop_observation.get carries dropped_buckets /
+    dropped_rows after one action (the r4 advisor's silent-drop
+    finding)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.embed import embedding_neardup_pairs
+
+    vecs = spark.range(150).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array_repeat(1.0d, 64)").alias("embedding"),
+    )
+    obs = Observation("embed_drops")
+    out = embedding_neardup_pairs(
+        vecs, threshold=0.9, n_bits=1, target_bucket=2, drop_observation=obs
+    )
+    assert out.count() == 0  # the degenerate pile was dropped...
+    # ...and the observation says so in-band: 1 bucket, 150 vectors
+    assert obs.get == {"dropped_buckets": 1, "dropped_rows": 150}
+
+
+def test_embed_drop_observation_eager_and_optout(spark):
+    """The drop observation is filled at operator BUILD (no action on
+    the result needed), and an explicit max_bucket=None opt-out fills
+    zeros instead of leaving observation.get to block forever."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.embed import ann_topk
+
+    vecs = spark.range(150).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array_repeat(1.0d, 64)").alias("embedding"),
+    )
+    obs = Observation("eager")
+    ann_topk(vecs, k=2, n_bits=1, target_bucket=2, drop_observation=obs)
+    # no .count()/.collect() on the result: metrics already present
+    assert obs.get == {"dropped_buckets": 1, "dropped_rows": 150}
+
+    obs2 = Observation("optout")
+    ann_topk(vecs, k=2, n_bits=1, target_bucket=2, max_bucket=None,
+             drop_observation=obs2)
+    assert obs2.get == {"dropped_buckets": 0, "dropped_rows": 0}

@@ -465,3 +465,37 @@ def test_streaming_default_cap_drops_degenerate_corpus_bucket(spark, tmp_path):
     )
     hot_pairs = {r["corpus_id"] for r in got_off if r["new_id"] == "newhot"}
     assert len(hot_pairs) == 1100  # the fan-out the default now prevents
+
+
+def test_streaming_cap_warns_at_query_build(spark, caplog):
+    """Arming the guard silently is not enough: building a streaming
+    match query over a corpus whose buckets exceed the cap logs a
+    warning pricing exactly what will be dropped (eager one-job check
+    on the static corpus; warn_drops=False opts out)."""
+    import logging
+
+    from segment_rtree_spark.streaming.ingest_stream import streaming_neardup_matches
+
+    hot = spark.range(1100).select(
+        F.concat(F.lit("hot"), F.col("id")).alias("image_id"),
+        F.lit(0x123456789ABCDEF0).alias("phash"),
+    )
+    corpus = hot.cache()
+    # a dummy "stream": rate source, mapped to the expected columns
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("value").cast("string").alias("image_id"),
+                F.col("value").alias("phash"))
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="segment_rtree_spark.streaming.ingest_stream"):
+        streaming_neardup_matches(stream, corpus, max_hamming=16)
+    warned = [r for r in caplog.records if "skew cap" in r.getMessage()]
+    assert warned and "4 band bucket(s)" in warned[0].getMessage()
+    assert "4400 corpus rows" in warned[0].getMessage()
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="segment_rtree_spark.streaming.ingest_stream"):
+        streaming_neardup_matches(stream, corpus, max_hamming=16, warn_drops=False)
+    assert not [r for r in caplog.records if "skew cap" in r.getMessage()]
