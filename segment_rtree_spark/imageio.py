@@ -92,21 +92,86 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
 
 
 def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
+    """8-bit truecolor (color type 2) PNG -> uint8[h,w,3], ALL five
+    scanline filter types (RFC 2083 §6): our own encoder only emits
+    filter 0, but externally-encoded PNGs (libpng, javax.imageio)
+    filter adaptively per row — without defiltering, real-world ingest
+    would land every such image in the errors-as-data path."""
     assert buf[:8] == _PNG_SIG, "not a PNG"
     pos = 8
     idat = bytearray()
     while pos < len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         tag = buf[pos + 4 : pos + 8]
-        if tag == b"IDAT":
+        if tag == b"IHDR":
+            iw, ih, depth, ctype, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", buf, pos + 8
+            )
+            if (iw, ih) != (w, h):
+                raise ValueError(f"IHDR {iw}x{ih} != metadata {w}x{h}")
+            if depth != 8 or ctype != 2:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} / color type {ctype} unsupported "
+                    "(8-bit truecolor only)"
+                )
+            if interlace != 0:
+                raise NotImplementedError("Adam7-interlaced PNGs unsupported")
+        elif tag == b"IDAT":
             idat += buf[pos + 8 : pos + 8 + length]
         pos += 12 + length
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     rows = raw.reshape(h, 1 + w * 3)
-    filters = rows[:, 0]
-    if (filters != 0).any():
-        raise NotImplementedError("only filter-0 PNGs are produced by this engine")
-    return rows[:, 1:].reshape(h, w, 3)
+    if (rows[:, 0] == 0).all():  # our encoder's output: zero-copy path
+        return rows[:, 1:].reshape(h, w, 3)
+    return _defilter_png(rows, w)
+
+
+def _defilter_png(rows: np.ndarray, w: int) -> np.ndarray:
+    """Undo per-scanline filtering (bpp=3). Rows are inherently
+    sequential (Up/Average/Paeth reference the prior RECONSTRUCTED
+    row); within a row, None/Up are one vectorized add, Sub is a
+    per-channel prefix sum (recon[x] = raw[x] + recon[x-3] mod 256 ==
+    cumsum mod 256), and Average/Paeth — whose left-neighbor term
+    breaks the prefix structure — walk pixels with 3-channel vector
+    steps. Unknown filter types raise ValueError (CorruptStream in
+    the validate taxonomy)."""
+    h = rows.shape[0]
+    out = np.empty((h, w * 3), np.uint8)
+    prior = np.zeros(w * 3, np.int64)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        raw = rows[y, 1:].astype(np.int64)
+        if ft == 0:  # None
+            rec = raw
+        elif ft == 1:  # Sub
+            rec = (raw.reshape(w, 3).cumsum(axis=0) & 0xFF).reshape(-1)
+        elif ft == 2:  # Up
+            rec = (raw + prior) & 0xFF
+        elif ft == 3:  # Average
+            rec = np.empty(w * 3, np.int64)
+            rec[:3] = (raw[:3] + (prior[:3] >> 1)) & 0xFF
+            for x in range(3, w * 3, 3):
+                rec[x : x + 3] = (
+                    raw[x : x + 3] + ((rec[x - 3 : x] + prior[x : x + 3]) >> 1)
+                ) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(w * 3, np.int64)
+            rec[:3] = (raw[:3] + prior[:3]) & 0xFF  # paeth(0, b, 0) = b
+            for x in range(3, w * 3, 3):
+                a = rec[x - 3 : x]
+                b = prior[x : x + 3]
+                c = prior[x - 3 : x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                rec[x : x + 3] = (raw[x : x + 3] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft} on row {y}")
+        out[y] = rec
+        prior = rec
+    return out.reshape(h, w, 3)
 
 
 def decode_batch(bufs, fmts, ws, hs):

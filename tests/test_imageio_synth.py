@@ -79,3 +79,82 @@ def test_synth_skew_mode():
     df = synth_partition(0, 1000, skew_frac=0.2)
     hot = df["lat"].between(48.8, 48.9) & df["lng"].between(2.3, 2.4)
     assert 150 <= hot.sum() <= 250
+
+
+def _filter_scanlines(px: np.ndarray, fts) -> bytes:
+    """Forward-filter pixels per RFC 2083 (the encoder side our engine
+    does not ship) to build test fixtures for every filter type."""
+    import struct
+    import zlib
+
+    h, w, _ = px.shape
+    px = px.astype(np.int64)
+    flat = px.reshape(h, w * 3)
+    lines = bytearray()
+    for y in range(h):
+        ft = fts[y % len(fts)]
+        raw = flat[y]
+        prior = flat[y - 1] if y > 0 else np.zeros(w * 3, np.int64)
+        left = np.concatenate([np.zeros(3, np.int64), raw[:-3]])
+        ul = np.concatenate([np.zeros(3, np.int64), prior[:-3]])
+        if ft == 0:
+            filt = raw
+        elif ft == 1:
+            filt = raw - left
+        elif ft == 2:
+            filt = raw - prior
+        elif ft == 3:
+            filt = raw - ((left + prior) >> 1)
+        else:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            filt = raw - pred
+        lines.append(ft)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+            + chunk(b"IEND", b""))
+
+
+def test_png_defilter_all_types():
+    """Filters 1-4 (and mixed per-row schedules) reconstruct exactly:
+    hand-filtered scanlines of a gradient+noise image decode back to
+    the original pixels."""
+    rng = np.random.default_rng(3)
+    h, w = 21, 17
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    for fts in ([1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 2, 1]):
+        buf = _filter_scanlines(px, fts)
+        got = decode_image(buf, "png", w, h)
+        assert (got == px).all(), f"filter schedule {fts} mismatched"
+    # invalid filter type -> loud ValueError (CorruptStream tier)
+    import pytest
+
+    bad = _filter_scanlines(px, [0])
+    # rebuild with filter byte 7 on row 0
+    import struct
+    import zlib
+
+    raw = np.concatenate(
+        [np.full((h, 1), 0, np.uint8), px.reshape(h, w * 3)], axis=1
+    )
+    raw[0, 0] = 7
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body))
+
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter type 7"):
+        decode_image(bad, "png", w, h)

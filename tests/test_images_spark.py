@@ -222,3 +222,30 @@ def test_validate_nonpositive_dims_both_tiers(spark):
     # clean raw row stays valid on the pure-Catalyst tier
     clean = validate_images(df.filter("image_id = 'good'")).collect()[0]
     assert clean["ok"] and clean["err_code"] is None
+
+
+def test_png_interop_with_jvm_encoder(spark):
+    """An externally-encoded PNG (javax.imageio writer: its own chunk
+    layout, compression level, and filter schedule) must decode
+    BIT-EXACTLY here — PNG is lossless, so external-encoder ingest has
+    no error tolerance to hide behind. (This JVM's writer happens to
+    emit filter 0; filters 1-4 are covered exhaustively by the
+    hand-filtered fixtures in test_png_defilter_all_types.)"""
+    jvm = spark.sparkContext._jvm
+    rng = np.random.default_rng(9)
+    h, w = 24, 33
+    # smooth gradient + noise: drives adaptive filter pickers to mix types
+    grad = (np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 256)
+    px = np.stack(
+        [grad, (grad * 2) % 256, rng.integers(0, 256, size=(h, w))], axis=-1
+    ).astype(np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(x, y, int((int(px[y, x, 0]) << 16)
+                                | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "png", bos)
+    buf = bytes(bos.toByteArray())
+    got = decode_image(buf, "png", w, h)
+    assert (got == px).all()
