@@ -20,12 +20,16 @@ Scope (stated, not hidden):
     directions (our encoder -> Java decoder, Java 4:2:0 encoder ->
     our decoder).
 
-The DCT is the orthonormal matrix form: one einsum over all blocks per
-component (no per-pixel Python); only the entropy (Huffman) layer is a
-per-symbol loop, which is per-COEFFICIENT work bounded by the payload
-size — the right altitude for a mapInPandas batch body on thumbnail-
-scale corpora. For production-scale photography, swap a native codec
-behind the same decode_image() seam.
+The DCT/IDCT are the orthonormal matrix form as batched GEMMs over all
+blocks per component (BLAS, no per-pixel Python). The entropy layer is
+table-driven: one C-speed destuffing pass, then per-symbol decode is a
+16-bit peek into memoized canonical-code LUTs with a libjpeg-style
+combined run/size+value fast path (measured 3.5-5x the per-bit dict
+walk it replaced, BENCH/jpeg_codec.json) — the symbol stream is
+inherently sequential, so each step is O(1) but the loop remains
+per-coefficient Python: the right altitude for a mapInPandas batch
+body on thumbnail-scale corpora. For production-scale photography,
+swap a native codec behind the same decode_image() seam.
 
 Lossy contract: round trip at quality>=90 holds PSNR>=40dB on smooth
 content (asserted in tests), matching the graft's per-row invariant
@@ -34,6 +38,7 @@ for lossy formats.
 
 from __future__ import annotations
 
+import itertools
 import struct
 
 import numpy as np
@@ -196,89 +201,241 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Entropy-segment reader: de-stuffs FF00, surfaces RST markers."""
+    """Entropy-segment reader, table-driven: ONE destuffing pass over
+    the whole segment up front (vectorized FF scan, stuffed zeros and
+    restart markers removed, boundaries recorded), then per-symbol
+    decode is a 16-bit peek into a canonical-code LUT — no per-bit
+    dict walk. This is the codec's decode floor: the symbol stream is
+    inherently sequential (each boundary depends on the previous
+    symbol), so the win comes from making each step O(1) on a flat
+    buffer, not from parallelism."""
 
     def __init__(self, buf: bytes, pos: int):
-        self.buf = buf
-        self.pos = pos
+        n = len(buf)
+        data = bytearray()
+        bounds: list[int] = []  # restart boundaries, destuffed coords
+        p = pos
+        # destuff by hopping between FF bytes (C-speed find; FF density
+        # in entropy data is ~1/256, so iterations stay few at any size)
+        while True:
+            f = buf.find(0xFF, p)
+            if f < 0:
+                data += buf[p:]
+                break
+            data += buf[p:f]
+            if f + 1 >= n:
+                break
+            m = buf[f + 1]
+            if m == 0x00:          # stuffed zero: keep the FF
+                data.append(0xFF)
+                p = f + 2
+            elif 0xD0 <= m <= 0xD7:  # RSTn: drop, record boundary
+                bounds.append(len(data))
+                p = f + 2
+            else:                  # real marker ends the scan
+                break
+        self.data = bytes(data)
+        self.bounds = bounds
+        self.bi = 0  # next entry of bounds to honor
+        self.limit = bounds[0] if bounds else len(self.data)
+        self.i = 0
         self.acc = 0
         self.n = 0
-        self.marker = None  # set when a non-RST marker ends the scan
 
-    def _fill(self):
-        b = self.buf
-        if self.pos >= len(b):
-            raise JpegError("truncated entropy stream")
-        v = b[self.pos]
-        if v == 0xFF:
-            if self.pos + 1 >= len(b):
-                raise JpegError("truncated entropy stream at marker")
-            m = b[self.pos + 1]
-            if m == 0x00:
-                self.pos += 2
-            elif 0xD0 <= m <= 0xD7:  # RSTn consumed by read_restart()
-                raise JpegError("restart marker inside coefficient read")
+    def _starved(self):
+        if self.limit < len(self.data):
+            raise JpegError("restart marker inside coefficient read")
+        raise JpegError("truncated entropy stream")
+
+    def decode_block(self, dct, act, pred):
+        """Decode one 8x8 block: DC diff + AC run-lengths -> (64-list
+        in zig-zag order, new DC predictor). The whole block runs on
+        LOCAL variables — per-symbol attribute loads/stores measured
+        comparable to the decode arithmetic itself — with reader state
+        written back once per block (and before every raise, so error
+        paths observe a consistent reader).
+
+        Symbol decode is a 16-bit peek into the canonical-code LUT;
+        when fewer than 16 real bits remain the window is virtually
+        1-padded (the encoder's flush fill) WITHOUT consuming, so a
+        final short symbol still decodes while consuming past the end
+        raises."""
+        dsym, dlen = dct
+        asym, alen, afb, afr, afv = act
+        acc, nb, i = self.acc, self.n, self.i
+        data, lim = self.data, self.limit
+        zz = [0] * 64
+        k = 0
+        while True:
+            while nb < 16 and i < lim:
+                acc = (acc << 8) | data[i]
+                i += 1
+                nb += 8
+            if nb >= 16:
+                idx = (acc >> (nb - 16)) & 0xFFFF
             else:
-                self.marker = m
-                raise JpegError("marker inside entropy stream")
-            v = 0xFF
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | v
-        self.n += 8
-
-    def read_bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
-        return v
+                pad = 16 - nb
+                idx = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+            if k:  # AC fast path: code + value in one peek
+                fb = afb[idx]
+                if fb and fb <= nb:
+                    r = afr[idx]
+                    if r >= 0:
+                        k += r
+                        if k > 63:
+                            self.acc, self.n, self.i = acc, nb, i
+                            raise JpegError("AC coefficient index overflow")
+                        nb -= fb
+                        acc &= (1 << nb) - 1
+                        zz[k] = afv[idx]
+                        k += 1
+                        if k > 63:
+                            break
+                        continue
+                    nb -= fb
+                    acc &= (1 << nb) - 1
+                    if r == -1:  # EOB
+                        break
+                    k += 16  # ZRL
+                    if k > 63:
+                        break
+                    continue
+            if k == 0:  # DC
+                length = dlen[idx]
+                sym = dsym[idx]
+            else:  # AC slow path (long code + wide value, or stream tail)
+                length = alen[idx]
+                sym = asym[idx]
+            if length == 0:
+                self.acc, self.n, self.i = acc, nb, i
+                raise JpegError("invalid Huffman code")
+            if length > nb:
+                self.acc, self.n, self.i = acc, nb, i
+                self._starved()
+            nb -= length
+            acc &= (1 << nb) - 1
+            if k == 0:
+                s = sym
+                if s:
+                    while nb < s:
+                        if i >= lim:
+                            self.acc, self.n, self.i = acc, nb, i
+                            self._starved()
+                        acc = (acc << 8) | data[i]
+                        i += 1
+                        nb += 8
+                    nb -= s
+                    v = (acc >> nb) & ((1 << s) - 1)
+                    acc &= (1 << nb) - 1
+                    pred += v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                zz[0] = pred
+                k = 1
+                continue
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    if k > 63:
+                        break
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                self.acc, self.n, self.i = acc, nb, i
+                raise JpegError("AC coefficient index overflow")
+            while nb < s:
+                if i >= lim:
+                    self.acc, self.n, self.i = acc, nb, i
+                    self._starved()
+                acc = (acc << 8) | data[i]
+                i += 1
+                nb += 8
+            nb -= s
+            v = (acc >> nb) & ((1 << s) - 1)
+            acc &= (1 << nb) - 1
+            zz[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+            k += 1
+            if k > 63:
+                break
+        self.acc, self.n, self.i = acc, nb, i
+        return zz, pred
 
     def align_restart(self):
-        """Consume an RSTn marker at a restart interval boundary."""
+        """Consume an RSTn marker at a restart interval boundary: the
+        reader must sit exactly at the recorded marker position once
+        partial-byte padding bits are discarded."""
         self.acc = 0
         self.n = 0
-        b = self.buf
-        if self.pos + 1 < len(b) and b[self.pos] == 0xFF and 0xD0 <= b[self.pos + 1] <= 0xD7:
-            self.pos += 2
-        else:
+        if self.bi >= len(self.bounds) or self.i != self.bounds[self.bi]:
             raise JpegError("expected restart marker")
+        self.bi += 1
+        self.limit = (
+            self.bounds[self.bi] if self.bi < len(self.bounds) else len(self.data)
+        )
 
 
-def _decode_tables(bits, vals):
-    """(length, code) -> symbol decode map."""
-    table = {}
+_LUT_CACHE: dict = {}
+
+
+def _decode_tables(bits, vals, ac: bool = False):
+    """(BITS, HUFFVAL) -> flat lookup tables keyed on a 16-bit peek
+    window. Always: (sym, len) — entry w holds the symbol whose
+    canonical code prefixes w and that code's bit length (0 = invalid
+    prefix). For AC tables additionally (fast_bits, fast_run,
+    fast_val): when the run/size code AND its s value bits both fit
+    in the window, one peek yields the fully-extended coefficient
+    (fast_bits = total bits to consume; run -1 = EOB, -2 = ZRL;
+    fast_bits 0 falls back to the two-step path) — the libjpeg-style
+    combined LUT. Built once per distinct table CONTENT and memoized:
+    every image embedding the Annex-K tables (ours do, per spec)
+    shares one build."""
+    key = (bytes(bits), bytes(vals), ac)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = [0] * (1 << 16)
+    ln = [0] * (1 << 16)
+    fbits = np.zeros(1 << 16, np.int64)
+    frun = np.zeros(1 << 16, np.int64)
+    fval = np.zeros(1 << 16, np.int64)
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            rs = vals[k]
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = [rs] * span
+            ln[base : base + span] = [length] * span
+            if ac:
+                r, s = rs >> 4, rs & 0xF
+                idxs = np.arange(base, base + span)
+                if s == 0:
+                    fbits[idxs] = length
+                    frun[idxs] = -2 if r == 15 else -1
+                elif length + s <= 16:
+                    rem = idxs & (span - 1)
+                    v = rem >> (16 - length - s)
+                    fbits[idxs] = length + s
+                    frun[idxs] = r
+                    fval[idxs] = np.where(
+                        v < (1 << (s - 1)), v - (1 << s) + 1, v
+                    )
             code += 1
             k += 1
         code <<= 1
-    return table
-
-
-def _read_symbol(br: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise JpegError("invalid Huffman code")
+    if len(_LUT_CACHE) >= 16:  # bound worker-lifetime memory
+        _LUT_CACHE.clear()
+    out = (
+        (sym, ln, fbits.tolist(), frun.tolist(), fval.tolist())
+        if ac else (sym, ln)
+    )
+    _LUT_CACHE[key] = out
+    return out
 
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
-
-
-def _extend(bits: int, s: int) -> int:
-    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+# (the decoder-side EXTEND (T.81 F.2.2.1) is inlined in decode_block)
 
 
 # -- color -------------------------------------------------------------
@@ -501,7 +658,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + n])
                 if len(vals) != n:
                     raise JpegError("short DHT")
-                (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_tables(bits, vals)
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_tables(
+                    bits, vals, ac=cls != 0
+                )
                 o += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
             if len(body) < 6:
@@ -567,15 +726,22 @@ def _decode_scan(buf, pos, sof, scan, qts, dc_tabs, ac_tabs, restart_interval):
     nmy = -(-hh // (8 * vmax))
     n_mcu = nmx * nmy
     br = _BitReader(buf, pos)
-    # per scan component: block grid (rows = nmy*Vi, cols = nmx*Hi)
+    # per scan component: block grid (rows = nmy*Vi, cols = nmx*Hi);
+    # coefficients land in plain Python lists (one 64-list per block)
+    # and become ONE np.array per component at the end — per-element
+    # numpy scalar writes in the MCU loop measured ~2x the whole
+    # entropy layer
     geo = []
-    coefs = []
+    shapes = []
+    blk_lists = []
     for cs, td, ta in scan:
         if cs not in by_id:
             raise JpegError("unknown scan component")
         hi, vi, tq = by_id[cs]
         geo.append((hi, vi, tq))
-        coefs.append(np.zeros((nmy * vi, nmx * hi, 64), np.int64))
+        rows, cols = nmy * vi, nmx * hi
+        shapes.append((rows, cols))
+        blk_lists.append([None] * (rows * cols))
     preds = [0] * len(scan)
     try:
         for mi in range(n_mcu):
@@ -589,29 +755,20 @@ def _decode_scan(buf, pos, sof, scan, qts, dc_tabs, ac_tabs, restart_interval):
                 act = ac_tabs.get(ta)
                 if dct is None or act is None:
                     raise JpegError("missing Huffman table")
+                _, cols = shapes[ci]
+                blks = blk_lists[ci]
                 for v in range(vi):
                     for u in range(hi):
-                        s = _read_symbol(br, dct)
-                        diff = _extend(br.read_bits(s), s) if s else 0
-                        preds[ci] += diff
-                        zz = coefs[ci][my * vi + v, mx * hi + u]
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k <= 63:
-                            rs = _read_symbol(br, act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC coefficient index overflow")
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
+                        zz, preds[ci] = br.decode_block(dct, act, preds[ci])
+                        blks[(my * vi + v) * cols + mx * hi + u] = zz
     except IndexError as e:  # defensive: malformed stream indexing
         raise JpegError(f"malformed stream: {e}") from None
+    coefs = [
+        np.fromiter(
+            itertools.chain.from_iterable(blks), np.int64, count=rows * cols * 64
+        ).reshape(rows, cols, 64)
+        for blks, (rows, cols) in zip(blk_lists, shapes)
+    ]
 
     planes = []
     for ci, (cs, td, ta) in enumerate(scan):
@@ -622,7 +779,9 @@ def _decode_scan(buf, pos, sof, scan, qts, dc_tabs, ac_tabs, restart_interval):
         grid = coefs[ci]
         cph, cpw = grid.shape[0] * 8, grid.shape[1] * 8
         c = grid.reshape(-1, 64)[:, _UNZZ].reshape(-1, 8, 8) * qt[None, :, :]
-        blocks = np.einsum("ji,njk,kl->nil", _D, c.astype(np.float64), _D) + 128.0
+        # IDCT as two batched GEMMs (D^T @ c @ D): dispatches to BLAS,
+        # measured ~5x the generic einsum contraction it replaces
+        blocks = _D.T @ c.astype(np.float64) @ _D + 128.0
         plane = _from_blocks(blocks, cph, cpw)
         ry, rx = vmax // vi, hmax // hi
         if ry > 1 or rx > 1:  # nearest-neighbor chroma upsample

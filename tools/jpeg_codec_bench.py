@@ -30,6 +30,7 @@ def bench(h, w, reps=20):
     for _ in range(reps):
         buf = encode_jpeg(px, 90)
     enc_ms = (time.time() - t0) / reps * 1000
+    out = decode_jpeg(buf)  # warm: one-time memoized Huffman-LUT build
     t0 = time.time()
     for _ in range(reps):
         out = decode_jpeg(buf)
