@@ -31,8 +31,16 @@ def build_layer():
     return PolygonLayer.from_wkt_file(wkt)
 
 
-def bench_queries(spark, sf_dir):
-    """name -> zero-arg callable that runs the query to completion."""
+def bench_queries(spark, sf_dir, only=None, force_fixtures=False):
+    """name -> zero-arg callable that runs the query to completion.
+
+    `only` (set of names) skips building fixtures whose queries are
+    excluded, so a reduced layout reproduces an earlier round's bench
+    shape exactly; `force_fixtures=True` builds them anyway (isolates
+    fixture cache pressure from query interleave in drift A/Bs)."""
+
+    def want(name):
+        return force_fixtures or only is None or name in only
     from pyspark.sql import functions as F
 
     from segment_rtree_spark.operators.dedup import lsh_pairs, phash_neardup_pairs
@@ -97,18 +105,19 @@ def bench_queries(spark, sf_dir):
     # scaling (auto n_bits, multi-probe, default cap, per-bucket BLAS
     # refine) actually engages — the sf parquet embeddings table is
     # only 2k rows
-    n_vec = max(100_000, N_IMAGES // 3)
-    vecs = (
-        spark.range(n_vec)
-        .select(
-            F.col("id").alias("vec_id"),
-            F.expr(
-                "transform(sequence(0, 63), "
-                "d -> cast(pmod(xxhash64(id * 64 + d), 1000) as double) / 500.0 - 1.0)"
-            ).alias("embedding"),
+    if want("ann_topk"):
+        n_vec = max(100_000, N_IMAGES // 3)
+        vecs = (
+            spark.range(n_vec)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(0, 63), "
+                    "d -> cast(pmod(xxhash64(id * 64 + d), 1000) as double) / 500.0 - 1.0)"
+                ).alias("embedding"),
+            )
+            .cache()
         )
-        .cache()
-    )
 
     def q_ann_topk():
         from segment_rtree_spark.operators.embed import ann_topk
@@ -148,8 +157,9 @@ def bench_queries(spark, sf_dir):
             kernel, "image_id string, bytes binary, w int, h int, fmt string"
         )
 
-    jpeg_imgs = _jpeg_rows(2000).cache()
-    jpeg_imgs.count()  # encode once, outside the timings
+    if want("validate_mixed"):
+        jpeg_imgs = _jpeg_rows(2000).cache()
+        jpeg_imgs.count()  # encode once, outside the timings
 
     def q_validate_mixed():
         # the two-tier validator over a MIXED corpus: 60k raw rows stay
@@ -181,7 +191,7 @@ def bench_queries(spark, sf_dir):
             imgs.sample(0.2, seed=3), layer, k=2, keep=["image_id"]
         ).count()
 
-    return {
+    registry = {
         "pip_broadcast": q_pip_broadcast,
         "pip_partitioned": q_pip_partitioned,
         "tile_pyramid": q_tile_pyramid,
@@ -195,7 +205,13 @@ def bench_queries(spark, sf_dir):
         "knn_boundary": q_knn_boundary,
         "phash_incremental": q_phash_incremental,
         "validate_mixed": q_validate_mixed,
-    }, imgs
+    }
+    if only is not None:
+        unknown = set(only) - set(registry)
+        if unknown:
+            raise SystemExit(f"BENCH_QUERIES: unknown query names {sorted(unknown)}")
+        registry = {k: v for k, v in registry.items() if k in only}
+    return registry, imgs
 
 
 def main():
@@ -207,7 +223,10 @@ def main():
     spark = get_spark(cores=cores, app="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries, imgs = bench_queries(spark, sf_dir)
+    only_env = os.environ.get("BENCH_QUERIES")
+    only = {s.strip() for s in only_env.split(",") if s.strip()} if only_env else None
+    force_fixtures = os.environ.get("BENCH_FORCE_FIXTURES") == "1"
+    queries, imgs = bench_queries(spark, sf_dir, only, force_fixtures)
     n_images = imgs.count()  # materialize the cache outside the timings
 
     # Steady-state warmup, outside the timings: real clusters run with
@@ -268,7 +287,10 @@ def main():
     cpu_canary = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    pip_tp = round(n_images / times["pip_broadcast"], 1)
+    pip_tp = (
+        round(n_images / times["pip_broadcast"], 1)
+        if "pip_broadcast" in times else None
+    )
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(

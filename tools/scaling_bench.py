@@ -72,6 +72,10 @@ def prepare_quarter():
 
 JOB = ("scan parquet -> assign_tiles(res 8) -> broadcast PIP join "
        "(africa+europe+usa+papua, ~700 polygons, dense-europe points)")
+JOB_DEDUP = ("scan parquet -> phash_neardup_pairs(max_hamming=8): banded "
+             "self-join with adaptive two-sided tiling — a wide-shuffle "
+             "profile (exchange on (band,bkey) + sizing pass) vs the PIP "
+             "job's broadcast profile")
 
 
 def main():
@@ -79,6 +83,7 @@ def main():
     if not os.path.exists(INPUT):
         prepare_input(n)
     mode = os.environ.get("SCALING_MODE", "strong")
+    job = os.environ.get("SCALING_JOB", "pip")  # threads through to workers
 
     if mode == "weak":
         # Weak scaling: work per core held constant (quarter input on N
@@ -143,7 +148,7 @@ def main():
             )
         eff = round(median(p["efficiency"] for p in pairs), 3)
         summary = {
-            "job": JOB,
+            "job": JOB_DEDUP if job == "dedup" else JOB,
             "parallelism": {"N": CORES_N, "4N": CORES_4N},
             "n_images": pairs[0]["local4N"]["n_images"],
             "pairs": pairs,
@@ -154,6 +159,20 @@ def main():
         }
         out = os.path.join(REPO, "BENCH", "scaling.json")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # scaling.json holds the PIP record at top level plus one entry per
+    # alternate job profile — a dedup run must not clobber the PIP
+    # record and vice versa
+    if out.endswith("scaling.json"):
+        existing = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                existing = json.load(f)
+        if job == "dedup":
+            existing.pop("dedup_job", None)
+            existing["dedup_job"] = summary
+            summary = existing
+        elif "dedup_job" in existing:
+            summary["dedup_job"] = existing["dedup_job"]
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

@@ -60,10 +60,23 @@ def main():
     runs = []
     n_pairs = 0
     reps = int(os.environ.get("SCALING_REPS", "3"))
+    job = os.environ.get("SCALING_JOB", "pip")
     for _ in range(reps):
         t0 = time.time()
-        tiled = assign_tiles(spark.read.parquet(path), res=8)
-        n_pairs = pip_join_broadcast(tiled, layer, keep=["phash"]).count()
+        if job == "dedup":
+            # the band-join profile: explode -> shuffle on (band, bkey)
+            # -> sizing pass -> tiled self-join -> exact Hamming filter.
+            # A different shuffle/memory shape than the PIP job (wide
+            # exchange + adaptive tiling instead of a broadcast), which
+            # is why it gets its own scaling record.
+            from segment_rtree_spark.operators.dedup import phash_neardup_pairs
+
+            n_pairs = phash_neardup_pairs(
+                spark.read.parquet(path), max_hamming=8
+            ).count()
+        else:
+            tiled = assign_tiles(spark.read.parquet(path), res=8)
+            n_pairs = pip_join_broadcast(tiled, layer, keep=["phash"]).count()
         runs.append(time.time() - t0)
     wall = min(runs)
     t0 = time.time()
