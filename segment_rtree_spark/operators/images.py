@@ -492,8 +492,13 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 return IMG_ERR_BAD_SIGNATURE, "missing PNG signature"
             try:
                 px = decode_image(buf, "png", w, h)
-            except (zlib.error, ValueError, IndexError, struct_error,
-                    NotImplementedError) as e:
+            except NotImplementedError as e:
+                # a VALID file this engine's decoder doesn't cover
+                # (Adam7 interlace, 16-bit, palette) is a codec gap,
+                # not corruption — the taxonomy keeps the two apart so
+                # a curation job can route them differently
+                return IMG_ERR_CODEC_UNAVAILABLE, str(e)[:80]
+            except (zlib.error, ValueError, IndexError, struct_error) as e:
                 return IMG_ERR_CORRUPT_STREAM, str(e)[:80]
         if px.shape != (h, w, 3):
             return IMG_ERR_DIMENSION_MISMATCH, f"{px.shape} != ({h}, {w}, 3)"

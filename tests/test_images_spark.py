@@ -249,3 +249,32 @@ def test_png_interop_with_jvm_encoder(spark):
     buf = bytes(bos.toByteArray())
     got = decode_image(buf, "png", w, h)
     assert (got == px).all()
+
+
+def test_validate_unsupported_png_is_codec_unavailable(spark):
+    """A structurally VALID but engine-unsupported PNG (Adam7
+    interlace) classifies CodecUnavailable, not CorruptStream — the
+    taxonomy separates codec gaps (rescuable elsewhere) from broken
+    payloads (drop)."""
+    import struct
+    import zlib
+
+    from segment_rtree_spark.operators.images import validate_images
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    h = w = 4
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    raw = bytes(h * (1 + w * 3))
+    buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    pdf = pd.DataFrame(
+        {"image_id": ["adam7"], "bytes": [buf],
+         "w": np.int32(w), "h": np.int32(h), "fmt": "png"}
+    )
+    row = validate_images(spark.createDataFrame(pdf)).collect()[0]
+    assert not row["ok"]
+    assert row["err_code"] == "CodecUnavailable"
+    assert "Adam7" in row["err_detail"]
