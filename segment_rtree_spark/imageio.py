@@ -91,15 +91,36 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
 
 
+# samples per pixel by PNG color type: 0 gray, 2 RGB, 3 palette index,
+# 4 gray+alpha, 6 RGBA
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (RFC 2083 §4.1.1)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
-    """8-bit truecolor (color type 2) PNG -> uint8[h,w,3], ALL five
-    scanline filter types (RFC 2083 §6): our own encoder only emits
-    filter 0, but externally-encoded PNGs (libpng, javax.imageio)
-    filter adaptively per row — without defiltering, real-world ingest
-    would land every such image in the errors-as-data path."""
+    """External-world PNG -> uint8[h,w,3]: all five scanline filter
+    types (RFC 2083 §6), all five color types (gray / truecolor /
+    palette / gray+alpha / RGBA), bit depths 1-16, and Adam7
+    interlacing. Our own encoder only emits filter-0 8-bit truecolor,
+    but externally-encoded PNGs use the rest of the spec freely —
+    without this coverage, real-world ingest would land them in the
+    errors-as-data path.
+
+    Conversion contract (deterministic, stated): gray replicates to
+    RGB; palette maps through PLTE; ALPHA IS STRIPPED, not composited
+    (the pipeline treats pixels as features, and compositing would
+    invent a background color); 16-bit samples keep the high byte
+    (the spec's own 8-bit reduction)."""
     assert buf[:8] == _PNG_SIG, "not a PNG"
     pos = 8
     idat = bytearray()
+    plte = None
+    depth = ctype = interlace = None
     while pos < len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         tag = buf[pos + 4 : pos + 8]
@@ -109,69 +130,135 @@ def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
             )
             if (iw, ih) != (w, h):
                 raise ValueError(f"IHDR {iw}x{ih} != metadata {w}x{h}")
-            if depth != 8 or ctype != 2:
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} / color type {ctype} unsupported "
-                    "(8-bit truecolor only)"
+            if ctype not in _PNG_SAMPLES or depth not in _PNG_DEPTHS[ctype]:
+                raise ValueError(
+                    f"invalid PNG depth/type combination {depth}/{ctype}"
                 )
-            if interlace != 0:
-                raise NotImplementedError("Adam7-interlaced PNGs unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid interlace method {interlace}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(
+                buf[pos + 8 : pos + 8 + length], np.uint8
+            ).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += buf[pos + 8 : pos + 8 + length]
         pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    rows = raw.reshape(h, 1 + w * 3)
+    if depth is None:
+        raise ValueError("PNG missing IHDR")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    samples = _PNG_SAMPLES[ctype]
+    raw = zlib.decompress(bytes(idat))
+
+    scale_gray = ctype == 0 and depth < 8  # palette indices stay raw
+    if interlace == 0:
+        px = _decode_png_pass(raw, 0, w, h, depth, samples, scale_gray)[0]
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        px = np.zeros((h, w, samples), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _decode_png_pass(raw, off, pw, ph, depth, samples,
+                                        scale_gray)
+            px[y0::dy, x0::dx] = sub
+
+    if ctype == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 2:
+        return px
+    if ctype == 4:  # gray + alpha: strip alpha, replicate gray
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA: strip alpha
+
+
+def _decode_png_pass(raw: bytes, off: int, w: int, h: int,
+                     depth: int, samples: int, scale_gray: bool = False):
+    """Decode one (sub-)image's scanlines starting at byte `off` of the
+    decompressed stream -> (uint8[h,w,samples], next offset). Handles
+    defiltering at the correct filter unit, 16->8 reduction, and
+    sub-byte bit unpacking with left-justified sample scaling."""
+    row_bytes = (w * samples * depth + 7) // 8
+    need = h * (1 + row_bytes)
+    if len(raw) - off < need:
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, np.uint8, count=need, offset=off).reshape(
+        h, 1 + row_bytes
+    )
+    fu = max(1, samples * depth // 8)  # filter unit (RFC 2083 §6.2)
     if (rows[:, 0] == 0).all():  # our encoder's output: zero-copy path
-        return rows[:, 1:].reshape(h, w, 3)
-    return _defilter_png(rows, w)
+        flat = rows[:, 1:]
+    else:
+        flat = _defilter_png(rows, row_bytes, fu)
+    if depth == 8:
+        px = flat.reshape(h, w, samples)
+    elif depth == 16:  # keep the high byte (spec 8-bit reduction)
+        px = flat.reshape(h, w, samples, 2)[:, :, :, 0]
+    else:  # 1/2/4-bit (always 1 sample/px): unpack MSB-first, group
+        bits = np.unpackbits(np.ascontiguousarray(flat), axis=1)[:, : w * depth]
+        vals = bits.reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        v = (vals * weights).sum(axis=2).astype(np.uint16)
+        if scale_gray:  # gray expands to [0,255] (255/(2^d-1) is exact)
+            v = v * (255 // ((1 << depth) - 1))
+        # palette indices stay raw; caller range-checks against PLTE
+        px = v.astype(np.uint8)[:, :, None]
+    return px, off + need
 
 
-def _defilter_png(rows: np.ndarray, w: int) -> np.ndarray:
-    """Undo per-scanline filtering (bpp=3). Rows are inherently
-    sequential (Up/Average/Paeth reference the prior RECONSTRUCTED
-    row); within a row, None/Up are one vectorized add, Sub is a
-    per-channel prefix sum (recon[x] = raw[x] + recon[x-3] mod 256 ==
-    cumsum mod 256), and Average/Paeth — whose left-neighbor term
-    breaks the prefix structure — walk pixels with 3-channel vector
-    steps. Unknown filter types raise ValueError (CorruptStream in
-    the validate taxonomy)."""
+def _defilter_png(rows: np.ndarray, row_bytes: int, fu: int) -> np.ndarray:
+    """Undo per-scanline filtering at filter unit `fu` bytes. Rows are
+    inherently sequential (Up/Average/Paeth reference the prior
+    RECONSTRUCTED row); within a row, None/Up are one vectorized add,
+    Sub is a per-channel prefix sum (recon[x] = raw[x] + recon[x-fu]
+    mod 256 == cumsum mod 256), and Average/Paeth — whose
+    left-neighbor term breaks the prefix structure — walk pixels with
+    fu-wide vector steps. Unknown filter types raise ValueError
+    (CorruptStream in the validate taxonomy)."""
     h = rows.shape[0]
-    out = np.empty((h, w * 3), np.uint8)
-    prior = np.zeros(w * 3, np.int64)
+    out = np.empty((h, row_bytes), np.uint8)
+    prior = np.zeros(row_bytes, np.int64)
     for y in range(h):
         ft = int(rows[y, 0])
         raw = rows[y, 1:].astype(np.int64)
         if ft == 0:  # None
             rec = raw
         elif ft == 1:  # Sub
-            rec = (raw.reshape(w, 3).cumsum(axis=0) & 0xFF).reshape(-1)
+            rec = (raw.reshape(-1, fu).cumsum(axis=0) & 0xFF).reshape(-1)
         elif ft == 2:  # Up
             rec = (raw + prior) & 0xFF
         elif ft == 3:  # Average
-            rec = np.empty(w * 3, np.int64)
-            rec[:3] = (raw[:3] + (prior[:3] >> 1)) & 0xFF
-            for x in range(3, w * 3, 3):
-                rec[x : x + 3] = (
-                    raw[x : x + 3] + ((rec[x - 3 : x] + prior[x : x + 3]) >> 1)
+            rec = np.empty(row_bytes, np.int64)
+            rec[:fu] = (raw[:fu] + (prior[:fu] >> 1)) & 0xFF
+            for x in range(fu, row_bytes, fu):
+                rec[x : x + fu] = (
+                    raw[x : x + fu] + ((rec[x - fu : x] + prior[x : x + fu]) >> 1)
                 ) & 0xFF
         elif ft == 4:  # Paeth
-            rec = np.empty(w * 3, np.int64)
-            rec[:3] = (raw[:3] + prior[:3]) & 0xFF  # paeth(0, b, 0) = b
-            for x in range(3, w * 3, 3):
-                a = rec[x - 3 : x]
-                b = prior[x : x + 3]
-                c = prior[x - 3 : x]
+            rec = np.empty(row_bytes, np.int64)
+            rec[:fu] = (raw[:fu] + prior[:fu]) & 0xFF  # paeth(0, b, 0) = b
+            for x in range(fu, row_bytes, fu):
+                a = rec[x - fu : x]
+                b = prior[x : x + fu]
+                c = prior[x - fu : x]
                 p = a + b - c
                 pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
                 pred = np.where(
                     (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
                 )
-                rec[x : x + 3] = (raw[x : x + 3] + pred) & 0xFF
+                rec[x : x + fu] = (raw[x : x + fu] + pred) & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {ft} on row {y}")
         out[y] = rec
         prior = rec
-    return out.reshape(h, w, 3)
+    return out
 
 
 def decode_batch(bufs, fmts, ws, hs):

@@ -158,3 +158,150 @@ def test_png_defilter_all_types():
            + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="filter type 7"):
         decode_image(bad, "png", w, h)
+
+
+def _png_chunks(ihdr_args, body):
+    import struct
+    import zlib
+
+    def chunk(tag, b):
+        return (struct.pack(">I", len(b)) + tag + b
+                + struct.pack(">I", zlib.crc32(tag + b)))
+
+    ihdr = struct.pack(">IIBBBBB", *ihdr_args)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + body
+            + chunk(b"IEND", b"")), chunk
+
+
+def test_png_color_types_and_depths():
+    """External-world PNG coverage: gray (8/16/1-bit), palette (8/4),
+    gray+alpha, RGBA — each decodes to the documented uint8[h,w,3]
+    conversion (gray replicated, palette via PLTE, alpha stripped,
+    16-bit high byte)."""
+    import zlib
+
+    rng = np.random.default_rng(5)
+    h, w = 13, 9
+
+    def idat(rows_u8):
+        import struct
+        import zlib as z
+
+        def chunk(tag, b):
+            return (struct.pack(">I", len(b)) + tag + b
+                    + struct.pack(">I", z.crc32(tag + b)))
+
+        return chunk(b"IDAT", z.compress(rows_u8.tobytes()))
+
+    def with_filter0(payload):
+        return np.concatenate(
+            [np.zeros((h, 1), np.uint8), payload.reshape(h, -1)], axis=1
+        )
+
+    # gray 8-bit
+    g = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    buf, _ = _png_chunks((w, h, 8, 0, 0, 0, 0), idat(with_filter0(g)))
+    assert (decode_image(buf, "png", w, h)
+            == np.repeat(g[:, :, None], 3, axis=2)).all()
+
+    # gray 16-bit: high byte kept
+    g16 = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    buf, _ = _png_chunks(
+        (w, h, 16, 0, 0, 0, 0),
+        idat(with_filter0(g16.astype(">u2").view(np.uint8).reshape(h, w * 2))),
+    )
+    assert (decode_image(buf, "png", w, h)[:, :, 0]
+            == (g16 >> 8).astype(np.uint8)).all()
+
+    # gray 1-bit: packed scanlines, scaled to 0/255
+    b1 = rng.integers(0, 2, size=(h, w)).astype(np.uint8)
+    buf, _ = _png_chunks(
+        (w, h, 1, 0, 0, 0, 0), idat(with_filter0(np.packbits(b1, axis=1)))
+    )
+    assert (decode_image(buf, "png", w, h)[:, :, 0] == b1 * 255).all()
+
+    # palette 8-bit
+    import struct
+    import zlib as z
+
+    def chunk(tag, b):
+        return (struct.pack(">I", len(b)) + tag + b
+                + struct.pack(">I", z.crc32(tag + b)))
+
+    plte = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+    buf, _ = _png_chunks(
+        (w, h, 8, 3, 0, 0, 0),
+        chunk(b"PLTE", plte.tobytes()) + idat(with_filter0(idx)),
+    )
+    assert (decode_image(buf, "png", w, h) == plte[idx]).all()
+
+    # palette with an out-of-range index -> loud (CorruptStream tier)
+    import pytest
+
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 200
+    buf, _ = _png_chunks(
+        (w, h, 8, 3, 0, 0, 0),
+        chunk(b"PLTE", plte.tobytes()) + idat(with_filter0(bad_idx)),
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image(buf, "png", w, h)
+
+    # RGBA: alpha stripped
+    rgba = rng.integers(0, 256, size=(h, w, 4)).astype(np.uint8)
+    buf, _ = _png_chunks((w, h, 8, 6, 0, 0, 0), idat(with_filter0(rgba)))
+    assert (decode_image(buf, "png", w, h) == rgba[:, :, :3]).all()
+
+    # gray+alpha: alpha stripped, gray replicated
+    ga = rng.integers(0, 256, size=(h, w, 2)).astype(np.uint8)
+    buf, _ = _png_chunks((w, h, 8, 4, 0, 0, 0), idat(with_filter0(ga)))
+    assert (decode_image(buf, "png", w, h)
+            == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+
+
+def test_png_adam7_interlace():
+    """Adam7: seven independently-filtered sub-images scatter back to
+    the full grid bit-exactly — including non-trivial per-pass filter
+    schedules and dimensions that leave some passes empty."""
+    import struct
+    import zlib as z
+
+    from segment_rtree_spark.imageio import _ADAM7
+
+    def chunk(tag, b):
+        return (struct.pack(">I", len(b)) + tag + b
+                + struct.pack(">I", z.crc32(tag + b)))
+
+    rng = np.random.default_rng(11)
+    for h, w in ((13, 9), (4, 4), (1, 17)):
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        stream = bytearray()
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = px[y0::dy, x0::dx].reshape(ph, pw * 3).astype(np.int64)
+            # alternate per-pass filters: pass 0 none, odd passes Sub,
+            # even passes Up (forward-filtered here, defiltered by the
+            # decoder)
+            ft = 0 if pi == 0 else (1 if pi % 2 else 2)
+            for y in range(ph):
+                raw = sub[y]
+                if ft == 1:
+                    left = np.concatenate([np.zeros(3, np.int64), raw[:-3]])
+                    out = raw - left
+                elif ft == 2:
+                    prior = sub[y - 1] if y > 0 else np.zeros(pw * 3, np.int64)
+                    out = raw - prior
+                else:
+                    out = raw
+                stream.append(ft)
+                stream += (out & 0xFF).astype(np.uint8).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", z.compress(bytes(stream)))
+               + chunk(b"IEND", b""))
+        got = decode_image(buf, "png", w, h)
+        assert (got == px).all(), f"adam7 mismatch at {h}x{w}"

@@ -251,11 +251,11 @@ def test_png_interop_with_jvm_encoder(spark):
     assert (got == px).all()
 
 
-def test_validate_unsupported_png_is_codec_unavailable(spark):
-    """A structurally VALID but engine-unsupported PNG (Adam7
-    interlace) classifies CodecUnavailable, not CorruptStream — the
-    taxonomy separates codec gaps (rescuable elsewhere) from broken
-    payloads (drop)."""
+def test_validate_spec_invalid_png_is_corrupt_stream(spark):
+    """A spec-INVALID PNG (depth/type combination the RFC forbids,
+    e.g. 16-bit palette) classifies CorruptStream — with full color
+    type/depth/interlace coverage in the decoder, the only PNGs left
+    undecodable are broken ones."""
     import struct
     import zlib
 
@@ -266,15 +266,75 @@ def test_validate_unsupported_png_is_codec_unavailable(spark):
                 + struct.pack(">I", zlib.crc32(tag + body)))
 
     h = w = 4
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
-    raw = bytes(h * (1 + w * 3))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 3, 0, 0, 0)  # 16-bit palette
+    raw = bytes(h * (1 + w * 2))
     buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     pdf = pd.DataFrame(
-        {"image_id": ["adam7"], "bytes": [buf],
+        {"image_id": ["bad16p"], "bytes": [buf],
          "w": np.int32(w), "h": np.int32(h), "fmt": "png"}
     )
     row = validate_images(spark.createDataFrame(pdf)).collect()[0]
     assert not row["ok"]
-    assert row["err_code"] == "CodecUnavailable"
-    assert "Adam7" in row["err_detail"]
+    assert row["err_code"] == "CorruptStream"
+    assert "16/3" in row["err_detail"]
+
+
+def test_png_external_encoder_variants(spark):
+    """javax.imageio-encoded PNGs in the shapes a crawl actually
+    yields — grayscale (color type 0), RGBA (type 6), and
+    PROGRESSIVE/Adam7 truecolor — all decode bit-exactly under the
+    documented conversion (gray replicated, alpha stripped). PNG is
+    lossless: no tolerance."""
+    jvm = spark.sparkContext._jvm
+    h, w = 20, 15
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+    # progressive (Adam7) truecolor via ImageWriteParam
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(x, y, int((int(px[y, x, 0]) << 16)
+                                | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])))
+    wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    param = wr.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    buf = bytes(bos.toByteArray())
+    i = buf.find(b"IHDR")
+    assert buf[i + 4 + 12] == 1, "writer must emit an interlaced stream"
+    assert (decode_image(buf, "png", w, h) == px).all()
+
+    # grayscale (TYPE_BYTE_GRAY, raster samples = exact gray values)
+    g = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    bg = jvm.java.awt.image.BufferedImage(w, h, 10)
+    ras = bg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            ras.setSample(x, y, 0, int(g[y, x]))
+    bos2 = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bg, "png", bos2)
+    buf2 = bytes(bos2.toByteArray())
+    i = buf2.find(b"IHDR")
+    assert buf2[i + 4 + 9] == 0, "writer must emit color type 0"
+    got = decode_image(buf2, "png", w, h)
+    assert (got[:, :, 0] == g).all() and (got[:, :, 0] == got[:, :, 2]).all()
+
+    # RGBA (TYPE_INT_ARGB with non-opaque alpha): alpha stripped
+    ba = jvm.java.awt.image.BufferedImage(w, h, 2)
+    for y in range(h):
+        for x in range(w):
+            v = ((200 << 24) | (int(px[y, x, 0]) << 16)
+                 | (int(px[y, x, 1]) << 8) | int(px[y, x, 2]))
+            ba.setRGB(x, y, v - (1 << 32) if v >= (1 << 31) else v)
+    bos3 = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(ba, "png", bos3)
+    buf3 = bytes(bos3.toByteArray())
+    i = buf3.find(b"IHDR")
+    assert buf3[i + 4 + 9] == 6, "writer must emit color type 6"
+    assert (decode_image(buf3, "png", w, h) == px).all()
