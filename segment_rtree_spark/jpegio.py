@@ -174,31 +174,9 @@ def _canonical_codes(bits, vals):
 
 
 # -- bit IO ------------------------------------------------------------
-
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def write(self, value, length):
-        if length == 0:
-            return
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.n += length
-        while self.n >= 8:
-            b = (self.acc >> (self.n - 8)) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-            self.n -= 8
-        self.acc &= (1 << self.n) - 1
-
-    def flush(self):
-        if self.n:
-            pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)
-
+# (the encode-side bit writer is inlined in encode_jpeg's entropy loop
+# as local (acc, nb) state — per-symbol method calls measured ~30% of
+# encode)
 
 class _BitReader:
     """Entropy-segment reader, table-driven: ONE destuffing pass over
@@ -527,57 +505,111 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
             hh0, ww0 = plane.shape
             plane = plane.reshape(hh0 // ry, ry, ww0 // rx, rx).mean(axis=(1, 3))
         blocks = _to_blocks(plane) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
+        # FDCT as two batched GEMMs (D @ block @ D^T): BLAS, ~5x the
+        # generic einsum contraction (same swap as the decode IDCT)
+        coef = _D @ blocks @ _D.T
         q = np.round(coef / qt[t]).astype(np.int64)
         rows, cols = plane.shape[0] // 8, plane.shape[1] // 8
         grids.append(q.reshape(-1, 64)[:, _ZZ].reshape(rows, cols, 64))
 
-    bw = _BitWriter()
+    # entropy layer on LOCAL variables, mirroring the decode kernel's
+    # discipline: block grids become plain Python lists once, per-block
+    # AC nonzero schedules come from ONE vectorized np.nonzero over the
+    # whole grid (a per-block nonzero() call measured ~15% of encode),
+    # and bits accumulate in a local (acc, nb) pair flushed with byte
+    # stuffing per block
+    dcl = [[tab.get(s) for s in range(16)] for tab in dc_codes]
+    acl = [[tab.get(k) for k in range(256)] for tab in ac_codes]
+    glists = []
+    nzlists = []
+    for c in range(n_comp):
+        g = grids[c].reshape(-1, 64)
+        glists.append(g.tolist())
+        nzr, nzc = np.nonzero(g[:, 1:])
+        splits = np.searchsorted(nzr, np.arange(1, g.shape[0]))
+        nzlists.append([a.tolist() for a in np.split(nzc, splits)])
+
     preds = [0] * n_comp
     nmy = padded.shape[0] // (8 * vmax)
     nmx = padded.shape[1] // (8 * hmax)
     rst = 0
+    acc = 0
+    nb = 0
+    data = bytearray()
 
-    def put_block(zz, t, c):
-        diff = int(zz[0]) - preds[c]
-        preds[c] = int(zz[0])
-        s = _category(diff)
-        code, ln = dc_codes[t][s]
-        bw.write(code, ln)
-        if s:
-            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        nz = np.nonzero(zz[1:])[0]
-        prev = 0
-        for i in nz:
-            run = int(i) - prev
-            prev = int(i) + 1
-            while run > 15:
-                code, ln = ac_codes[t][0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            v = int(zz[1 + i])
-            s = _category(v)
-            code, ln = ac_codes[t][(run << 4) | s]
-            bw.write(code, ln)
-            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-        if prev < 63:
-            code, ln = ac_codes[t][0x00]  # EOB
-            bw.write(code, ln)
+    def _flush_bytes():
+        nonlocal acc, nb
+        while nb >= 8:
+            b = (acc >> (nb - 8)) & 0xFF
+            data.append(b)
+            if b == 0xFF:  # byte stuffing
+                data.append(0x00)
+            nb -= 8
+        acc &= (1 << nb) - 1
+
+    def _align_1s():
+        nonlocal acc, nb
+        pad = (-nb) % 8
+        acc = (acc << pad) | ((1 << pad) - 1)
+        nb += pad
+        _flush_bytes()
 
     for mi in range(nmy * nmx):  # interleaved MCU order (T.81 A.2.3)
         if restart_interval and mi and mi % restart_interval == 0:
-            bw.flush()  # byte-align, then RSTn, then fresh predictors
-            bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            _align_1s()  # byte-align, then RSTn, then fresh predictors
+            data += bytes([0xFF, 0xD0 + (rst % 8)])
             rst += 1
             preds = [0] * n_comp
         my, mx = divmod(mi, nmx)
         for c in range(n_comp):
             hi, vi = samp[c]
             t = 0 if c == 0 else 1
+            dct_, act_ = dcl[t], acl[t]
+            glist, nzl = glists[c], nzlists[c]
+            cols_c = grids[c].shape[1]
             for v in range(vi):
                 for u in range(hi):
-                    put_block(grids[c][my * vi + v, mx * hi + u], t, c)
-    bw.flush()
+                    bi = (my * vi + v) * cols_c + mx * hi + u
+                    zz = glist[bi]
+                    d0 = zz[0]
+                    diff = d0 - preds[c]
+                    preds[c] = d0
+                    s = (diff if diff > 0 else -diff).bit_length()
+                    code, ln = dct_[s]
+                    acc = (acc << ln) | code
+                    nb += ln
+                    if s:
+                        acc = (acc << s) | (
+                            (diff if diff >= 0 else diff + (1 << s) - 1)
+                            & ((1 << s) - 1)
+                        )
+                        nb += s
+                    prev = 0
+                    for i in nzl[bi]:
+                        run = i - prev
+                        prev = i + 1
+                        while run > 15:
+                            code, ln = act_[0xF0]  # ZRL
+                            acc = (acc << ln) | code
+                            nb += ln
+                            run -= 16
+                        val = zz[1 + i]
+                        s = (val if val > 0 else -val).bit_length()
+                        code, ln = act_[(run << 4) | s]
+                        acc = (acc << ln) | code
+                        nb += ln
+                        acc = (acc << s) | (
+                            (val if val >= 0 else val + (1 << s) - 1)
+                            & ((1 << s) - 1)
+                        )
+                        nb += s
+                    if prev < 63:
+                        code, ln = act_[0x00]  # EOB
+                        acc = (acc << ln) | code
+                        nb += ln
+                    if nb >= 64:
+                        _flush_bytes()
+    _align_1s()
 
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -608,7 +640,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     else:
         out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    out += bw.out
+    out += data
     out += b"\xff\xd9"
     return bytes(out)
 
