@@ -174,6 +174,11 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
         where T.81 stuffing guarantees a bare FF D9 is the EOI.
         Sampled frames pass through as fmt='jpeg' rows the rest of
         the image suite decodes with jpegio.
+      * fmt='gif' — animated GIF: every frame LZW-decodes and
+        composites onto a persistent canvas (frames may be sub-rects
+        with transparency, so frame N needs frames 0..N-1 — unlike
+        MJPEG, skipping cannot skip decode), sampled snapshots emit as
+        fmt='raw' rows.
     Compressed inter-frame codecs (mp4/h264/webm) need libraries this
     container lacks: NotImplementedError, same batch body.
 
@@ -275,6 +280,16 @@ def _decode_frames(buf: bytes, fmt: str, w: int, h: int):
         ]
     if fmt == "mjpeg":
         return "jpeg", _split_mjpeg(buf)
+    if fmt == "gif":
+        # animated GIF: full-canvas snapshots composited per frame
+        # (do-not-dispose semantics, see imageio._gif_canvas_frames);
+        # emitted as raw so downstream decode is a reshape
+        from ..imageio import _gif_canvas_frames
+
+        gw, gh, frames = _gif_canvas_frames(buf)
+        if (gw, gh) != (w, h):
+            raise ValueError(f"gif {gw}x{gh} != metadata {w}x{h}")
+        return "raw", [f.tobytes() for f in frames]
     raise NotImplementedError(
         f"video codec for fmt={fmt!r} not available in this environment"
     )
@@ -440,7 +455,7 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             _pre(IMG_ERR_CODEC_UNAVAILABLE, F.concat(F.lit("fmt="), F.col("fmt"))),
         )
         .when(
-            ~F.col("fmt").isin("raw", "png", "jpeg"),
+            ~F.col("fmt").isin("raw", "png", "jpeg", "bmp", "gif"),
             _pre(IMG_ERR_UNKNOWN_FORMAT, F.concat(F.lit("fmt="), F.col("fmt"))),
         )
         .when(
@@ -460,6 +475,16 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             & (F.expr("substring(bytes, 1, 2)") != F.lit(b"\xff\xd8")),
             _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing JPEG SOI")),
         )
+        .when(
+            (F.col("fmt") == "bmp")
+            & (F.expr("substring(bytes, 1, 2)") != F.lit(b"BM")),
+            _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing BMP signature")),
+        )
+        .when(
+            (F.col("fmt") == "gif")
+            & (F.expr("substring(bytes, 1, 4)") != F.lit(b"GIF8")),
+            _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing GIF signature")),
+        )
     )
 
     def classify(buf, fmt, w, h, stored_phash):
@@ -467,7 +492,7 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             return IMG_ERR_DIMENSION_MISMATCH, f"w={w} h={h} must be positive"
         if fmt == "webp":
             return IMG_ERR_CODEC_UNAVAILABLE, f"fmt={fmt}"
-        if fmt not in ("raw", "png", "jpeg"):
+        if fmt not in ("raw", "png", "jpeg", "bmp", "gif"):
             return IMG_ERR_UNKNOWN_FORMAT, f"fmt={fmt}"
         if fmt == "jpeg":
             from ..jpegio import JPEG_SOI, JpegError, decode_jpeg
@@ -487,16 +512,21 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             if len(buf) != want:
                 return IMG_ERR_TRUNCATED, f"{len(buf)} bytes, want {want}"
             px = np.frombuffer(buf, np.uint8).reshape(h, w, 3)
-        else:
-            if buf[:8] != PNG_SIG:
-                return IMG_ERR_BAD_SIGNATURE, "missing PNG signature"
+        else:  # png / bmp / gif
+            sig_ok = {
+                "png": buf[:8] == PNG_SIG,
+                "bmp": buf[:2] == b"BM",
+                "gif": buf[:4] == b"GIF8",
+            }[fmt]
+            if not sig_ok:
+                return IMG_ERR_BAD_SIGNATURE, f"missing {fmt.upper()} signature"
             try:
-                px = decode_image(buf, "png", w, h)
+                px = decode_image(buf, fmt, w, h)
             except NotImplementedError as e:
                 # a VALID file this engine's decoder doesn't cover
-                # (Adam7 interlace, 16-bit, palette) is a codec gap,
-                # not corruption — the taxonomy keeps the two apart so
-                # a curation job can route them differently
+                # (RLE/paletted BMP, exotic PNG) is a codec gap, not
+                # corruption — the taxonomy keeps the two apart so a
+                # curation job can route them differently
                 return IMG_ERR_CODEC_UNAVAILABLE, str(e)[:80]
             except (zlib.error, ValueError, IndexError, struct_error) as e:
                 return IMG_ERR_CORRUPT_STREAM, str(e)[:80]
@@ -562,9 +592,11 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
     else:
         # raw rows with the right length are fully valid — reshape
         # cannot fail and nothing else is checked: pure Catalyst verdict.
-        # png/jpeg rows that passed the signature prefilter still need
-        # a stream decode to rule on CorruptStream / dims
-        needs_kernel = F.col("pre").isNull() & F.col("fmt").isin("png", "jpeg")
+        # compressed-format rows that passed the signature prefilter
+        # still need a stream decode to rule on CorruptStream / dims
+        needs_kernel = F.col("pre").isNull() & F.col("fmt").isin(
+            "png", "jpeg", "bmp", "gif"
+        )
         decided_ok = src.filter(
             F.col("pre").isNull() & (F.col("fmt") == "raw")
         ).select(

@@ -305,3 +305,157 @@ def test_png_adam7_interlace():
                + chunk(b"IEND", b""))
         got = decode_image(buf, "png", w, h)
         assert (got == px).all(), f"adam7 mismatch at {h}x{w}"
+
+
+def _build_gif(W, H, gct, frames, interlace_flags=None, transparents=None):
+    """Minimal GIF89a writer for fixtures: uncompressed-style LZW
+    (literal codes with periodic CLEARs), optional per-frame interlace
+    and transparency."""
+    import struct
+
+    n = len(gct)
+    size_bits = max(1, (n - 1).bit_length()) - 1
+
+    def lzw(indices, min_cs):
+        clear = 1 << min_cs
+        end = clear + 1
+        cs = min_cs + 1
+        out = bytearray()
+        acc = nb = 0
+
+        def put(code):
+            nonlocal acc, nb
+            acc |= code << nb
+            nb += cs
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        put(clear)
+        budget = (1 << cs) - clear - 2
+        used = 0
+        for v in indices:
+            if used == budget:
+                put(clear)
+                used = 0
+            put(int(v))
+            used += 1
+        put(end)
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def subblocks(data):
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            c = data[i : i + 255]
+            out.append(len(c))
+            out += c
+        out.append(0)
+        return bytes(out)
+
+    out = bytearray(b"GIF89a") + struct.pack("<HH", W, H)
+    out.append(0x80 | size_bits)
+    out += b"\x00\x00" + gct.tobytes()
+    for k, (left, top, fw, fh, idx) in enumerate(frames):
+        tr = transparents[k] if transparents else None
+        if tr is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, tr, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", left, top, fw, fh)
+        inter = interlace_flags[k] if interlace_flags else False
+        out.append(0x40 if inter else 0x00)
+        seq = idx
+        if inter:
+            order = []
+            for off, step in [(0, 8), (4, 8), (2, 4), (1, 2)]:
+                order += list(range(off, fh, step))
+            seq = idx[order]
+        min_cs = max(2, size_bits + 1)
+        out.append(min_cs)
+        out += subblocks(lzw(seq.ravel(), min_cs))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_decode_and_animation():
+    """GIF: palette mapping, 4-pass interlace, and animated sub-rect
+    frames with transparency compositing onto a persistent canvas —
+    all exact against a local recomputation."""
+    from segment_rtree_spark.imageio import _gif_canvas_frames
+
+    rng = np.random.default_rng(8)
+    W, H = 11, 7
+    gct = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, size=(H, W)).astype(np.uint8)
+
+    buf = _build_gif(W, H, gct, [(0, 0, W, H, idx)])
+    assert (decode_image(buf, "gif", W, H) == gct[idx]).all()
+
+    buf = _build_gif(W, H, gct, [(0, 0, W, H, idx)], interlace_flags=[True])
+    assert (decode_image(buf, "gif", W, H) == gct[idx]).all()
+
+    idx2 = rng.integers(0, 8, size=(3, 4)).astype(np.uint8)
+    idx2[0, 0] = 5
+    buf = _build_gif(
+        W, H, gct, [(0, 0, W, H, idx), (2, 1, 4, 3, idx2)],
+        transparents=[None, 5],
+    )
+    _, _, frames = _gif_canvas_frames(buf)
+    assert len(frames) == 2
+    want = gct[idx].copy()
+    region = want[1:4, 2:6]
+    region[...] = np.where((idx2 != 5)[:, :, None], gct[idx2], region)
+    assert (frames[0] == gct[idx]).all()
+    assert (frames[1] == want).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_image(buf[:20], "gif", W, H)  # truncated
+    with pytest.raises(ValueError, match="signature"):
+        decode_image(b"NOTGIF" + buf[6:], "gif", W, H)
+
+
+def test_bmp_decode():
+    """BMP: 24-bit bottom-up with 4-byte row padding (the standard
+    layout) and 32-bit top-down, plus unsupported-variant and
+    truncation errors."""
+    import struct
+
+    import pytest
+
+    rng = np.random.default_rng(9)
+    h, w = 6, 5  # w*3=15 -> stride 16: exercises padding
+
+    def bmp(px, bpp, top_down):
+        hh = -h if top_down else h
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        hdr = b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+        hdr += struct.pack("<IiiHHIIiiII", 40, w, hh, 1, bpp, 0,
+                           stride * h, 0, 0, 0, 0)
+        rows = bytearray()
+        data = px if top_down else px[::-1]
+        for y in range(h):
+            if bpp == 24:
+                line = data[y, :, ::-1].tobytes()  # RGB -> BGR
+            else:
+                line = np.concatenate(
+                    [data[y, :, ::-1], np.full((w, 1), 7, np.uint8)], axis=1
+                ).tobytes()  # BGRA
+            rows += line + b"\x00" * (stride - len(line))
+        return hdr + bytes(rows)
+
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    assert (decode_image(bmp(px, 24, False), "bmp", w, h) == px).all()
+    assert (decode_image(bmp(px, 32, True), "bmp", w, h) == px).all()
+
+    rle = bytearray(bmp(px, 24, False))
+    struct.pack_into("<I", rle, 30, 1)  # compression=BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression=1"):
+        decode_image(bytes(rle), "bmp", w, h)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(bmp(px, 24, False)[:-8], "bmp", w, h)
+    with pytest.raises(ValueError, match="signature"):
+        decode_image(b"XX" + bmp(px, 24, False)[2:], "bmp", w, h)

@@ -338,3 +338,104 @@ def test_png_external_encoder_variants(spark):
     i = buf3.find(b"IHDR")
     assert buf3[i + 4 + 9] == 6, "writer must emit color type 6"
     assert (decode_image(buf3, "png", w, h) == px).all()
+
+
+def test_bmp_gif_external_encoder_interop(spark):
+    """javax.imageio-encoded BMP (its own header/stride choices) and
+    GIF (its own REAL LZW compressor + quantized palette) decode
+    bit-exactly for palette-sized color sets."""
+    jvm = spark.sparkContext._jvm
+    h, w = 18, 23
+    rng = np.random.default_rng(6)
+    colors = rng.integers(0, 256, size=(12, 3)).astype(np.uint8)
+    px = colors[rng.integers(0, 12, size=(h, w))]
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(x, y, int((int(px[y, x, 0]) << 16)
+                                | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "bmp", bos)
+    assert (decode_image(bytes(bos.toByteArray()), "bmp", w, h) == px).all()
+    bos2 = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "gif", bos2)
+    assert (decode_image(bytes(bos2.toByteArray()), "gif", w, h) == px).all()
+
+
+def test_validate_images_bmp_gif_taxonomy(spark):
+    """bmp/gif are first-class validate formats: good payloads pass,
+    bad signatures / corrupt streams / unsupported variants map to
+    their taxonomy classes in the kernel tier, and sig checks also
+    live in the Catalyst prefilter."""
+    import struct
+
+    from segment_rtree_spark.operators.images import validate_images
+
+    rng = np.random.default_rng(13)
+    h, w = 6, 5
+    nb, stride = 3, (5 * 3 + 3) & ~3
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    rows = bytearray()
+    for y in range(h):
+        line = px[::-1][y, :, ::-1].tobytes()
+        rows += line + b"\x00" * (stride - len(line))
+    bmp_ok = hdr + bytes(rows)
+
+    from tests.test_imageio_synth import _build_gif
+
+    gct = rng.integers(0, 256, size=(4, 3)).astype(np.uint8)
+    idx = rng.integers(0, 4, size=(h, w)).astype(np.uint8)
+    gif_ok = _build_gif(w, h, gct, [(0, 0, w, h, idx)])
+
+    rle = bytearray(bmp_ok)
+    struct.pack_into("<I", rle, 30, 1)
+
+    rows_tbl = [
+        ("b_ok", bmp_ok, "bmp", w, h),
+        ("b_sig", b"XX" + bmp_ok[2:], "bmp", w, h),
+        ("b_rle", bytes(rle), "bmp", w, h),
+        ("b_tr", bmp_ok[:-10], "bmp", w, h),
+        ("g_ok", gif_ok, "gif", w, h),
+        ("g_sig", b"NOTGIF" + gif_ok[6:], "gif", w, h),
+        ("g_tr", gif_ok[:15], "gif", w, h),
+    ]
+    df = spark.createDataFrame(
+        rows_tbl, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    got = {r["image_id"]: r for r in validate_images(df).collect()}
+    assert got["b_ok"]["ok"] and got["g_ok"]["ok"]
+    assert got["b_sig"]["err_code"] == "BadSignature"
+    assert got["b_rle"]["err_code"] == "CodecUnavailable"
+    assert got["b_tr"]["err_code"] == "CorruptStream"
+    assert got["g_sig"]["err_code"] == "BadSignature"
+    assert got["g_tr"]["err_code"] == "CorruptStream"
+
+
+def test_gif_video_frame_sampling(spark):
+    """fmt='gif' video rows: animated GIFs frame-sample through the
+    same operator as fakevid/mjpeg, emitting full-canvas raw
+    snapshots."""
+    from segment_rtree_spark.imageio import _gif_canvas_frames
+    from tests.test_imageio_synth import _build_gif
+
+    rng = np.random.default_rng(21)
+    W, H, n_frames = 9, 6, 7
+    gct = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    frames = [
+        (0, 0, W, H, rng.integers(0, 8, size=(H, W)).astype(np.uint8))
+        for _ in range(n_frames)
+    ]
+    buf = _build_gif(W, H, gct, frames)
+    pdf = pd.DataFrame(
+        {"video_id": ["g0"], "bytes": [buf], "w": np.int32(W),
+         "h": np.int32(H), "fmt": "gif"}
+    )
+    out = sample_video_frames(spark.createDataFrame(pdf), every_n=3).toPandas()
+    assert out["frame_idx"].tolist() == [0, 3, 6]
+    assert (out["fmt"] == "raw").all()
+    _, _, want = _gif_canvas_frames(buf)
+    for _, r in out.iterrows():
+        got = np.frombuffer(bytes(r["bytes"]), np.uint8).reshape(H, W, 3)
+        assert (got == want[int(r["frame_idx"])]).all()

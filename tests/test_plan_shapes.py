@@ -136,17 +136,17 @@ def test_partitioned_pip_pins_partitions(spark):
 
 def test_validate_images_prefilter_pushed(spark):
     """Metadata-decidable validity checks run as Catalyst expressions;
-    the Arrow decode kernel's input branch is filtered to PNG rows
-    only (check_phash=False), so a clean raw corpus never crosses to
-    Python."""
+    the Arrow decode kernel's input branch is filtered to the
+    compressed-format rows only (check_phash=False), so a clean raw
+    corpus never crosses to Python."""
     from segment_rtree_spark.operators.images import validate_images
     from segment_rtree_spark.synth import images_df_arith
 
     df = validate_images(images_df_arith(spark, 50))
     p = plan_str(df)
-    # the decode kernel's input branch is gated on fmt IN (png, jpeg)
-    # — the two stream formats; raw never crosses to Python
-    assert "AND fmt" in p and "IN (png,jpeg))" in p
+    # the decode kernel's input branch is gated on the compressed
+    # stream formats; raw never crosses to Python
+    assert "AND fmt" in p and "IN (png,jpeg,bmp,gif))" in p
     # ... and the raw-valid verdict branch is a pure Catalyst filter
     assert "= raw)))" in p
     # prefilter verdicts (NULLs / formats / raw length / signature) are
