@@ -36,6 +36,8 @@ __all__ = [
     "encode_raw",
     "encode_png",
     "encode_jpeg",
+    "encode_bmp",
+    "encode_gif",
     "decode_image",
     "decode_batch",
     "phash64",
@@ -76,6 +78,78 @@ def encode_png(pixels: np.ndarray) -> bytes:
     raw = np.concatenate([np.zeros((h, 1), np.uint8), pixels.reshape(h, w * 3)], axis=1)
     idat = zlib.compress(raw.tobytes(), 6)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """uint8[h,w,3] -> 24-bit BI_RGB bottom-up BMP (the standard
+    layout: BGR byte order, rows padded to 4 bytes). Lossless."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    hdr = b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return hdr + rows.tobytes()
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """uint8[h,w,3] -> single-frame GIF89a. The palette is built from
+    the image's distinct colors (ValueError beyond 256 — quantization
+    is a modeling choice this engine does not make silently), so the
+    round trip is LOSSLESS for palette-sized imagery. The LZW layer
+    emits literal codes with periodic CLEARs (spec-compliant
+    'uncompressed GIF'): simple, deterministic, and decoded by every
+    conformant reader — compression ratio is the trade."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} distinct colors exceed GIF's 256")
+    size_bits = max(0, (max(2, len(pal)) - 1).bit_length() - 1)
+    ncol = 2 << size_bits
+    table = np.zeros((ncol, 3), np.uint8)
+    table[: len(pal)] = pal
+    min_cs = max(2, size_bits + 1)
+    clear = 1 << min_cs
+    end = clear + 1
+    cs = min_cs + 1
+    out = bytearray()
+    acc = nb = 0
+
+    def put(code):
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += cs
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    put(clear)
+    budget = (1 << cs) - clear - 2  # table slots before the width bumps
+    used = 0
+    for v in idx:
+        if used == budget:
+            put(clear)
+            used = 0
+        put(int(v))
+        used += 1
+    put(end)
+    if nb:
+        out.append(acc & 0xFF)
+    gif = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    gif.append(0x80 | size_bits)
+    gif += b"\x00\x00" + table.tobytes()
+    gif += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x00, min_cs])
+    for i in range(0, len(out), 255):
+        part = out[i : i + 255]
+        gif.append(len(part))
+        gif += part
+    gif += bytes([0, 0x3B])
+    return bytes(gif)
 
 
 def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:

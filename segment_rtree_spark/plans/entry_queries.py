@@ -2203,3 +2203,72 @@ from pairs where bit_count(xor(sa, sb)) <= 3
 
 
 REGISTRY["simhash_neardup"] = (q_simhash_neardup, _simhash_neardup_oracle)
+
+
+# -- lossless codec matrix (raw/png/bmp/gif round trips) ------------------
+
+def q_codec_matrix(spark, sf_dir):
+    """Driver visibility for the round-5 format suite: synthesize 60
+    palette-friendly images (deterministic 8-color pattern), round-trip
+    each through every LOSSLESS codec the engine both writes and reads
+    — raw, png, bmp, gif — and emit (img_i, fmt, lossless_ok) for
+    bit-exact survivors. The oracle is the EXPECTED-healthy matrix
+    (range(60) x 4 formats, all true), so the hash compare fails iff
+    any encode->decode pair drops a single pixel anywhere in the
+    matrix. External-encoder interop (javax.imageio both directions),
+    filter/interlace/color-type coverage and the error taxonomy live
+    in pytest; jpeg (lossy) has its own PSNR-gated twin
+    (jpeg_roundtrip). Cites the reference's round-trip test posture
+    (from_wkt.rs/to_wkt round-trip tests) applied to the image wire
+    formats."""
+    import pandas as pd_
+
+    def kernel(batches):
+        import numpy as np_
+
+        from ..imageio import (
+            decode_image as _dec,
+            encode_bmp as _ebmp,
+            encode_gif as _egif,
+            encode_png as _epng,
+            encode_raw as _eraw,
+        )
+
+        encoders = {
+            "raw": _eraw, "png": _epng, "bmp": _ebmp, "gif": _egif,
+        }
+        for pdf in batches:
+            ids, fmts, oks = [], [], []
+            for i in pdf["id"]:
+                h, w = 5 + int(i) % 13, 5 + (int(i) * 3) % 17
+                yy, xx = np_.mgrid[0:h, 0:w]
+                # 8-color deterministic pattern: gif-safe by design
+                pal = np_.stack(
+                    [np_.arange(8) * 36, (np_.arange(8) * 73) % 256,
+                     255 - np_.arange(8) * 29], axis=-1
+                ).astype(np_.uint8)
+                px = pal[(yy * 3 + xx * 5 + int(i)) % 8]
+                for fmt, enc in encoders.items():
+                    out = _dec(enc(px), fmt, w, h)
+                    ids.append(int(i))
+                    fmts.append(fmt)
+                    oks.append(bool((out == px).all()))
+            yield pd_.DataFrame(
+                {"img_i": ids, "fmt": fmts, "lossless_ok": oks}
+            )
+
+    return (
+        spark.range(60)
+        .mapInPandas(kernel, "img_i long, fmt string, lossless_ok boolean")
+        .filter("lossless_ok")
+    )
+
+
+def _codec_matrix_oracle():
+    return """
+select i as img_i, fmt, true as lossless_ok
+from range(60) t(i), (values ('raw'), ('png'), ('bmp'), ('gif')) f(fmt)
+"""
+
+
+REGISTRY["codec_matrix"] = (q_codec_matrix, _codec_matrix_oracle)

@@ -459,3 +459,25 @@ def test_bmp_decode():
         decode_image(bmp(px, 24, False)[:-8], "bmp", w, h)
     with pytest.raises(ValueError, match="signature"):
         decode_image(b"XX" + bmp(px, 24, False)[2:], "bmp", w, h)
+
+
+def test_encode_bmp_gif_roundtrip_and_guard():
+    """The engine's own BMP/GIF writers round-trip bit-exactly through
+    its decoders at assorted shapes; encode_gif refuses quantization
+    (over-256-color images raise instead of silently degrading)."""
+    import pytest
+
+    from segment_rtree_spark.imageio import encode_bmp, encode_gif
+
+    rng = np.random.default_rng(17)
+    for h, w in ((7, 5), (16, 24), (1, 1), (3, 33)):
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_image(encode_bmp(px), "bmp", w, h) == px).all()
+        cols = rng.integers(0, 256, size=(200, 3)).astype(np.uint8)
+        pp = cols[rng.integers(0, 200, size=(h, w))]
+        assert (decode_image(encode_gif(pp), "gif", w, h) == pp).all()
+
+    many = rng.integers(0, 256, size=(20, 20, 3)).astype(np.uint8)
+    assert len(np.unique(many.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="exceed GIF"):
+        encode_gif(many)

@@ -439,3 +439,28 @@ def test_gif_video_frame_sampling(spark):
     for _, r in out.iterrows():
         got = np.frombuffer(bytes(r["bytes"]), np.uint8).reshape(H, W, 3)
         assert (got == want[int(r["frame_idx"])]).all()
+
+
+def test_java_reads_our_bmp_gif(spark):
+    """Interop the other direction: javax.imageio parses the engine's
+    BMP and GIF output and sees identical pixels — the files are
+    spec-compliant, not merely self-consistent."""
+    from segment_rtree_spark.imageio import encode_bmp, encode_gif
+
+    jvm = spark.sparkContext._jvm
+    h, w = 9, 14
+    rng = np.random.default_rng(23)
+    cols = rng.integers(0, 256, size=(30, 3)).astype(np.uint8)
+    px = cols[rng.integers(0, 30, size=(h, w))]
+    for enc in (encode_bmp, encode_gif):
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc(px)))
+        )
+        assert img is not None
+        arr = np.array(
+            list(img.getRGB(0, 0, w, h, None, 0, w)), np.int64
+        ).reshape(h, w)
+        dec = np.stack(
+            [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
+        ).astype(np.uint8)
+        assert (dec == px).all()
