@@ -556,6 +556,126 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_against(
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_bits: int | None = None,
+    target_bucket: int = TARGET_BUCKET,
+    n_probe: int = 1,
+    max_bucket: int | str | None = "auto",
+    refine: str = "kernel",
+    bit_exact: bool = False,
+    drop_observation=None,
+) -> DataFrame:
+    """Incremental embedding dedup: (new_id, corpus_id, score) pairs
+    with cosine >= threshold between a NEW batch and an EXISTING
+    corpus — the embedding member of the `*_against` family
+    (lsh_pairs_against for text, phash_neardup_against for images).
+    The daily-ingest shape: the corpus is bucketed once per query, each
+    arriving batch probes it through the shared sign-LSH bucket space;
+    cost scales with |batch| x collision rate, not |corpus|^2.
+
+    Corpus-scaling controls mirror embedding_neardup_pairs: n_bits
+    auto-scales with the CORPUS count (the static side — also the only
+    side a streaming caller can count), multi-probe protects recall,
+    max_bucket='auto' (32 x target_bucket) drops degenerate corpus
+    piles by default (opt out with None; drops visible via
+    `drop_observation`, filled eagerly at build).
+
+    `new_vecs` may be a STREAMING DataFrame: the plan then stays a
+    stream-static bucket equi-join with expr-fold refine (a cogrouped
+    kernel needs applyInPandas, which stream-static cannot host) and
+    only the corpus side caps — the streaming ingest filter
+    `streaming_embed_matches` wraps exactly this.
+
+    A pair is emitted only for ids on opposite sides; a vector present
+    in both frames matches itself (identical signs) — filter ids
+    upstream if re-ingestion is possible."""
+    streaming = new_vecs.isStreaming
+    if max_bucket == "auto":
+        max_bucket = 32 * target_bucket
+    if n_bits is None:
+        n_bits = auto_n_bits(corpus.count(), target_bucket)
+    b = _bucketed_vectors(
+        corpus, n_bits, id_col, vec, max_bucket, bit_exact, drop_observation
+    )
+    a = lsh_buckets(
+        new_vecs, n_bits, id_col, vec, bit_exact=bit_exact, keep_vec=True
+    ).select(F.col(id_col), F.col(vec).alias("v"), "bucket")
+    if not streaming:
+        a = a.localCheckpoint(eager=False)
+        if max_bucket is not None:
+            # both sides capped in batch mode (the _cap_buckets
+            # discipline); the stream side cannot size itself
+            over = (
+                a.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("bucket_n"))
+                .filter(F.col("bucket_n") > max_bucket)
+                .select("bucket")
+            )
+            a = a.join(F.broadcast(over), "bucket", "left_anti")
+    a = _probed(a, n_bits, n_probe)
+    if refine == "kernel" and not streaming:
+        id_dtype = dict(corpus.select(id_col).dtypes)[id_col]
+
+        def kernel(key, qpdf, tpdf):
+            if len(qpdf) == 0 or len(tpdf) == 0:
+                return pd.DataFrame(
+                    {"new_id": [], "corpus_id": [], "score": []}
+                )
+            Q = np.stack([np.asarray(x, np.float64) for x in qpdf["v"]])
+            T = np.stack([np.asarray(x, np.float64) for x in tpdf["v"]])
+            qids = qpdf[id_col].to_numpy()
+            tids = tpdf[id_col].to_numpy()
+            qn = np.linalg.norm(Q, axis=1)
+            tn = np.linalg.norm(T, axis=1)[None, :]
+            outs = []
+            step = max(1, REFINE_CHUNK_ELEMS // max(1, len(tids)))
+            for s in range(0, len(qids), step):
+                e = min(len(qids), s + step)
+                S = (Q[s:e] @ T.T) / (qn[s:e, None] * tn)
+                qi, ti = np.nonzero(S >= threshold)
+                outs.append(
+                    pd.DataFrame(
+                        {"new_id": qids[s:e][qi], "corpus_id": tids[ti],
+                         "score": S[qi, ti]}
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        schema = f"new_id {id_dtype}, corpus_id {id_dtype}, score double"
+        t = b.select(*[F.col(c).alias(c) for c in b.columns])
+        return (
+            a.groupBy("bucket")
+            .cogroup(t.groupBy("bucket"))
+            .applyInPandas(kernel, schema)
+            .distinct()
+        )
+    if refine != "expr" and not streaming:
+        raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
+    aj, bj = a.alias("a"), b.alias("b")
+    dot = F.expr(_dot_expr("a.v", "b.v"))
+    na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
+    nb_ = F.sqrt(F.expr(_dot_expr("b.v", "b.v")))
+    out = (
+        aj.join(bj, "bucket")
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+            (dot / (na * nb_)).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    # multi-probe can meet a pair once per probe on the batch path;
+    # a stream cannot host the distinct (stateful agg in append mode)
+    # — consumers keying on new_id are unaffected (same contract as
+    # the capped band joins)
+    return out if streaming else out.distinct()
+
+
 def ivf_centroid_fixed(j: int, dim: int = DIM) -> np.ndarray:
     """Deterministic closed-form centroid j (exact decimal values,
     reproducible as SQL literals — the coarse-quantizer analog of

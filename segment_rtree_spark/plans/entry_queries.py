@@ -1642,6 +1642,58 @@ select id_a, id_b, score from pairs where score >= 0.35
 REGISTRY["embed_neardup"] = (q_embed_neardup, _embed_neardup_oracle)
 
 
+def q_embed_incremental(spark, sf_dir):
+    """Incremental embedding dedup (new batch vs corpus) — the
+    embedding member of the `*_against` family under the oracle gate:
+    odd vec_ids arrive against the even-id corpus through the shared
+    sign-LSH bucket space with 1-bit multi-probe and exact cosine
+    refine. refine/bit_exact pinned to the cross-engine reference
+    arithmetic; max_bucket=None isolates the operator semantics (the
+    default-armed guard is covered by its own tests)."""
+    from ..operators.embed import embedding_neardup_against
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_against(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        threshold=0.35, n_bits=4, n_probe=1,
+        max_bucket=None, refine="expr", bit_exact=True,
+    )
+
+
+def _embed_incremental_oracle():
+    dot = ("list_reduce(list_prepend(0.0::double, list_transform("
+           "list_zip({a}, {b}), p -> p[1] * p[2])), (acc, v) -> acc + v)")
+    terms = []
+    for b in range(4):
+        plane = _embed.hyperplane(b)
+        lits = ",".join(repr(float(v)) for v in plane)
+        d = dot.format(a="tv", b=f"[{lits}]::double[]")
+        terms.append(f"case when {d} > 0.0 then {1 << b}::bigint else 0::bigint end")
+    score = dot.format(a="a.tv", b="b.tv")
+    norm = (f"(sqrt({dot.format(a='a.tv', b='a.tv')}) * "
+            f"sqrt({dot.format(a='b.tv', b='b.tv')}))")
+    flips = ", ".join(str(1 << i) for i in range(4))
+    return f"""
+with v as (
+  select vec_id, embedding::double[] as tv,
+         ({' + '.join(terms)}) as bucket
+  from embeddings
+),
+pairs as (
+  select distinct a.vec_id as new_id, b.vec_id as corpus_id,
+         {score} / {norm} as score
+  from v a join v b
+    on (a.bucket = b.bucket or xor(a.bucket, b.bucket) in ({flips}))
+   and a.vec_id % 2 = 1 and b.vec_id % 2 = 0
+)
+select new_id, corpus_id, score from pairs where score >= 0.35
+"""
+
+
+REGISTRY["embed_incremental"] = (q_embed_incremental, _embed_incremental_oracle)
+
+
 # -- point<->point radius join + zonal statistics ------------------------
 
 RADIUS = 1.5  # degrees; res 6 grid (5.6 x 2.8 deg cells) covers it

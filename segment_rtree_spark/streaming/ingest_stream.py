@@ -30,6 +30,7 @@ log = logging.getLogger(__name__)
 __all__ = [
     "streaming_neardup_matches",
     "streaming_text_matches",
+    "streaming_embed_matches",
     "streaming_ingest_pass_through",
     "streaming_text_pass_through",
 ]
@@ -174,6 +175,67 @@ def streaming_text_matches(
         text=text,
         rows_per_band=rows_per_band,
         max_bucket=max_bucket,
+    )
+
+
+def streaming_embed_matches(
+    stream_vecs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_bits: int | None = None,
+    target_bucket: int | None = None,
+    n_probe: int = 1,
+    max_bucket: int | str | None = "auto",
+    warn_drops: bool = True,
+) -> DataFrame:
+    """(new_id, corpus_id, score) append stream of corpus
+    embedding-cosine near-dups — the EMBEDDING member of the ingest
+    filter family (phash: streaming_neardup_matches; minhash:
+    streaming_text_matches), so all three dedup modalities have a
+    continuous filter.
+
+    Stateless stream-static bucket equi-join: the corpus is bucketed
+    once at query build (sign-LSH, n_bits auto-scaled from the STATIC
+    corpus count), each arriving vector's bucket computes per
+    micro-batch map-side, multi-probe explodes stream-side. The
+    corpus-side max_bucket cap is the stream path's skew guard —
+    ARMED by default at the ANN 'auto' cap (32 x target_bucket), with
+    the same build-time drop warning as the other wrappers
+    (warn_drops=False skips the one-job check; max_bucket=None opts
+    out of the guard)."""
+    from ..operators.embed import (
+        TARGET_BUCKET,
+        ann_bucket_stats,
+        auto_n_bits,
+        embedding_neardup_against,
+    )
+
+    tb = TARGET_BUCKET if target_bucket is None else target_bucket
+    cap = 32 * tb if max_bucket == "auto" else max_bucket
+    bits = n_bits if n_bits is not None else auto_n_bits(corpus.count(), tb)
+    if warn_drops and cap is not None:
+        row = (
+            ann_bucket_stats(corpus, bits, id_col, vec, max_bucket=cap)
+            .filter(F.col("truncated"))
+            .agg(F.count(F.lit(1)).alias("b"),
+                 F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("r"))
+            .first()
+        )
+        if row["b"]:
+            log.warning(
+                "streaming_embed_matches: corpus-side skew cap max_bucket=%d "
+                "drops %d bucket(s) (%d corpus vectors) from the stream join "
+                "— matches against those vectors will NOT be reported (they "
+                "are near-identical piles; handle via exact dedup). Pass "
+                "max_bucket=None to opt out, or warn_drops=False to skip "
+                "this check.",
+                cap, row["b"], row["r"],
+            )
+    return embedding_neardup_against(
+        stream_vecs, corpus, threshold=threshold, id_col=id_col, vec=vec,
+        n_bits=bits, target_bucket=tb, n_probe=n_probe, max_bucket=cap,
     )
 
 

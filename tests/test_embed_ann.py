@@ -290,3 +290,118 @@ def test_embed_drop_observation_eager_and_optout(spark):
     ann_topk(vecs, k=2, n_bits=1, target_bucket=2, max_bucket=None,
              drop_observation=obs2)
     assert obs2.get == {"dropped_buckets": 0, "dropped_rows": 0}
+
+
+def test_embedding_neardup_against_matches_selfjoin(spark):
+    """The incremental operator == the cross-side subset of the
+    self-join operator at the same parameters (caps off), and its
+    kernel refine == the expr reference."""
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.embed import (
+        embedding_neardup_against,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    corp = emb.filter(F.col("vec_id") % 2 == 0)
+    kw = dict(threshold=0.35, n_bits=4, n_probe=1, max_bucket=None)
+    got_expr = {
+        (r["new_id"], r["corpus_id"])
+        for r in embedding_neardup_against(
+            new, corp, refine="expr", bit_exact=True, **kw
+        ).collect()
+    }
+    got_kern = {
+        (r["new_id"], r["corpus_id"])
+        for r in embedding_neardup_against(new, corp, **kw).collect()
+    }
+    assert got_expr == got_kern and got_expr
+    # cross-side subset of the self-join (its pairs are id_a < id_b,
+    # i.e. unordered; the against op is (new, corpus)-directed)
+    self_pairs = embedding_neardup_pairs(
+        emb, refine="expr", bit_exact=True, **kw
+    ).collect()
+    want = {
+        (a, b) if a % 2 == 1 else (b, a)
+        for a, b in ((r["id_a"], r["id_b"]) for r in self_pairs)
+        if (a % 2) != (b % 2)
+    }
+    assert got_expr == want
+
+
+def test_streaming_embed_matches_batch(spark, tmp_path, caplog):
+    """Embedding stream-static ingest filter == the batch operator over
+    the same arrivals, the default corpus-side cap drops a degenerate
+    pile (with a build-time warning), and max_bucket=None restores the
+    fan-out."""
+    import logging
+    import time
+
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.operators.embed import embedding_neardup_against
+    from segment_rtree_spark.streaming.ingest_stream import streaming_embed_matches
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).cache()
+    arrivals = emb.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "vec_arrivals")
+    arrivals.coalesce(1).write.parquet(src)
+    time.sleep(0.2)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+
+    def drain(out, name):
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"select * from {name}").collect()
+
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in drain(
+            streaming_embed_matches(stream, corpus, threshold=0.35,
+                                    n_bits=4, n_probe=1), "em_matches"
+        )
+    }
+    want = {
+        (r["new_id"], r["corpus_id"])
+        for r in embedding_neardup_against(
+            arrivals, corpus, threshold=0.35, n_bits=4, n_probe=1
+        ).collect()
+    }
+    assert got == want and got
+
+    # degenerate corpus: one 200-vector identical pile over the cap
+    pile = spark.range(200).select(
+        (F.col("id") * 2 + 10000).alias("vec_id"),
+        F.expr("array_repeat(1.0d, 64)").alias("embedding"),
+    )
+    deg = corpus.select("vec_id", "embedding").unionAll(pile).cache()
+    with caplog.at_level(logging.WARNING,
+                         logger="segment_rtree_spark.streaming.ingest_stream"):
+        guarded = streaming_embed_matches(
+            stream, deg, threshold=0.9, n_bits=4, target_bucket=2
+        )  # cap = 64 < 200
+    warned = [r for r in caplog.records if "skew cap" in r.getMessage()]
+    assert warned
+    import re
+
+    n_dropped = int(re.search(r"\((\d+) corpus vectors\)",
+                              warned[0].getMessage()).group(1))
+    assert n_dropped >= 200  # the pile (+ any real vectors sharing its bucket)
+    hot_arrival = spark.createDataFrame(
+        [(99999, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    # batch twin of the guarded stream plan: the pile contributes zero
+    bat = embedding_neardup_against(
+        hot_arrival, deg, threshold=0.9, n_bits=4, target_bucket=2
+    )
+    assert not any(r["corpus_id"] >= 10000 for r in bat.collect())
