@@ -38,6 +38,7 @@ __all__ = [
     "encode_jpeg",
     "encode_bmp",
     "encode_gif",
+    "encode_tiff",
     "decode_image",
     "decode_batch",
     "phash64",
@@ -152,6 +153,40 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     return bytes(gif)
 
 
+def encode_tiff(pixels: np.ndarray) -> bytes:
+    """uint8[h,w,3] -> uncompressed little-endian baseline TIFF (one
+    chunky RGB strip, the minimal spec-compliant layout). Lossless."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    data = px.tobytes()
+    entries = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [8, 8, 8]),
+        (259, 3, [1]), (262, 3, [2]), (273, 4, None),  # strip offset later
+        (277, 3, [3]), (278, 3, [h]), (279, 4, [len(data)]),
+    ]
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * len(entries) + 4
+    extra = bytearray()
+    # BitsPerSample (3 shorts = 6 bytes) is the only out-of-line value
+    strips_off = after_ifd + 6
+    out = bytearray(b"II\x2a\x00") + struct.pack("<I", ifd_off)
+    ifd = struct.pack("<H", len(entries))
+    eoff = after_ifd
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = [strips_off]
+        fmtc = {3: "H", 4: "I"}[typ]
+        b = struct.pack("<" + fmtc * len(vals), *vals)
+        if len(b) <= 4:
+            ifd += struct.pack("<HHI", tag, typ, len(vals)) + b + b"\x00" * (4 - len(b))
+        else:
+            ifd += struct.pack("<HHII", tag, typ, len(vals), eoff)
+            extra += b
+            eoff += len(b)
+    ifd += struct.pack("<I", 0)
+    return bytes(out + ifd + extra + data)
+
+
 def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     """binary + metadata -> uint8[h,w,3]."""
     if fmt == "raw":
@@ -166,6 +201,8 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return _decode_bmp(buf, w, h)
     if fmt == "gif":
         return _decode_gif(buf, w, h)
+    if fmt == "tiff":
+        return _decode_tiff(buf, w, h)
     # webp/video-frame decode needs codecs not present in this
     # container — the distributed plumbing is identical; only this
     # per-batch body changes.
@@ -209,6 +246,86 @@ def _decode_bmp(buf: bytes, w: int, h: int) -> np.ndarray:
     if not top_down:
         px = px[::-1]
     return px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+
+
+def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
+    """Baseline TIFF -> uint8[h,w,3]: uncompressed chunky strips,
+    either byte order, 8-bit grayscale (photometric 0/1, inverted
+    handled) and RGB/RGBA (alpha stripped). Compressed / paletted /
+    16-bit / planar variants are valid files this decoder declines
+    (NotImplementedError -> CodecUnavailable); structural breakage
+    raises ValueError (CorruptStream)."""
+    if buf[:4] == b"II\x2a\x00":
+        eo = "<"
+    elif buf[:4] == b"MM\x00\x2a":
+        eo = ">"
+    else:
+        raise ValueError("missing TIFF signature")
+    (ifd_off,) = struct.unpack_from(eo + "I", buf, 4)
+    if ifd_off + 2 > len(buf):
+        raise ValueError("truncated TIFF IFD")
+    (n_ent,) = struct.unpack_from(eo + "H", buf, ifd_off)
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for k in range(n_ent):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(buf):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ = struct.unpack_from(eo + "HH", buf, off)
+        (cnt,) = struct.unpack_from(eo + "I", buf, off + 4)
+        if typ not in type_size:
+            continue  # rationals etc: not needed for the baseline set
+        sz = type_size[typ]
+        if sz * cnt <= 4:
+            vo = off + 8
+        else:
+            (vo,) = struct.unpack_from(eo + "I", buf, off + 8)
+        if vo + sz * cnt > len(buf):
+            raise ValueError("truncated TIFF tag values")
+        fmtc = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(eo + fmtc * cnt, buf, vo))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    tw, th = one(256), one(257)
+    if (tw, th) != (w, h):
+        raise ValueError(f"TIFF {tw}x{th} != metadata {w}x{h}")
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    planar = one(284, 1)
+    if compression != 1 or planar != 1 or any(b != 8 for b in bits) or \
+            photometric not in (0, 1, 2) or spp not in (1, 3, 4):
+        raise NotImplementedError(
+            f"TIFF compression={compression} photometric={photometric} "
+            f"spp={spp} bits={bits} planar={planar} unsupported "
+            "(uncompressed 8-bit chunky gray/RGB only)"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(buf):
+            raise ValueError("truncated TIFF strip")
+        data += buf[o : o + c]
+    need = w * h * spp
+    if len(data) < need:
+        raise ValueError("TIFF strips short of pixels")
+    px = np.frombuffer(bytes(data[:need]), np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        if photometric == 0:  # WhiteIsZero: invert
+            px = 255 - px
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]  # RGBA: strip alpha
 
 
 def _gif_lzw(data: bytes, min_cs: int, n_px: int) -> np.ndarray:

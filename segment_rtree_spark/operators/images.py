@@ -455,7 +455,7 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             _pre(IMG_ERR_CODEC_UNAVAILABLE, F.concat(F.lit("fmt="), F.col("fmt"))),
         )
         .when(
-            ~F.col("fmt").isin("raw", "png", "jpeg", "bmp", "gif"),
+            ~F.col("fmt").isin("raw", "png", "jpeg", "bmp", "gif", "tiff"),
             _pre(IMG_ERR_UNKNOWN_FORMAT, F.concat(F.lit("fmt="), F.col("fmt"))),
         )
         .when(
@@ -485,6 +485,12 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             & (F.expr("substring(bytes, 1, 4)") != F.lit(b"GIF8")),
             _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing GIF signature")),
         )
+        .when(
+            (F.col("fmt") == "tiff")
+            & (F.expr("substring(bytes, 1, 4)") != F.lit(b"II\x2a\x00"))
+            & (F.expr("substring(bytes, 1, 4)") != F.lit(b"MM\x00\x2a")),
+            _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing TIFF signature")),
+        )
     )
 
     def classify(buf, fmt, w, h, stored_phash):
@@ -492,7 +498,7 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             return IMG_ERR_DIMENSION_MISMATCH, f"w={w} h={h} must be positive"
         if fmt == "webp":
             return IMG_ERR_CODEC_UNAVAILABLE, f"fmt={fmt}"
-        if fmt not in ("raw", "png", "jpeg", "bmp", "gif"):
+        if fmt not in ("raw", "png", "jpeg", "bmp", "gif", "tiff"):
             return IMG_ERR_UNKNOWN_FORMAT, f"fmt={fmt}"
         if fmt == "jpeg":
             from ..jpegio import JPEG_SOI, JpegError, decode_jpeg
@@ -512,11 +518,12 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             if len(buf) != want:
                 return IMG_ERR_TRUNCATED, f"{len(buf)} bytes, want {want}"
             px = np.frombuffer(buf, np.uint8).reshape(h, w, 3)
-        else:  # png / bmp / gif
+        else:  # png / bmp / gif / tiff
             sig_ok = {
                 "png": buf[:8] == PNG_SIG,
                 "bmp": buf[:2] == b"BM",
                 "gif": buf[:4] == b"GIF8",
+                "tiff": buf[:4] in (b"II\x2a\x00", b"MM\x00\x2a"),
             }[fmt]
             if not sig_ok:
                 return IMG_ERR_BAD_SIGNATURE, f"missing {fmt.upper()} signature"
@@ -595,7 +602,7 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
         # compressed-format rows that passed the signature prefilter
         # still need a stream decode to rule on CorruptStream / dims
         needs_kernel = F.col("pre").isNull() & F.col("fmt").isin(
-            "png", "jpeg", "bmp", "gif"
+            "png", "jpeg", "bmp", "gif", "tiff"
         )
         decided_ok = src.filter(
             F.col("pre").isNull() & (F.col("fmt") == "raw")

@@ -1469,9 +1469,10 @@ REGISTRY["curate_images"] = (q_curate_images, _curate_images_oracle)
 
 def q_validate_images(spark, sf_dir):
     """Image payload validity with deterministically injected, SQL-
-    decidable corruption: i%5==0 -> unknown fmt, i%5==1 -> codec-less
-    fmt (webp — jpeg became a REAL codec in round 4, so it no longer
-    belongs in this class), i%5==2 on raw rows -> truncated payload;
+    decidable corruption: i%5==0 -> unknown fmt (heic — tiff became a
+    REAL codec in round 5 and left this class, as jpeg did in round
+    4), i%5==1 -> codec-less fmt (webp), i%5==2 on raw rows ->
+    truncated payload;
     the rest stay clean. (Stream-level PNG/JPEG corruption is
     classified too, but is pytest-only — SQL cannot decode them; see
     test_validate_images_error_taxonomy and the jpeg tests.)"""
@@ -1482,7 +1483,7 @@ def q_validate_images(spark, sf_dir):
     i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
     corrupted = imgs.withColumn(
         "fmt",
-        F.when(i % 5 == 0, F.lit("tiff"))
+        F.when(i % 5 == 0, F.lit("heic"))
         .when(i % 5 == 1, F.lit("webp"))
         .otherwise(F.col("fmt")),
     ).withColumn(
@@ -1506,7 +1507,7 @@ select image_id,
        when i % 5 = 1 then 'CodecUnavailable'
        when i % 5 = 2 and i % 2 = 0 then 'TruncatedPayload'
        else null end as err_code,
-  case when i % 5 = 0 then 'fmt=tiff'
+  case when i % 5 = 0 then 'fmt=heic'
        when i % 5 = 1 then 'fmt=webp'
        when i % 5 = 2 and i % 2 = 0 then '96 bytes, want 192'
        else null end as err_detail
@@ -2263,7 +2264,7 @@ def q_codec_matrix(spark, sf_dir):
     """Driver visibility for the round-5 format suite: synthesize 60
     palette-friendly images (deterministic 8-color pattern), round-trip
     each through every LOSSLESS codec the engine both writes and reads
-    — raw, png, bmp, gif — and emit (img_i, fmt, lossless_ok) for
+    — raw, png, bmp, gif, tiff — and emit (img_i, fmt, lossless_ok) for
     bit-exact survivors. The oracle is the EXPECTED-healthy matrix
     (range(60) x 4 formats, all true), so the hash compare fails iff
     any encode->decode pair drops a single pixel anywhere in the
@@ -2284,10 +2285,12 @@ def q_codec_matrix(spark, sf_dir):
             encode_gif as _egif,
             encode_png as _epng,
             encode_raw as _eraw,
+            encode_tiff as _etif,
         )
 
         encoders = {
             "raw": _eraw, "png": _epng, "bmp": _ebmp, "gif": _egif,
+            "tiff": _etif,
         }
         for pdf in batches:
             ids, fmts, oks = [], [], []
@@ -2319,7 +2322,7 @@ def q_codec_matrix(spark, sf_dir):
 def _codec_matrix_oracle():
     return """
 select i as img_i, fmt, true as lossless_ok
-from range(60) t(i), (values ('raw'), ('png'), ('bmp'), ('gif')) f(fmt)
+from range(60) t(i), (values ('raw'), ('png'), ('bmp'), ('gif'), ('tiff')) f(fmt)
 """
 
 

@@ -481,3 +481,102 @@ def test_encode_bmp_gif_roundtrip_and_guard():
     assert len(np.unique(many.reshape(-1, 3), axis=0)) > 256
     with pytest.raises(ValueError, match="exceed GIF"):
         encode_gif(many)
+
+
+def _build_tiff(px, eo="<", photometric=2, strip_rows=4):
+    """Minimal TIFF writer for fixtures: either endian, multi-strip,
+    gray or chunky RGB(A)."""
+    import struct
+
+    h, w, spp = px.shape
+    row_bytes = w * spp
+    strips = []
+    i = 0
+    while i < h:
+        rows = min(strip_rows, h - i)
+        strips.append(px[i : i + rows].tobytes())
+        i += rows
+    entries = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
+        (259, 3, [1]), (262, 3, [photometric]), (273, 4, None),
+        (277, 3, [spp]), (278, 3, [strip_rows]),
+        (279, 4, [len(c) for c in strips]),
+    ]
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * len(entries) + 4
+
+    def pack_vals(typ, vals):
+        return struct.pack(eo + {3: "H", 4: "I"}[typ] * len(vals), *vals)
+
+    sizes = sum(
+        len(pack_vals(t, v)) for _, t, v in entries
+        if v is not None and len(pack_vals(t, v)) > 4
+    )
+    so_size = 4 * len(strips) if len(strips) > 1 else 0
+    strips_off = after_ifd + sizes + so_size
+    sofs = []
+    p = strips_off
+    for c in strips:
+        sofs.append(p)
+        p += len(c)
+    out = bytearray(
+        (b"II\x2a\x00" if eo == "<" else b"MM\x00\x2a")
+        + struct.pack(eo + "I", ifd_off)
+    )
+    ifd = struct.pack(eo + "H", len(entries))
+    extra = bytearray()
+    eoff = after_ifd
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = sofs
+        b = pack_vals(typ, vals)
+        if len(b) <= 4:
+            ifd += (struct.pack(eo + "HHI", tag, typ, len(vals)) + b
+                    + b"\x00" * (4 - len(b)))
+        else:
+            ifd += struct.pack(eo + "HHII", tag, typ, len(vals), eoff)
+            extra += b
+            eoff += len(b)
+    ifd += struct.pack(eo + "I", 0)
+    out += ifd + extra
+    for c in strips:
+        out += c
+    return bytes(out)
+
+
+def test_tiff_decode_and_writer():
+    """TIFF: both byte orders, multi-strip RGB, grayscale (incl. the
+    WhiteIsZero inversion), RGBA alpha-strip, the engine's own writer
+    round trip, and the unsupported-variant / corruption errors."""
+    import pytest
+
+    from segment_rtree_spark.imageio import encode_tiff
+
+    rng = np.random.default_rng(31)
+    h, w = 11, 7
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    for eo in ("<", ">"):
+        assert (decode_image(_build_tiff(px, eo), "tiff", w, h) == px).all()
+    g = rng.integers(0, 256, size=(h, w, 1)).astype(np.uint8)
+    assert (decode_image(_build_tiff(g, photometric=1), "tiff", w, h)[:, :, 0]
+            == g[:, :, 0]).all()
+    assert (decode_image(_build_tiff(g, photometric=0), "tiff", w, h)[:, :, 0]
+            == 255 - g[:, :, 0]).all()
+    rgba = rng.integers(0, 256, size=(h, w, 4)).astype(np.uint8)
+    assert (decode_image(_build_tiff(rgba), "tiff", w, h) == rgba[:, :, :3]).all()
+    assert (decode_image(encode_tiff(px), "tiff", w, h) == px).all()
+
+    lzw = bytearray(_build_tiff(px))
+    # compression entry (tag 259) value -> 5 (LZW): valid, undecoded
+    import struct
+
+    for k in range(9):
+        off = 8 + 2 + 12 * k
+        if struct.unpack_from("<H", lzw, off)[0] == 259:
+            struct.pack_into("<H", lzw, off + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression=5"):
+        decode_image(bytes(lzw), "tiff", w, h)
+    with pytest.raises(ValueError, match="signature"):
+        decode_image(b"XXXX" + _build_tiff(px)[4:], "tiff", w, h)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(_build_tiff(px)[:-5], "tiff", w, h)

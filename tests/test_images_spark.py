@@ -154,9 +154,9 @@ def test_validate_images_error_taxonomy(spark):
     # 0: truncated raw payload
     r = base[0]
     rows.append(("t0", r["bytes"][: len(r["bytes"]) // 2], "raw", r["w"], r["h"], r["phash"]))
-    # 1: unknown format
+    # 1: unknown format (tiff/bmp/gif graduated to real codecs)
     r = base[1]
-    rows.append(("t1", r["bytes"], "tiff", r["w"], r["h"], r["phash"]))
+    rows.append(("t1", r["bytes"], "heic", r["w"], r["h"], r["phash"]))
     # 2: codec-unavailable format
     r = base[2]
     rows.append(("t2", r["bytes"], "webp", r["w"], r["h"], r["phash"]))
@@ -464,3 +464,42 @@ def test_java_reads_our_bmp_gif(spark):
             [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
         ).astype(np.uint8)
         assert (dec == px).all()
+
+
+def test_tiff_external_encoder_interop(spark):
+    """javax.imageio's TIFF writer (big-endian, its own IFD layout)
+    decodes bit-exactly; validate_images treats tiff as a first-class
+    format in both tiers."""
+    from segment_rtree_spark.operators.images import validate_images
+
+    jvm = spark.sparkContext._jvm
+    h, w = 10, 13
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(x, y, int((int(px[y, x, 0]) << 16)
+                                | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])))
+    wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), None)
+    ios.flush()
+    buf = bytes(bos.toByteArray())
+    assert buf[:4] == b"MM\x00\x2a"  # big-endian writer
+    assert (decode_image(buf, "tiff", w, h) == px).all()
+
+    rows = [
+        ("t_ok", buf, "tiff", w, h),
+        ("t_sig", b"XXXX" + buf[4:], "tiff", w, h),
+        ("t_tr", buf[:-20], "tiff", w, h),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+    got = {r["image_id"]: r for r in validate_images(df).collect()}
+    assert got["t_ok"]["ok"]
+    assert got["t_sig"]["err_code"] == "BadSignature"
+    assert got["t_tr"]["err_code"] == "CorruptStream"

@@ -146,7 +146,7 @@ def test_validate_images_prefilter_pushed(spark):
     p = plan_str(df)
     # the decode kernel's input branch is gated on the compressed
     # stream formats; raw never crosses to Python
-    assert "AND fmt" in p and "IN (png,jpeg,bmp,gif))" in p
+    assert "AND fmt" in p and "IN (png,jpeg,bmp,gif,tiff))" in p
     # ... and the raw-valid verdict branch is a pure Catalyst filter
     assert "= raw)))" in p
     # prefilter verdicts (NULLs / formats / raw length / signature) are
