@@ -131,7 +131,25 @@ def _resize_nn(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def resize_images(images: DataFrame, out_w: int, out_h: int, fmt: str = "raw") -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode. Output keeps the
-    input schema shape (image_id, bytes, w, h, fmt)."""
+    input schema shape (image_id, bytes, w, h, fmt). `fmt` selects the
+    output codec: any of the engine's writers (raw, png, bmp, tiff,
+    jpeg at quality 90; gif is deliberately absent — its 256-color
+    palette would force a silent quantization on natural imagery)."""
+    from ..imageio import encode_bmp, encode_tiff
+    from ..jpegio import encode_jpeg as _enc_jpeg
+
+    encoders = {
+        "raw": encode_raw,
+        "png": encode_png,
+        "bmp": encode_bmp,
+        "tiff": encode_tiff,
+        "jpeg": lambda px: _enc_jpeg(px, 90),
+    }
+    if fmt not in encoders:
+        raise ValueError(
+            f"resize fmt must be one of {sorted(encoders)}, got {fmt!r}"
+        )
+    encode = encoders[fmt]
     schema = "image_id string, bytes binary, w int, h int, fmt string"
 
     def kernel(batches):
@@ -143,7 +161,7 @@ def resize_images(images: DataFrame, out_w: int, out_h: int, fmt: str = "raw") -
                     int(pdf["w"].iloc[k]), int(pdf["h"].iloc[k]),
                 )
                 rp = _resize_nn(px, out_w, out_h)
-                out.append(encode_raw(rp) if fmt == "raw" else encode_png(rp))
+                out.append(encode(rp))
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],

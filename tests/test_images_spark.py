@@ -503,3 +503,29 @@ def test_tiff_external_encoder_interop(spark):
     assert got["t_ok"]["ok"]
     assert got["t_sig"]["err_code"] == "BadSignature"
     assert got["t_tr"]["err_code"] == "CorruptStream"
+
+
+def test_resize_output_formats(spark):
+    """resize_images re-encodes into any engine writer: lossless
+    formats round-trip the resampled pixels exactly, jpeg survives at
+    PSNR>=40dB, and gif (which would silently quantize) is refused."""
+    from segment_rtree_spark.imageio import psnr
+    from segment_rtree_spark.synth import images_df
+
+    imgs = images_df(spark, 4)
+    ref = resize_images(imgs, 8, 8).toPandas().set_index("image_id")
+    for fmt in ("png", "bmp", "tiff", "jpeg"):
+        out = resize_images(imgs, 8, 8, fmt=fmt).toPandas().set_index("image_id")
+        assert (out["fmt"] == fmt).all()
+        for iid, row in out.iterrows():
+            want = decode_image(bytes(ref.loc[iid]["bytes"]), "raw", 8, 8)
+            got = decode_image(bytes(row["bytes"]), fmt, 8, 8)
+            if fmt == "jpeg":
+                # random-noise 8x8 is jpeg's worst case; this asserts
+                # the plumbing, the codec's PSNR>=40dB gate lives in
+                # test_jpegio on smooth content
+                assert psnr(want, got) >= 25.0
+            else:
+                assert (got == want).all()
+    with pytest.raises(ValueError, match="resize fmt"):
+        resize_images(imgs, 8, 8, fmt="gif")
