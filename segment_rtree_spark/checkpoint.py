@@ -59,7 +59,13 @@ class CheckpointJob:
                 .collect()
             )
             return {r["partition_key"] for r in rows}
-        except Exception:
+        except AnalysisException:
+            # no progress written yet (fresh job): the dir is missing or
+            # holds no parquet to infer a schema from -> nothing done.
+            # Anything else (permissions, corrupt footer, transient FS
+            # error) PROPAGATES: silently treating an unreadable log as
+            # empty is safe for correctness (resume is idempotent) but
+            # re-runs the whole job — the caller must see why
             return set()
 
     def progress(self) -> DataFrame:

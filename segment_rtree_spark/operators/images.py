@@ -525,6 +525,13 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 return IMG_ERR_BAD_SIGNATURE, "missing JPEG SOI"
             try:
                 px = decode_jpeg(buf)
+            except NotImplementedError as e:
+                # a VALID T.81 family member this codec declines
+                # (arithmetic, lossless/hierarchical, 12-bit) is a
+                # codec gap, not corruption — same split as the
+                # png/bmp/gif/tiff branch below; progressive (SOF2)
+                # now DECODES and never lands here
+                return IMG_ERR_CODEC_UNAVAILABLE, str(e)[:80]
             except (JpegError, ValueError, IndexError, struct_error) as e:
                 # decode_jpeg raises JpegError for every corruption it
                 # can name; belt-and-braces for slice/unpack shapes a

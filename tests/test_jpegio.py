@@ -56,11 +56,13 @@ def test_structural_errors():
     buf = encode_jpeg(_gradient(16, 16), 90)
     with pytest.raises(JpegError):
         decode_jpeg(buf[: len(buf) // 2])
-    # progressive SOF rejected, not misdecoded
+    # marker-swapped "progressive" carrying a baseline full-band scan
+    # is structurally invalid (a progressive DC scan must have Se=0) —
+    # CorruptStream, not a silent misdecode
     sof2 = bytearray(buf)
     i = sof2.find(b"\xff\xc0")
     sof2[i + 1] = 0xC2
-    with pytest.raises(JpegError, match="progressive"):
+    with pytest.raises(JpegError, match="progressive DC scan"):
         decode_jpeg(bytes(sof2))
 
 
@@ -364,3 +366,172 @@ def test_subsample_420_interop_java(spark):
         [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
     ).astype(np.uint8)
     assert psnr(px, dec) >= 40.0
+
+
+# -- progressive (T.81 Annex G) ----------------------------------------
+
+
+def _java_jpeg(jvm, px, quality=None, progressive=False):
+    """Encode via javax.imageio's JPEG writer (independent impl)."""
+    h, w, _ = px.shape
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(
+                x, y,
+                int((int(px[y, x, 0]) << 16) | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])),
+            )
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    if progressive:
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    if quality is not None:
+        param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(float(quality))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    mc = jvm.javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(mc)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    mc.flush()
+    writer.dispose()
+    return bytes(bos.toByteArray())
+
+
+def _java_decode(jvm, buf):
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(buf))
+    )
+    assert img is not None
+    w, h = img.getWidth(), img.getHeight()
+    arr = np.array(list(img.getRGB(0, 0, w, h, None, 0, w)), np.int64).reshape(h, w)
+    return np.stack(
+        [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "h,w,kw",
+    [
+        (16, 24, {}),
+        (17, 23, {}),
+        (8, 8, {}),
+        (33, 41, {"subsample": True}),
+        (24, 24, {"restart_interval": 2}),
+        (25, 19, {"restart_interval": 3, "subsample": True}),
+        (20, 20, {"grayscale": True}),
+    ],
+)
+def test_progressive_layout_bit_exact(h, w, kw):
+    """progressive=True re-layouts the SAME coefficients into an SOF2
+    spectral-selection scan script — decode must be BIT-EXACT vs the
+    baseline layout of the same encode (incl. odd sizes, 4:2:0 where
+    the non-interleaved luma sub-grid is narrower than the MCU-padded
+    grid, restart markers counting blocks not MCUs, grayscale)."""
+    rng = np.random.default_rng(h * 100 + w)
+    px = (0.7 * _gradient(h, w) + 0.3 * rng.integers(0, 256, (h, w, 3))).astype(
+        np.uint8
+    )
+    base = decode_jpeg(encode_jpeg(px, 92, **kw))
+    buf = encode_jpeg(px, 92, progressive=True, **kw)
+    assert b"\xff\xc2" in buf  # SOF2 on the wire
+    assert np.array_equal(decode_jpeg(buf), base)
+
+
+def test_progressive_fuzz_roundtrip():
+    """Random content and shapes: progressive decode == baseline decode
+    on identical coefficients, PSNR contract preserved."""
+    from segment_rtree_spark.imageio import psnr as _psnr
+
+    rng = np.random.default_rng(99)
+    for _ in range(8):
+        h = int(rng.integers(8, 49))
+        w = int(rng.integers(8, 49))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        sub = bool(rng.integers(0, 2))
+        base = decode_jpeg(encode_jpeg(px, 95, subsample=sub))
+        prog = decode_jpeg(encode_jpeg(px, 95, progressive=True, subsample=sub))
+        assert np.array_equal(base, prog)
+    smooth = _gradient(32, 40)
+    assert _psnr(smooth, decode_jpeg(encode_jpeg(smooth, 90, progressive=True))) >= 40.0
+
+
+def test_progressive_javax_interop(spark):
+    """The REAL progressive shape: javax.imageio's progressive script
+    uses successive approximation (DC/AC refinement scans), which our
+    own encoder never emits. Gate 1 (exact): javax baseline and javax
+    progressive of the same image carry identical coefficients, so our
+    decodes of both must be bit-equal. Gate 2: agreement with javax's
+    own decoder (residual = chroma upsample choice, same bound as the
+    baseline 4:2:0 interop test)."""
+    jvm = spark.sparkContext._jvm
+    rng = np.random.default_rng(11)
+    for (h, w), q in [((32, 48), 0.85), ((17, 23), 0.9), ((16, 16), 0.5)]:
+        px = (0.8 * _gradient(h, w) + 0.2 * rng.integers(0, 256, (h, w, 3))).astype(
+            np.uint8
+        )
+        b_base = _java_jpeg(jvm, px, q, progressive=False)
+        b_prog = _java_jpeg(jvm, px, q, progressive=True)
+        assert b"\xff\xc2" in b_prog and b"\xff\xc2" not in b_base
+        ours_prog = decode_jpeg(b_prog)
+        assert np.array_equal(decode_jpeg(b_base), ours_prog)
+        assert psnr(ours_prog, _java_decode(jvm, b_prog)) >= 30.0
+
+
+def test_progressive_truncation_raises():
+    px = _gradient(24, 24)
+    buf = encode_jpeg(px, 90, progressive=True)
+    with pytest.raises(JpegError):  # mid-scan truncation
+        decode_jpeg(buf[: len(buf) * 2 // 3])
+    with pytest.raises(JpegError, match="missing EOI"):
+        decode_jpeg(buf[:-2])
+
+
+def test_unsupported_family_taxonomy():
+    """VALID-but-out-of-scope T.81 family members raise
+    NotImplementedError (-> CodecUnavailable downstream), while corrupt
+    streams stay JpegError — the two-typed contract (errors.rs:5-47)."""
+    buf = encode_jpeg(_gradient(16, 16), 90)
+    i = buf.find(b"\xff\xc0")
+    for marker, label in [
+        (0xC9, "arithmetic"),
+        (0xCA, "arithmetic"),
+        (0xC3, "lossless"),
+        (0xC7, "lossless"),
+        (0xCE, "lossless"),  # hierarchical family
+    ]:
+        swapped = bytearray(buf)
+        swapped[i + 1] = marker
+        with pytest.raises(NotImplementedError, match=label):
+            decode_jpeg(bytes(swapped))
+    deep = bytearray(buf)
+    deep[i + 4] = 12  # SOF precision byte -> 12-bit
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(deep))
+    assert not issubclass(NotImplementedError, JpegError)  # distinct types
+
+
+def test_validate_images_progressive_and_unsupported(spark):
+    """Taxonomy through the Spark operator (the r5 verdict weak item):
+    a progressive JPEG is a VALID payload and now decodes -> ok=True;
+    an arithmetic-coded one routes to CodecUnavailable (transcode
+    bucket), never CorruptStream (discard bucket)."""
+    from segment_rtree_spark.imageio import phash64
+    from segment_rtree_spark.operators.images import validate_images
+
+    px = _gradient(20, 28)
+    prog = encode_jpeg(px, 90, progressive=True)
+    arith = bytearray(encode_jpeg(px, 90))
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9
+    rows = [
+        ("prog", bytearray(prog), "jpeg", 28, 20, int(phash64(decode_jpeg(prog)))),
+        ("arith", arith, "jpeg", 28, 20, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int, phash long"
+    )
+    got = {
+        r["image_id"]: (r["ok"], r["err_code"])
+        for r in validate_images(df, check_phash=True).collect()
+    }
+    assert got["prog"] == (True, None)
+    assert got["arith"] == (False, "CodecUnavailable")

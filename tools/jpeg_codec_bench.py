@@ -19,16 +19,16 @@ from segment_rtree_spark.imageio import psnr  # noqa: E402
 from segment_rtree_spark.jpegio import decode_jpeg, encode_jpeg  # noqa: E402
 
 
-def bench(h, w, reps=20):
+def bench(h, w, reps=20, progressive=False):
     yy, xx = np.mgrid[0:h, 0:w]
     px = np.stack(
         [yy * 255 // max(1, h - 1), xx * 255 // max(1, w - 1),
          (yy + xx) * 255 // max(1, h + w - 2)], axis=-1
     ).astype(np.uint8)
-    buf = encode_jpeg(px, 90)
+    buf = encode_jpeg(px, 90, progressive=progressive)
     t0 = time.time()
     for _ in range(reps):
-        buf = encode_jpeg(px, 90)
+        buf = encode_jpeg(px, 90, progressive=progressive)
     enc_ms = (time.time() - t0) / reps * 1000
     out = decode_jpeg(buf)  # warm: one-time memoized Huffman-LUT build
     t0 = time.time()
@@ -46,6 +46,17 @@ if __name__ == "__main__":
     rec = {
         "what": "pure-NumPy baseline JPEG codec throughput (single core, smooth gradient content, quality 90)",
         "sizes": [bench(8, 8), bench(32, 32), bench(64, 64), bench(128, 128), bench(256, 256, reps=5)],
+        "progressive_what": (
+            "SOF2 spectral-selection layout of the same coefficients "
+            "(per-symbol primitives instead of the baseline combined-LUT "
+            "block kernel; successive-approximation streams are "
+            "fixture-tested in pytest, not benched)"
+        ),
+        "progressive_sizes": [
+            bench(64, 64, progressive=True),
+            bench(128, 128, progressive=True),
+            bench(256, 256, reps=5, progressive=True),
+        ],
     }
     with open(os.path.join(REPO, "BENCH", "jpeg_codec.json"), "w") as f:
         json.dump(rec, f, indent=2)
