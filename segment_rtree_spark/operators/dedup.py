@@ -878,7 +878,9 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
                      phash: str = "phash", max_hamming: int = 8,
                      max_iter: int = 50, n_bands: int = 4,
                      rep_join: str = "window",
-                     hot_threshold: int | None = 4096) -> DataFrame:
+                     hot_threshold: int | None = 4096,
+                     max_bucket: int | None = None,
+                     drop_observation=None) -> DataFrame:
     """Image near-duplicate clusters: (image_id, component) with
     component = the minimum image id in the cluster.
 
@@ -894,6 +896,13 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     Unlike `lsh_components` (bucket connectivity IS the doc-dedup
     semantic), image clusters propagate only through VERIFIED pairs
     (hamming <= max_hamming), matching phash_neardup_pairs exactly.
+
+    `max_bucket` / `drop_observation` thread to the band join
+    (phash_neardup_pairs): because the join runs over DISTINCT hash
+    values, the observed dropped_rows count DISTINCT HASHES whose
+    band bucket exceeded the cap, not raw images — the level at which
+    the cap actually acts here. Unarmed (the default) the observation
+    fills with zeros eagerly.
     """
     all_ph = images.select(F.col(phash).alias("ph"), F.col(id_col))
     # NULL hashes (upstream decode/hash failures) can't band-join and
@@ -911,7 +920,8 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     pairs = phash_neardup_pairs(
         distinct_ph.withColumn("pid", F.col("ph")),
         max_hamming=max_hamming, id_col="pid", phash="ph", n_bands=n_bands,
-        hot_threshold=hot_threshold,
+        hot_threshold=hot_threshold, max_bucket=max_bucket,
+        drop_observation=drop_observation,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = label_propagate(
@@ -1079,7 +1089,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text: str = "te
 def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
                         id_col: str = "image_id", phash: str = "phash",
                         n_bands: int = 4,
-                        hot_threshold: int | None = 4096) -> DataFrame:
+                        hot_threshold: int | None = 4096,
+                        max_bucket: int | None = None,
+                        drop_observation=None) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance.
 
     Band trick: split the 64-bit hash into n_bands equal bands; by
@@ -1094,6 +1106,17 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
     ~2^16x rarer than 4 x 16-bit, which is the difference between a
     candidate join that scales and one that re-goes quadratic on a
     10^12-image corpus.
+
+    `max_bucket` arms the _cap_buckets skew guard (drop whole band
+    buckets larger than the cap BEFORE the join; their members are
+    near-exact dups better collapsed by a distinct() upstream);
+    `drop_observation` (a pyspark Observation) surfaces the drop
+    counts eagerly at operator build — zeros when the cap is unarmed,
+    so observation.get never blocks (see _cap_buckets). With the cap
+    armed the first-collision-band dedup cannot apply (a pair's first
+    shared band may be a dropped bucket), so the capped path dedups
+    the verified pair stream with distinct() instead — the same
+    contract as phash_neardup_against.
     """
     # n_bands must evenly split the 64-bit hash: a non-divisor would
     # silently leave the high 64 % n_bands bits unbanded (breaking the
@@ -1136,22 +1159,30 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
         id_col, phash, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"),
         F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys"),
     )
-    pairs = (
+    if max_bucket is not None:
+        # capped path: first-band dedup is unsound once buckets can
+        # vanish (drop bi/keys — dead weight), distinct() at the end
+        ex = _cap_buckets(ex.drop("bi", "keys"), max_bucket, drop_observation)
+    elif drop_observation is not None:
+        _observe_zero_drops(drop_observation, images.sparkSession)
+    joined = (
         # hot_threshold=None skips the adaptive sizing job (see
         # _tiled_self_join) — for callers that distinct-collapsed the
         # hash upstream and counted the survivors
         _tiled_self_join(ex, id_col, hot_threshold)
-        .filter(F.expr(_first_band_pred(n_bands)))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{phash}").alias("ph_a"),
-            F.col(f"b.{phash}").alias("ph_b"),
-        )
+    )
+    if max_bucket is None:
+        joined = joined.filter(F.expr(_first_band_pred(n_bands)))
+    pairs = joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{phash}").alias("ph_a"),
+        F.col(f"b.{phash}").alias("ph_b"),
     )
     xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
-    return (
+    out = (
         pairs.withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return out.distinct() if max_bucket is not None else out

@@ -32,6 +32,8 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
                   n_bands: int = 4,
                   materialize: bool = True,
                   hot_threshold: int | None = 4096,
+                  max_bucket: int | None = None,
+                  drop_observation=None,
                   id_col: str = "image_id",
                   caption: str = "caption",
                   phash: str = "phash",
@@ -51,6 +53,15 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
     layers too big to broadcast), or 'auto'. Column names default to
     the input_hint schema (image_id, caption, phash, lng, lat) and
     thread through to the composed operators.
+
+    `max_bucket` / `drop_observation` thread to the near-dup band
+    join (phash_components): pass a pyspark Observation and a 100 TB
+    curation run can read dropped_buckets / dropped_rows directly
+    from the pipeline call — filled EAGERLY at build (zeros when the
+    cap is unarmed), so observation.get never blocks and never loses
+    the metric to AQE empty-relation pruning (see _cap_buckets).
+    dropped_rows counts DISTINCT phash values whose bucket exceeded
+    the cap (the clustering runs over distinct hashes).
     """
     # Narrow projection FIRST: nothing downstream needs the pixel
     # bytes, and projecting here keeps every subsequent shuffle at a
@@ -99,7 +110,8 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
         ok = ok.localCheckpoint()
     comp = phash_components(
         ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands,
-        hot_threshold=hot_threshold,
+        hot_threshold=hot_threshold, max_bucket=max_bucket,
+        drop_observation=drop_observation,
     )
     return _keep_representatives(ok, comp, id_col, caption)
 
@@ -128,6 +140,8 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
                                max_hamming: int = 8,
                                n_bands: int = 4,
                                hot_threshold: int | None = 4096,
+                               max_bucket: int | None = None,
+                               drop_observation=None,
                                res: int = 4,
                                keys_per_batch: int = 8,
                                max_batches: int | None = None,
@@ -157,6 +171,12 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
     stage 1 is incomplete (resume by calling again with the same
     root/job_id; `max_batches` exists for tests to simulate a kill).
     Matches curate_images() exactly when complete.
+
+    `max_bucket` / `drop_observation` behave as in curate_images, but
+    the cluster stage (where the band join lives) only runs once
+    stage 1 is complete — on an incomplete invocation the observation
+    is NOT filled (observation.get would block), so read it only when
+    the curated frame is returned.
     """
     from .checkpoint import CheckpointJob
     from .operators.tile_ops import assign_tiles
@@ -208,6 +228,7 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
         ).drop("cell")
     comp = phash_components(
         ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands,
-        hot_threshold=hot_threshold,
+        hot_threshold=hot_threshold, max_bucket=max_bucket,
+        drop_observation=drop_observation,
     )
     return done, _keep_representatives(ok, comp, id_col, caption)

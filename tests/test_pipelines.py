@@ -114,3 +114,70 @@ def test_curate_checkpointed_all_empty(spark, tmp_path):
     assert curated is not None
     assert curated.count() == 0
     assert {"image_id", "caption", "n_regions", "cluster_size"} <= set(curated.columns)
+
+
+def test_curate_drop_observation_surfaces_capped_buckets(spark):
+    """r5 verdict item 3: a curation run can read what the armed
+    max_bucket cap dropped FROM THE PIPELINE CALL itself — no
+    separate stats job — and the unarmed default fills zeros eagerly
+    (the AQE empty-relation-prune gotcha, see _cap_buckets)."""
+    from pyspark.sql import Observation
+
+    from segment_rtree_spark.pipelines import curate_images
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import HOT_CELL_LAT, HOT_CELL_LNG
+
+    n = 40
+    rows = [
+        (f"img{i:03d}", "two tokens", (i << 32) | 0x0F0F0F0F,
+         HOT_CELL_LNG, HOT_CELL_LAT)
+        for i in range(n)
+    ]
+    imgs = spark.createDataFrame(
+        rows, "image_id string, caption string, phash long, lng double, lat double"
+    )
+    layer = entry_layer()
+    obs = Observation("curate_drops")
+    got = curate_images(
+        imgs, layer, max_hamming=1, n_bands=2,
+        max_bucket=10, drop_observation=obs,
+    ).collect()
+    # all 40 DISTINCT hashes share the low-32 band-0 bucket (> cap
+    # 10): that bucket drops whole; every band-1 bucket is a
+    # singleton and survives, so no pairs form and each image stands
+    # as its own cluster — and the drop is visible in-band
+    assert obs.get == {"dropped_buckets": 1, "dropped_rows": 40}
+    assert len(got) == n and all(r["cluster_size"] == 1 for r in got)
+
+    # unarmed default: zeros fill at BUILD, before any action on the
+    # curated frame, so observation.get cannot block
+    obs2 = Observation("no_cap")
+    curate_images(imgs, layer, max_hamming=1, n_bands=2, drop_observation=obs2)
+    assert obs2.get == {"dropped_buckets": 0, "dropped_rows": 0}
+
+
+def test_curate_checkpointed_threads_drop_observation(spark, tmp_path):
+    """The checkpointed pipeline threads the same drop observability;
+    filled when the cluster stage runs (job complete)."""
+    from pyspark.sql import Observation
+
+    from segment_rtree_spark.pipelines import curate_images_checkpointed
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import HOT_CELL_LAT, HOT_CELL_LNG
+
+    rows = [
+        (f"img{i:03d}", "two tokens", (i << 32) | 0x0F0F0F0F,
+         HOT_CELL_LNG, HOT_CELL_LAT)
+        for i in range(30)
+    ]
+    imgs = spark.createDataFrame(
+        rows, "image_id string, caption string, phash long, lng double, lat double"
+    )
+    obs = Observation("ckpt_drops")
+    done, curated = curate_images_checkpointed(
+        imgs, entry_layer(), str(tmp_path), max_hamming=1, n_bands=2,
+        max_bucket=10, drop_observation=obs,
+    )
+    assert curated is not None
+    assert curated.count() == 30
+    assert obs.get == {"dropped_buckets": 1, "dropped_rows": 30}
