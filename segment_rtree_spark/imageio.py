@@ -211,10 +211,11 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
 
 def _decode_bmp(buf: bytes, w: int, h: int) -> np.ndarray:
     """Windows BMP -> uint8[h,w,3]: uncompressed (BI_RGB) 24/32-bit
-    DIBs, bottom-up or top-down, with the 4-byte row padding the
-    format requires. The shape every real-world .bmp uses; RLE and
-    paletted variants raise NotImplementedError (CodecUnavailable
-    tier — valid files this decoder declines)."""
+    DIBs, paletted 1/4/8-bit DIBs (BGRX color table), and RLE8
+    (BI_RLE8) — bottom-up or top-down, with the 4-byte row padding
+    the format requires. RLE4 and 16-bit BI_BITFIELDS variants raise
+    NotImplementedError (CodecUnavailable tier — valid files this
+    decoder declines)."""
     if buf[:2] != b"BM":
         raise ValueError("missing BMP signature")
     if len(buf) < 54:
@@ -226,13 +227,28 @@ def _decode_bmp(buf: bytes, w: int, h: int) -> np.ndarray:
     bw_, bh_ = struct.unpack_from("<ii", buf, 18)
     planes, bpp = struct.unpack_from("<HH", buf, 26)
     (compression,) = struct.unpack_from("<I", buf, 30)
+    (clr_used,) = struct.unpack_from("<I", buf, 46)
     top_down = bh_ < 0
     bh = -bh_ if top_down else bh_
     if (bw_, bh) != (w, h):
         raise ValueError(f"BMP {bw_}x{bh} != metadata {w}x{h}")
+    if bpp in (1, 4, 8):
+        pal = _bmp_palette(buf, hdr_size, bpp, clr_used)
+        if compression == 0:
+            idx = _bmp_unpack_indices(buf, data_off, w, h, bpp)
+        elif compression == 1 and bpp == 8:
+            idx = _bmp_rle8(buf, data_off, w, h)
+        else:
+            # RLE4 (compression=2) and exotic combos: VALID files this
+            # decoder declines — CodecUnavailable, not CorruptStream
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={compression} unsupported"
+            )
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx]
+        return px if top_down else px[::-1]
     if compression not in (0, 3) or bpp not in (24, 32):
-        # RLE / paletted / 16-bit variants are VALID files this decoder
-        # declines: CodecUnavailable, not CorruptStream
         raise NotImplementedError(
             f"BMP bpp={bpp} compression={compression} unsupported"
         )
@@ -248,13 +264,84 @@ def _decode_bmp(buf: bytes, w: int, h: int) -> np.ndarray:
     return px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
 
 
+def _bmp_palette(buf: bytes, hdr_size: int, bpp: int, clr_used: int) -> np.ndarray:
+    """BGRX color table following the info header -> uint8[n,3] RGB."""
+    ncol = clr_used or (1 << bpp)
+    if ncol > 256:
+        raise ValueError(f"BMP color table of {ncol} entries")
+    off = 14 + hdr_size
+    if off + 4 * ncol > len(buf):
+        raise ValueError("truncated BMP color table")
+    quads = np.frombuffer(buf, np.uint8, count=4 * ncol, offset=off).reshape(
+        ncol, 4
+    )
+    return quads[:, 2::-1].copy()  # BGRX -> RGB
+
+
+def _bmp_unpack_indices(buf: bytes, data_off: int, w: int, h: int,
+                        bpp: int) -> np.ndarray:
+    """Uncompressed paletted rows -> uint8[h,w] indices (bottom-up row
+    order preserved; caller flips). 1/4-bit pixels pack MSB-first."""
+    stride = ((w * bpp + 7) // 8 + 3) & ~3
+    if data_off + stride * h > len(buf):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(buf, np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)
+    if bpp == 8:
+        return rows[:, :w]
+    bits = np.unpackbits(np.ascontiguousarray(rows), axis=1)[:, : w * bpp]
+    vals = bits.reshape(h, w, bpp)
+    weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2).astype(np.uint8)
+
+
+def _bmp_rle8(buf: bytes, data_off: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 -> uint8[h,w] indices in the file's bottom-up row order
+    (caller flips). Encoded runs (count, value), escapes 0x00: 0=EOL,
+    1=EOD, 2=delta(dx,dy) — skipped pixels stay index 0 — else
+    absolute mode padded to a word boundary."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i, n = data_off, len(buf)
+    while i + 1 < n:
+        cnt, val = buf[i], buf[i + 1]
+        i += 2
+        if cnt:  # encoded run
+            if x + cnt > w or y >= h:
+                raise ValueError("BMP RLE8 run exceeds row")
+            idx[y, x : x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of data
+            return idx
+        elif val == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE8 delta")
+            x += buf[i]
+            y += buf[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE8 delta out of bounds")
+        else:  # absolute mode, word-aligned
+            if x + val > w or y >= h or i + val > n:
+                raise ValueError("BMP RLE8 absolute run exceeds row")
+            idx[y, x : x + val] = np.frombuffer(buf, np.uint8, count=val, offset=i)
+            x += val
+            i += val + (val & 1)
+    raise ValueError("BMP RLE8 stream missing end-of-data")
+
+
 def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
-    """Baseline TIFF -> uint8[h,w,3]: uncompressed chunky strips,
-    either byte order, 8-bit grayscale (photometric 0/1, inverted
-    handled) and RGB/RGBA (alpha stripped). Compressed / paletted /
-    16-bit / planar variants are valid files this decoder declines
-    (NotImplementedError -> CodecUnavailable); structural breakage
-    raises ValueError (CorruptStream)."""
+    """TIFF -> uint8[h,w,3]: chunky strips, either byte order, 8-bit
+    grayscale (photometric 0/1, inverted handled) and RGB/RGBA (alpha
+    stripped); compressions none (1), LZW (5, MSB-first early-change
+    variant of the GIF core), Deflate (8 / legacy 32946, stdlib
+    zlib) and PackBits (32773), each strip an independent stream,
+    with horizontal-differencing predictor 2 undone per row.
+    Paletted / 16-bit / planar / CCITT variants are valid files this
+    decoder declines (NotImplementedError -> CodecUnavailable);
+    structural breakage raises ValueError (CorruptStream)."""
     if buf[:4] == b"II\x2a\x00":
         eo = "<"
     elif buf[:4] == b"MM\x00\x2a":
@@ -301,12 +388,15 @@ def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
     spp = one(277, 1)
     bits = tags.get(258, [8])
     planar = one(284, 1)
-    if compression != 1 or planar != 1 or any(b != 8 for b in bits) or \
+    predictor = one(317, 1)
+    if compression not in (1, 5, 8, 32773, 32946) or planar != 1 or \
+            any(b != 8 for b in bits) or predictor not in (1, 2) or \
             photometric not in (0, 1, 2) or spp not in (1, 3, 4):
         raise NotImplementedError(
             f"TIFF compression={compression} photometric={photometric} "
-            f"spp={spp} bits={bits} planar={planar} unsupported "
-            "(uncompressed 8-bit chunky gray/RGB only)"
+            f"spp={spp} bits={bits} planar={planar} predictor={predictor} "
+            "unsupported (8-bit chunky gray/RGB, compression "
+            "none/LZW/Deflate/PackBits only)"
         )
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -316,16 +406,99 @@ def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
     for o, c in zip(offsets, counts):
         if o + c > len(buf):
             raise ValueError("truncated TIFF strip")
-        data += buf[o : o + c]
+        strip = buf[o : o + c]
+        if compression in (8, 32946):
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error as e:
+                raise ValueError(f"corrupt TIFF Deflate strip: {e}") from e
+        elif compression == 5:
+            strip = _tiff_lzw(strip)
+        elif compression == 32773:
+            strip = _packbits(strip)
+        data += strip
     need = w * h * spp
     if len(data) < need:
         raise ValueError("TIFF strips short of pixels")
     px = np.frombuffer(bytes(data[:need]), np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo per row
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
     if spp == 1:
         if photometric == 0:  # WhiteIsZero: invert
             px = 255 - px
         return np.repeat(px, 3, axis=2)
     return px[:, :, :3]  # RGBA: strip alpha
+
+
+def _tiff_lzw(data: bytes) -> bytes:
+    """TIFF-flavor LZW -> bytes: the MSB-first variant of the GIF core
+    (_gif_lzw) with fixed 8-bit roots, CLEAR=256/EOI=257, and the
+    spec's 'early change' — the code width bumps one entry EARLIER
+    than the table fills (TIFF 6.0 §13). Per-strip streams."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    cs = 9
+    acc = nb = 0
+    pos = 0
+    prev = None
+    out = bytearray()
+    n = len(data)
+    while True:
+        while nb < cs:
+            if pos >= n:
+                # strips may end mid-code after the last full symbol
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nb += 8
+        code = (acc >> (nb - cs)) & ((1 << cs) - 1)
+        nb -= cs
+        if code == clear:
+            table = list(base)
+            cs = 9
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:  # first code after a clear: literal only
+            if code > 255:
+                raise ValueError("corrupt TIFF LZW stream")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << cs) - 1 and cs < 12:  # early change
+            cs += 1
+
+
+def _packbits(data: bytes) -> bytes:
+    """Apple PackBits -> bytes (TIFF 6.0 §9): n<128 -> n+1 literals,
+    n>128 -> 257-n repeats of the next byte, n==128 no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            cnt = b + 1
+            if i + cnt > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + cnt]
+            i += cnt
+        elif b > 128:
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    return bytes(out)
 
 
 def _gif_lzw(data: bytes, min_cs: int, n_px: int) -> np.ndarray:

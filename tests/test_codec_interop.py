@@ -1,0 +1,157 @@
+"""External-encoder interop for the round-5/6 codec stack: every
+format the engine WRITES must decode in an independent implementation
+(the JVM's javax.imageio), and files that implementation writes —
+including compressed-TIFF and paletted/RLE8-BMP variants — must
+decode in ours. Mirrors the jpeg/png interop discipline of
+test_jpegio.py::test_interop_with_jvm_codec."""
+
+import numpy as np
+import pytest
+
+from segment_rtree_spark.imageio import (
+    decode_image,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+    encode_tiff,
+)
+
+
+def _gradient(h, w):
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    r = (y * 255 // max(1, h - 1)).astype(np.uint8)
+    g = (x * 255 // max(1, w - 1)).astype(np.uint8)
+    b = ((y + x) * 255 // max(1, h + w - 2)).astype(np.uint8)
+    return np.stack(
+        [np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)),
+         np.broadcast_to(b, (h, w))], axis=-1
+    ).copy()
+
+
+def _to_buffered(jvm, px):
+    h, w, _ = px.shape
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(
+                x, y,
+                int((int(px[y, x, 0]) << 16)
+                    | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])),
+            )
+    return bi
+
+
+def _java_decode(jvm, buf):
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(buf))
+    )
+    assert img is not None, "javax.imageio could not parse the stream"
+    w, h = img.getWidth(), img.getHeight()
+    arr = np.array(list(img.getRGB(0, 0, w, h, None, 0, w)), np.int64).reshape(h, w)
+    return np.stack(
+        [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=-1
+    ).astype(np.uint8)
+
+
+def _java_encode(jvm, bi, fmt, compression_type=None):
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+    assert it.hasNext(), f"no javax writer for {fmt}"
+    writer = it.next()
+    param = writer.getDefaultWriteParam()
+    if compression_type is not None:
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+        )
+        param.setCompressionType(compression_type)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    mc = jvm.javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(mc)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    mc.flush()
+    writer.dispose()
+    return bytes(bos.toByteArray())
+
+
+def test_our_writers_decode_in_java(spark):
+    """Engine-written png/bmp/gif/tiff all parse in javax.imageio and
+    reproduce the source pixels exactly (lossless formats)."""
+    jvm = spark.sparkContext._jvm
+    h, w = 13, 17
+    px = _gradient(h, w)
+    for fmt, enc in (("png", encode_png), ("bmp", encode_bmp),
+                     ("tiff", encode_tiff)):
+        got = _java_decode(jvm, enc(px))
+        assert (got == px).all(), f"java mis-decoded our {fmt}"
+    # gif needs a palette-sized image (our writer refuses quantization)
+    pal = _gradient(4, 8).reshape(-1, 3)
+    idx = (np.arange(h * w) % len(pal)).reshape(h, w)
+    pp = pal[idx]
+    assert (_java_decode(jvm, encode_gif(pp)) == pp).all()
+
+
+def test_java_writers_decode_in_engine(spark):
+    """javax-written bmp/gif/tiff decode in our codec stack to exactly
+    what java itself reads back from the same bytes (palette-mapped
+    formats compare against java's own reading, sidestepping its
+    quantizer)."""
+    jvm = spark.sparkContext._jvm
+    h, w = 13, 17
+    px = _gradient(h, w)
+    bi = _to_buffered(jvm, px)
+    for fmt in ("bmp", "tiff"):
+        buf = _java_encode(jvm, bi, fmt)
+        assert (decode_image(buf, fmt, w, h) == px).all(), fmt
+    buf = _java_encode(jvm, bi, "gif")
+    assert (decode_image(buf, "gif", w, h) == _java_decode(jvm, buf)).all()
+
+
+def test_java_compressed_tiff_decodes_in_engine(spark):
+    """The round-6 TIFF tails against a FOREIGN encoder: javax's
+    LZW / Deflate / ZLib / PackBits TIFF outputs (whatever predictor
+    it picks) decode bit-exactly in the engine."""
+    jvm = spark.sparkContext._jvm
+    h, w = 21, 15
+    px = _gradient(h, w)
+    bi = _to_buffered(jvm, px)
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    assert it.hasNext()
+    types = list(it.next().getDefaultWriteParam().getCompressionTypes())
+    tried = []
+    for ct in ("LZW", "Deflate", "ZLib", "PackBits"):
+        if ct not in types:
+            continue
+        buf = _java_encode(jvm, bi, "tiff", compression_type=ct)
+        assert (decode_image(buf, "tiff", w, h) == px).all(), ct
+        tried.append(ct)
+    assert len(tried) >= 2, f"javax tiff writer offered only {types}"
+
+
+def test_java_paletted_and_rle8_bmp_decode_in_engine(spark):
+    """The round-6 BMP tails against a FOREIGN encoder: javax's
+    8-bit-indexed BMP (BI_RGB) and its BI_RLE8 output decode to
+    exactly what java reads back from the same bytes."""
+    jvm = spark.sparkContext._jvm
+    h, w = 13, 17
+    px = _gradient(h, w)
+    # TYPE_BYTE_INDEXED: java maps to its default 256-color palette --
+    # the interop contract is our-decode == java-decode of SAME bytes
+    bi = jvm.java.awt.image.BufferedImage(w, h, 13)  # TYPE_BYTE_INDEXED
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(
+                x, y,
+                int((int(px[y, x, 0]) << 16)
+                    | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])),
+            )
+    plain = _java_encode(jvm, bi, "bmp")
+    assert (decode_image(plain, "bmp", w, h) == _java_decode(jvm, plain)).all()
+
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("bmp")
+    types = list(it.next().getDefaultWriteParam().getCompressionTypes())
+    if "BI_RLE8" in types:
+        rle = _java_encode(jvm, bi, "bmp", compression_type="BI_RLE8")
+        assert (decode_image(rle, "bmp", w, h)
+                == _java_decode(jvm, rle)).all()
+    else:
+        pytest.skip(f"javax bmp writer offers {types}, no BI_RLE8")

@@ -483,25 +483,85 @@ def test_encode_bmp_gif_roundtrip_and_guard():
         encode_gif(many)
 
 
-def _build_tiff(px, eo="<", photometric=2, strip_rows=4):
+def _packbits_enc(data: bytes) -> bytes:
+    """Literal-only PackBits (valid per TIFF 6.0 §9)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def _tiff_lzw_enc(data: bytes) -> bytes:
+    """Literal-only TIFF LZW, MSB-first: periodic CLEARs keep the
+    decoder's table below the early-change point so the code width
+    stays 9 bits throughout (the encoder twin of the uncompressed-GIF
+    trick, for fixture generation)."""
+    out = bytearray()
+    acc = nb = 0
+
+    def put(code):
+        nonlocal acc, nb
+        acc = (acc << 9) | code
+        nb += 9
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+
+    put(256)
+    cnt = 0
+    for b in data:
+        if cnt == 200:  # decoder table: 258 + 199 entries < 511
+            put(256)
+            cnt = 0
+        put(b)
+        cnt += 1
+    put(257)
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def _build_tiff(px, eo="<", photometric=2, strip_rows=4,
+                compression=1, predictor=1):
     """Minimal TIFF writer for fixtures: either endian, multi-strip,
-    gray or chunky RGB(A)."""
+    gray or chunky RGB(A); compression none/LZW/Deflate/PackBits
+    with optional horizontal-differencing predictor."""
     import struct
+    import zlib
 
     h, w, spp = px.shape
     row_bytes = w * spp
+
+    def pack_strip(rows_px):
+        if predictor == 2:
+            d = rows_px.copy()
+            d[:, 1:] = rows_px[:, 1:] - rows_px[:, :-1]  # uint8 wraps
+            rows_px = d
+        raw = rows_px.tobytes()
+        if compression == 5:
+            return _tiff_lzw_enc(raw)
+        if compression in (8, 32946):
+            return zlib.compress(raw)
+        if compression == 32773:
+            return _packbits_enc(raw)
+        return raw
+
     strips = []
     i = 0
     while i < h:
         rows = min(strip_rows, h - i)
-        strips.append(px[i : i + rows].tobytes())
+        strips.append(pack_strip(px[i : i + rows]))
         i += rows
     entries = [
         (256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
-        (259, 3, [1]), (262, 3, [photometric]), (273, 4, None),
+        (259, 3, [compression]), (262, 3, [photometric]), (273, 4, None),
         (277, 3, [spp]), (278, 3, [strip_rows]),
         (279, 4, [len(c) for c in strips]),
     ]
+    if predictor == 2:
+        entries.append((317, 3, [2]))
     ifd_off = 8
     after_ifd = ifd_off + 2 + 12 * len(entries) + 4
 
@@ -566,17 +626,159 @@ def test_tiff_decode_and_writer():
     assert (decode_image(_build_tiff(rgba), "tiff", w, h) == rgba[:, :, :3]).all()
     assert (decode_image(encode_tiff(px), "tiff", w, h) == px).all()
 
-    lzw = bytearray(_build_tiff(px))
-    # compression entry (tag 259) value -> 5 (LZW): valid, undecoded
+    ccitt = bytearray(_build_tiff(px))
+    # compression entry (tag 259) value -> 4 (CCITT T.6): valid,
+    # out of this decoder's scope (LZW/Deflate/PackBits ARE in scope
+    # as of round 6 — see test_tiff_compressions)
     import struct
 
     for k in range(9):
         off = 8 + 2 + 12 * k
-        if struct.unpack_from("<H", lzw, off)[0] == 259:
-            struct.pack_into("<H", lzw, off + 8, 5)
-    with pytest.raises(NotImplementedError, match="compression=5"):
-        decode_image(bytes(lzw), "tiff", w, h)
+        if struct.unpack_from("<H", ccitt, off)[0] == 259:
+            struct.pack_into("<H", ccitt, off + 8, 4)
+    with pytest.raises(NotImplementedError, match="compression=4"):
+        decode_image(bytes(ccitt), "tiff", w, h)
     with pytest.raises(ValueError, match="signature"):
         decode_image(b"XXXX" + _build_tiff(px)[4:], "tiff", w, h)
     with pytest.raises(ValueError, match="truncated"):
         decode_image(_build_tiff(px)[:-5], "tiff", w, h)
+
+
+def test_tiff_compressions():
+    """Round-6 codec tails: LZW (MSB-first early-change), Deflate
+    (both codes), PackBits, each per-strip, with and without the
+    horizontal-differencing predictor — decode equals the source
+    pixels exactly; corrupt compressed strips stay CorruptStream."""
+    import pytest
+
+    rng = np.random.default_rng(41)
+    h, w = 13, 9
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    # a smooth ramp exercises predictor deltas + LZW repeats
+    ramp = (np.arange(h * w * 3, dtype=np.uint32) // 7 % 256).astype(
+        np.uint8).reshape(h, w, 3)
+    for compression in (5, 8, 32946, 32773):
+        for predictor in (1, 2):
+            for src in (px, ramp):
+                fx = _build_tiff(src, compression=compression,
+                                 predictor=predictor, strip_rows=5)
+                assert (decode_image(fx, "tiff", w, h) == src).all(), (
+                    compression, predictor)
+    # grayscale + big-endian through a compressed path
+    g = rng.integers(0, 256, size=(h, w, 1)).astype(np.uint8)
+    fx = _build_tiff(g, eo=">", photometric=1, compression=8)
+    assert (decode_image(fx, "tiff", w, h)[:, :, 0] == g[:, :, 0]).all()
+
+    # corrupt Deflate payload -> CorruptStream tier (ValueError)
+    bad = bytearray(_build_tiff(px, compression=8))
+    bad[-10:] = b"\xff" * 10
+    with pytest.raises(ValueError, match="Deflate|short of pixels"):
+        decode_image(bytes(bad), "tiff", w, h)
+    # truncated LZW stream -> short of pixels
+    short = _build_tiff(px, compression=5, strip_rows=64)
+    with pytest.raises(ValueError, match="short of pixels|truncated"):
+        decode_image(short[:-20], "tiff", w, h)
+
+
+def _build_pal_bmp(idx, pal, bpp, rle=False, top_down=False):
+    """Paletted BMP fixture: 1/4/8-bit indices (MSB-first packing),
+    BGRX color table, optional BI_RLE8 with encoded runs + absolute
+    mode + EOL/EOD escapes."""
+    import struct
+
+    h, w = idx.shape
+    ncol = len(pal)
+    quads = np.zeros((ncol, 4), np.uint8)
+    quads[:, :3] = pal[:, ::-1]  # RGB -> BGR
+    if rle:
+        body = bytearray()
+        rows = idx if top_down else idx[::-1]
+        for y in range(h):
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and rows[y, x + run] == rows[y, x] and run < 255:
+                    run += 1
+                if run >= 3 or x + run == w:
+                    body += bytes([run, rows[y, x]])
+                    x += run
+                else:  # absolute mode for short mixed spans
+                    end = min(w, x + 4)
+                    vals = rows[y, x:end].tobytes()
+                    if len(vals) >= 3:
+                        body += bytes([0, len(vals)]) + vals
+                        if len(vals) & 1:
+                            body += b"\x00"
+                        x = end
+                    else:
+                        for v in vals:
+                            body += bytes([1, v])
+                        x = end
+            body += b"\x00\x00"  # EOL
+        body = bytes(body[:-2]) + b"\x00\x01"  # final EOL -> EOD
+        compression, data = 1, body
+    else:
+        stride = ((w * bpp + 7) // 8 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        src = idx if top_down else idx[::-1]
+        if bpp == 8:
+            rows[:, :w] = src
+        else:
+            per = 8 // bpp
+            padw = (w + per - 1) // per * per
+            padded = np.zeros((h, padw), np.uint8)
+            padded[:, :w] = src
+            shifts = np.arange(per - 1, -1, -1) * bpp
+            packed = (padded.reshape(h, -1, per) << shifts).sum(axis=2)
+            rows[:, : padw // per] = packed.astype(np.uint8)
+        compression, data = 0, rows.tobytes()
+    data_off = 54 + 4 * ncol
+    hh = -h if top_down else h
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, hh, 1, bpp, compression,
+                       len(data), 0, 0, ncol, 0)
+    return hdr + quads.tobytes() + data
+
+
+def test_bmp_paletted_and_rle8():
+    """Round-6 codec tails: 1/4/8-bit paletted BMPs (color table,
+    MSB-first packing, bottom-up and top-down) and BI_RLE8 (runs,
+    absolute mode, EOL/EOD) decode exactly; RLE4 still declines as
+    CodecUnavailable and structural breakage stays CorruptStream."""
+    import struct
+
+    import pytest
+
+    rng = np.random.default_rng(43)
+    h, w = 9, 11
+    pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    for bpp in (1, 4, 8):
+        ncol = 1 << bpp
+        idx = rng.integers(0, ncol, size=(h, w)).astype(np.uint8)
+        for td in (False, True):
+            fx = _build_pal_bmp(idx, pal[:ncol], bpp, top_down=td)
+            assert (decode_image(fx, "bmp", w, h) == pal[:ncol][idx]).all(), (
+                bpp, td)
+    # RLE8: runs + mixed spans, both orientations
+    idx = np.concatenate(
+        [np.full((h, 6), 3, np.uint8),
+         rng.integers(0, 200, size=(h, w - 6)).astype(np.uint8)], axis=1
+    )
+    for td in (False, True):
+        fx = _build_pal_bmp(idx, pal, 8, rle=True, top_down=td)
+        assert (decode_image(fx, "bmp", w, h) == pal[idx]).all(), td
+
+    # RLE4 (compression=2 at bpp=4): valid, declined
+    fx = bytearray(_build_pal_bmp(rng.integers(0, 16, size=(h, w)).astype(
+        np.uint8), pal[:16], 4))
+    struct.pack_into("<HI", fx, 28, 4, 2)  # bpp=4, compression=BI_RLE4
+    with pytest.raises(NotImplementedError, match="compression=2"):
+        decode_image(bytes(fx), "bmp", w, h)
+    # out-of-range palette index -> CorruptStream
+    small = _build_pal_bmp(np.full((h, w), 5, np.uint8), pal[:4], 8)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image(small, "bmp", w, h)
+    # truncated color table -> CorruptStream
+    fx = _build_pal_bmp(np.zeros((h, w), np.uint8), pal, 8)
+    with pytest.raises(ValueError, match="truncated BMP color table"):
+        decode_image(fx[:60], "bmp", w, h)
