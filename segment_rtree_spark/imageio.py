@@ -12,14 +12,18 @@ ever added — `psnr` is provided for that check):
 
 fmt='jpeg' is REAL as of round 4: a pure-NumPy baseline JFIF codec
 (`jpegio.py` — encoder + decoder, tables embedded per spec, round
-trip PSNR>=40dB at quality>=90 on smooth content). Round 5 adds
-DECODE for the remaining common crawl formats: fmt='png' now covers
-the full external spec (all color types, depths 1-16, Adam7),
-fmt='bmp' (24/32-bit BI_RGB DIBs) and fmt='gif' (LZW, palettes,
-interlace, animated via _gif_canvas_frames). webp/mp4 stay stubbed
-behind NotImplementedError: the Spark-side plumbing (binary column +
-typed metadata, mapInPandas batch shape) is identical, only the
-per-batch codec body differs.
+trip PSNR>=40dB at quality>=90 on smooth content; progressive decode
+since round 6). Round 5 added DECODE for the remaining common crawl
+formats: fmt='png' covers the full external spec (all color types,
+depths 1-16, Adam7), fmt='bmp' (BI_RGB 24/32-bit; round 6 adds
+1/4/8-bit paletted + RLE8) and fmt='gif' (LZW, palettes, interlace,
+animated via _gif_canvas_frames); round 6 adds compressed TIFF
+(LZW/Deflate/PackBits + predictor) and fmt='webp' lossless (full
+VP8L decode + a literal-only encoder, webp.py — libwebp-conformance
+tested). Only inter-frame video (mp4/h264) and lossy VP8 stay
+stubbed behind NotImplementedError: the Spark-side plumbing (binary
+column + typed metadata, mapInPandas batch shape) is identical, only
+the per-batch codec body differs.
 
 `phash64` is a 64-bit average-hash: downsample to 8x8 luma by block
 mean, threshold at the mean. Deterministic, pure NumPy.
@@ -39,6 +43,7 @@ __all__ = [
     "encode_bmp",
     "encode_gif",
     "encode_tiff",
+    "encode_webp",
     "decode_image",
     "decode_batch",
     "phash64",
@@ -52,6 +57,13 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     from .jpegio import encode_jpeg as _enc
 
     return _enc(pixels, quality)
+
+
+def encode_webp(pixels: np.ndarray) -> bytes:
+    """uint8[h,w,3] -> lossless VP8L webp (see webp.py for the scope)."""
+    from .webp import encode_webp as _enc
+
+    return _enc(pixels)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -203,7 +215,16 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return _decode_gif(buf, w, h)
     if fmt == "tiff":
         return _decode_tiff(buf, w, h)
-    # webp/video-frame decode needs codecs not present in this
+    if fmt == "webp":
+        from .webp import decode_webp
+
+        px = decode_webp(buf)
+        if px.shape != (h, w, 3):
+            raise ValueError(
+                f"WEBP {px.shape[1]}x{px.shape[0]} != metadata {w}x{h}"
+            )
+        return px
+    # inter-frame video decode needs codecs not present in this
     # container — the distributed plumbing is identical; only this
     # per-batch body changes.
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")

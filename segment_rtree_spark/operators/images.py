@@ -4,14 +4,15 @@ Images are opaque `binary` columns + typed metadata (w, h, fmt); all
 pixel work happens in Arrow-batched mapInPandas kernels that decode
 per IMAGE (never per pixel in Python — the inner loops are NumPy).
 
-Real implementations for raw + png (lossless, equality checks exact)
-AND jpeg (pure-NumPy baseline codec, jpegio.py — lossy, PSNR>=40dB
-at quality>=90) AND mjpeg video containers (frame-sample by marker
-scan, frames decode as jpeg); the remaining external codecs
-(webp, inter-frame video like mp4/h264) raise NotImplementedError
-inside the same batch body: the distributed plumbing (schema,
-batching, partitioning) is identical and tested, only the codec call
-changes when the library exists.
+Real implementations for raw/png/bmp/gif/tiff (lossless, equality
+checks exact), webp (lossless VP8L, webp.py — libwebp-conformance
+tested), jpeg (pure-NumPy baseline+progressive codec, jpegio.py —
+lossy, PSNR>=40dB at quality>=90) AND mjpeg video containers
+(frame-sample by structural marker walk, frames decode as jpeg); the
+remaining external codecs (inter-frame video like mp4/h264, lossy
+VP8) raise NotImplementedError inside the same batch body: the
+distributed plumbing (schema, batching, partitioning) is identical
+and tested, only the codec call changes when the library exists.
 """
 
 from __future__ import annotations
@@ -133,9 +134,10 @@ def resize_images(images: DataFrame, out_w: int, out_h: int, fmt: str = "raw") -
     """Decode -> nearest-neighbor resize -> re-encode. Output keeps the
     input schema shape (image_id, bytes, w, h, fmt). `fmt` selects the
     output codec: any of the engine's writers (raw, png, bmp, tiff,
-    jpeg at quality 90; gif is deliberately absent — its 256-color
-    palette would force a silent quantization on natural imagery)."""
-    from ..imageio import encode_bmp, encode_tiff
+    webp — lossless VP8L — and jpeg at quality 90; gif is
+    deliberately absent — its 256-color palette would force a silent
+    quantization on natural imagery)."""
+    from ..imageio import encode_bmp, encode_tiff, encode_webp
     from ..jpegio import encode_jpeg as _enc_jpeg
 
     encoders = {
@@ -143,6 +145,7 @@ def resize_images(images: DataFrame, out_w: int, out_h: int, fmt: str = "raw") -
         "png": encode_png,
         "bmp": encode_bmp,
         "tiff": encode_tiff,
+        "webp": encode_webp,
         "jpeg": lambda px: _enc_jpeg(px, 90),
     }
     if fmt not in encoders:
@@ -469,11 +472,14 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             ),
         )
         .when(
-            F.col("fmt") == "webp",
+            # inter-frame video codecs: VALID formats this engine has
+            # no still-frame decoder for (webp graduated to a real
+            # codec in round 6, as tiff did in r5 and jpeg in r4)
+            F.col("fmt").isin("mp4", "h264", "webm"),
             _pre(IMG_ERR_CODEC_UNAVAILABLE, F.concat(F.lit("fmt="), F.col("fmt"))),
         )
         .when(
-            ~F.col("fmt").isin("raw", "png", "jpeg", "bmp", "gif", "tiff"),
+            ~F.col("fmt").isin("raw", "png", "jpeg", "bmp", "gif", "tiff", "webp"),
             _pre(IMG_ERR_UNKNOWN_FORMAT, F.concat(F.lit("fmt="), F.col("fmt"))),
         )
         .when(
@@ -509,14 +515,22 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             & (F.expr("substring(bytes, 1, 4)") != F.lit(b"MM\x00\x2a")),
             _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing TIFF signature")),
         )
+        .when(
+            (F.col("fmt") == "webp")
+            & (
+                (F.expr("substring(bytes, 1, 4)") != F.lit(b"RIFF"))
+                | (F.expr("substring(bytes, 9, 4)") != F.lit(b"WEBP"))
+            ),
+            _pre(IMG_ERR_BAD_SIGNATURE, F.lit("missing WEBP signature")),
+        )
     )
 
     def classify(buf, fmt, w, h, stored_phash):
         if w <= 0 or h <= 0:  # mirrors the Catalyst prefilter exactly
             return IMG_ERR_DIMENSION_MISMATCH, f"w={w} h={h} must be positive"
-        if fmt == "webp":
+        if fmt in ("mp4", "h264", "webm"):
             return IMG_ERR_CODEC_UNAVAILABLE, f"fmt={fmt}"
-        if fmt not in ("raw", "png", "jpeg", "bmp", "gif", "tiff"):
+        if fmt not in ("raw", "png", "jpeg", "bmp", "gif", "tiff", "webp"):
             return IMG_ERR_UNKNOWN_FORMAT, f"fmt={fmt}"
         if fmt == "jpeg":
             from ..jpegio import JPEG_SOI, JpegError, decode_jpeg
@@ -543,12 +557,13 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             if len(buf) != want:
                 return IMG_ERR_TRUNCATED, f"{len(buf)} bytes, want {want}"
             px = np.frombuffer(buf, np.uint8).reshape(h, w, 3)
-        else:  # png / bmp / gif / tiff
+        else:  # png / bmp / gif / tiff / webp
             sig_ok = {
                 "png": buf[:8] == PNG_SIG,
                 "bmp": buf[:2] == b"BM",
                 "gif": buf[:4] == b"GIF8",
                 "tiff": buf[:4] in (b"II\x2a\x00", b"MM\x00\x2a"),
+                "webp": buf[:4] == b"RIFF" and buf[8:12] == b"WEBP",
             }[fmt]
             if not sig_ok:
                 return IMG_ERR_BAD_SIGNATURE, f"missing {fmt.upper()} signature"

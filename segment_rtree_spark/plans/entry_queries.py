@@ -1471,8 +1471,9 @@ def q_validate_images(spark, sf_dir):
     """Image payload validity with deterministically injected, SQL-
     decidable corruption: i%5==0 -> unknown fmt (heic — tiff became a
     REAL codec in round 5 and left this class, as jpeg did in round
-    4), i%5==1 -> codec-less fmt (webp), i%5==2 on raw rows ->
-    truncated payload;
+    4), i%5==1 -> codec-less fmt (mp4, an inter-frame video format —
+    webp graduated to a real VP8L codec in round 6 and left this
+    class), i%5==2 on raw rows -> truncated payload;
     the rest stay clean. (Stream-level PNG/JPEG corruption is
     classified too, but is pytest-only — SQL cannot decode them; see
     test_validate_images_error_taxonomy and the jpeg tests.)"""
@@ -1484,7 +1485,7 @@ def q_validate_images(spark, sf_dir):
     corrupted = imgs.withColumn(
         "fmt",
         F.when(i % 5 == 0, F.lit("heic"))
-        .when(i % 5 == 1, F.lit("webp"))
+        .when(i % 5 == 1, F.lit("mp4"))
         .otherwise(F.col("fmt")),
     ).withColumn(
         "bytes",
@@ -1508,7 +1509,7 @@ select image_id,
        when i % 5 = 2 and i % 2 = 0 then 'TruncatedPayload'
        else null end as err_code,
   case when i % 5 = 0 then 'fmt=heic'
-       when i % 5 = 1 then 'fmt=webp'
+       when i % 5 = 1 then 'fmt=mp4'
        when i % 5 = 2 and i % 2 = 0 then '96 bytes, want 192'
        else null end as err_detail
 from imgs
@@ -2261,12 +2262,13 @@ REGISTRY["simhash_neardup"] = (q_simhash_neardup, _simhash_neardup_oracle)
 # -- lossless codec matrix (raw/png/bmp/gif round trips) ------------------
 
 def q_codec_matrix(spark, sf_dir):
-    """Driver visibility for the round-5 format suite: synthesize 60
+    """Driver visibility for the format suite: synthesize 60
     palette-friendly images (deterministic 8-color pattern), round-trip
     each through every LOSSLESS codec the engine both writes and reads
-    — raw, png, bmp, gif, tiff — and emit (img_i, fmt, lossless_ok) for
+    — raw, png, bmp, gif, tiff, webp (VP8L, round 6) — and emit
+    (img_i, fmt, lossless_ok) for
     bit-exact survivors. The oracle is the EXPECTED-healthy matrix
-    (range(60) x 4 formats, all true), so the hash compare fails iff
+    (range(60) x 6 formats, all true), so the hash compare fails iff
     any encode->decode pair drops a single pixel anywhere in the
     matrix. External-encoder interop (javax.imageio both directions),
     filter/interlace/color-type coverage and the error taxonomy live
@@ -2286,11 +2288,12 @@ def q_codec_matrix(spark, sf_dir):
             encode_png as _epng,
             encode_raw as _eraw,
             encode_tiff as _etif,
+            encode_webp as _ewebp,
         )
 
         encoders = {
             "raw": _eraw, "png": _epng, "bmp": _ebmp, "gif": _egif,
-            "tiff": _etif,
+            "tiff": _etif, "webp": _ewebp,
         }
         for pdf in batches:
             ids, fmts, oks = [], [], []
@@ -2322,7 +2325,7 @@ def q_codec_matrix(spark, sf_dir):
 def _codec_matrix_oracle():
     return """
 select i as img_i, fmt, true as lossless_ok
-from range(60) t(i), (values ('raw'), ('png'), ('bmp'), ('gif'), ('tiff')) f(fmt)
+from range(60) t(i), (values ('raw'), ('png'), ('bmp'), ('gif'), ('tiff'), ('webp')) f(fmt)
 """
 
 

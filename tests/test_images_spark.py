@@ -157,9 +157,9 @@ def test_validate_images_error_taxonomy(spark):
     # 1: unknown format (tiff/bmp/gif graduated to real codecs)
     r = base[1]
     rows.append(("t1", r["bytes"], "heic", r["w"], r["h"], r["phash"]))
-    # 2: codec-unavailable format
+    # 2: codec-unavailable format (webp graduated to a real codec in r6)
     r = base[2]
-    rows.append(("t2", r["bytes"], "webp", r["w"], r["h"], r["phash"]))
+    rows.append(("t2", r["bytes"], "mp4", r["w"], r["h"], r["phash"]))
     # 3: png with broken signature
     png = next(x for x in base if x["fmt"] == "png")
     rows.append(("t3", b"\x00" * 8 + png["bytes"][8:], "png", png["w"], png["h"], png["phash"]))

@@ -1,0 +1,273 @@
+"""VP8L webp codec: self round-trips, libwebp conformance (both
+directions — the independent implementation this sandbox ships as
+libwebp.so.7), the empirical distance-map gate, and the
+CodecUnavailable/CorruptStream taxonomy."""
+
+import ctypes
+import struct
+
+import numpy as np
+import pytest
+
+from segment_rtree_spark.imageio import decode_image
+from segment_rtree_spark.webp import decode_webp, encode_webp
+
+
+def _libwebp():
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("libwebp not present in this container")
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.WebPDecodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def _lw_encode(lib, px, lossless=True):
+    h, w, _ = px.shape
+    out = ctypes.c_void_p()
+    if lossless:
+        n = lib.WebPEncodeLosslessRGB(px.tobytes(), w, h, w * 3,
+                                      ctypes.byref(out))
+    else:
+        n = lib.WebPEncodeRGB(px.tobytes(), w, h, w * 3, 75.0,
+                              ctypes.byref(out))
+    assert n > 0, "libwebp encode failed"
+    buf = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return buf
+
+
+def _lw_decode(lib, buf):
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = lib.WebPDecodeRGB(buf, len(buf), ctypes.byref(w), ctypes.byref(h))
+    assert p, "libwebp decode failed"
+    arr = np.ctypeslib.as_array(p, shape=(h.value, w.value, 3)).copy()
+    lib.WebPFree(ctypes.cast(p, ctypes.c_void_p))
+    return arr
+
+
+def test_roundtrip_own_codec():
+    rng = np.random.default_rng(7)
+    for h, w in ((1, 1), (5, 7), (16, 24), (33, 13)):
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_webp(encode_webp(px)) == px).all(), (h, w)
+    ramp = (np.arange(40 * 50 * 3, dtype=np.uint32) // 11 % 256).astype(
+        np.uint8).reshape(40, 50, 3)
+    assert (decode_webp(encode_webp(ramp)) == ramp).all()
+    const = np.full((9, 9, 3), 200, np.uint8)  # simple codes everywhere
+    assert (decode_webp(encode_webp(const)) == const).all()
+
+
+def test_our_encoder_decodes_in_libwebp():
+    lib = _libwebp()
+    rng = np.random.default_rng(11)
+    for h, w in ((5, 7), (16, 24), (33, 13)):
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (_lw_decode(lib, encode_webp(px)) == px).all(), (h, w)
+
+
+def test_libwebp_encodes_decode_in_engine():
+    """The full-spec decode gate: libwebp's lossless encoder picks
+    transforms/cache/LZ77/meta codes per content class; every class
+    must decode bit-exact."""
+    lib = _libwebp()
+    rng = np.random.default_rng(11)
+    for h, w in ((1, 1), (5, 7), (16, 24), (64, 48), (37, 53)):
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_webp(_lw_encode(lib, px)) == px).all(), ("rand", h, w)
+    y, x = np.mgrid[0:64, 0:80]
+    grad = np.stack(
+        [(y * 255 // 63), (x * 255 // 79), ((x + y) * 255 // 142)], axis=-1
+    ).astype(np.uint8)
+    assert (decode_webp(_lw_encode(lib, grad)) == grad).all(), "gradient"
+    noise = (grad.astype(np.int16)
+             + rng.integers(-6, 7, size=grad.shape)).clip(0, 255).astype(np.uint8)
+    assert (decode_webp(_lw_encode(lib, noise)) == noise).all(), "noisy"
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    for ncol in (2, 4, 7, 16):  # all sub-byte packing widths
+        pp = pal[:ncol][rng.integers(0, ncol, size=(33, 29))]
+        assert (decode_webp(_lw_encode(lib, pp)) == pp).all(), ("pal", ncol)
+    tile = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    tex = np.tile(tile, (12, 10, 1))  # LZ77 + color-cache heavy
+    assert (decode_webp(_lw_encode(lib, tex)) == tex).all(), "texture"
+
+
+def _craft_backref_stream(dist_code, w=17, h=10, n_lit=160, n_ref=10):
+    """Hand-build a VP8L stream: n_lit literals whose RED channel
+    encodes their position, then n_ref length-1 backrefs at the given
+    distance code — the probe that reveals which source pixel the
+    code maps to."""
+    from segment_rtree_spark.webp import _BitWriter, _write_prefix_code
+
+    # length/dist prefix symbol + extra bits for a target value
+    def sym_extra(v):
+        if v <= 4:
+            return v - 1, 0, 0
+        s = 4
+        while True:
+            extra = (s - 2) >> 1
+            lo = ((2 + (s & 1)) << extra) + 1
+            if lo <= v <= lo + (1 << extra) - 1:
+                return s, v - lo, extra
+            s += 1
+
+    dsym, dval, dbits = sym_extra(dist_code)
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    green = _write_prefix_code(bw, {0: 1, 256: 1}, 280)
+    red = _write_prefix_code(bw, {s: 8 for s in range(256)}, 256)
+    _write_prefix_code(bw, {0: 1}, 256)    # blue: single, 0 bits
+    _write_prefix_code(bw, {255: 1}, 256)  # alpha
+    _write_prefix_code(bw, {dsym: 1}, 40)  # distance: single symbol
+    gc, rc = green.codes(), red.codes()
+    for pos in range(n_lit):
+        c, l = gc[0]
+        bw.code(c, l)
+        c, l = rc[pos & 0xFF]
+        bw.code(c, l)
+    for _ in range(n_ref):
+        c, l = gc[256]  # length symbol 0 -> length 1, no extra bits
+        bw.code(c, l)
+        bw.write(dval, dbits)  # distance extra bits
+    payload = b"\x2f" + bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_distance_map_matches_libwebp():
+    """The 120-entry 2D distance map, empirically: for every code
+    1..120 (and a plain-distance code beyond), a crafted stream's
+    backref must copy the SAME source pixel in our decoder and in
+    libwebp."""
+    lib = _libwebp()
+    from segment_rtree_spark.webp import _DIST_MAP
+
+    w, n_lit = 17, 160
+    for code in list(range(1, 121)) + [121, 130, 200]:
+        buf = _craft_backref_stream(code, w=w, n_lit=n_lit)
+        ours = decode_webp(buf).reshape(-1, 3)
+        theirs = _lw_decode(lib, buf).reshape(-1, 3)
+        assert (ours == theirs).all(), f"dist code {code} diverges from libwebp"
+        if code <= 120:
+            dx, dy = _DIST_MAP[code - 1]
+            dist = max(1, dy * w + dx)
+        else:
+            dist = code - 120
+        # the first backref pixel copies position n_lit - dist, whose
+        # red channel encodes its index
+        assert ours[n_lit][0] == (n_lit - dist) & 0xFF, f"code {code}"
+
+
+def test_lossy_and_animated_decline_as_codec_unavailable():
+    # handcrafted container markers: no codec needed
+    vp8 = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+           + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        decode_webp(vp8)
+    anim = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+            + b"ANIM" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_webp(anim)
+    # and a REAL lossy stream from the reference encoder
+    try:
+        lib = _libwebp()
+    except BaseException:
+        return
+    px = np.random.default_rng(3).integers(0, 256, size=(16, 16, 3)).astype(
+        np.uint8)
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        decode_webp(_lw_encode(lib, px, lossless=False))
+
+
+def test_corrupt_streams_raise_value_error():
+    px = np.random.default_rng(5).integers(0, 256, size=(9, 11, 3)).astype(
+        np.uint8)
+    good = encode_webp(px)
+    with pytest.raises(ValueError, match="signature"):
+        decode_webp(b"XXXX" + good[4:])
+    with pytest.raises(ValueError, match="truncated|corrupt|image data"):
+        decode_webp(good[:-6])
+    bad = bytearray(good)
+    bad[30:] = b"\xff" * (len(bad) - 30)  # trash the entropy stream
+    with pytest.raises(ValueError):
+        decode_webp(bytes(bad))
+
+
+def test_decode_image_integration_and_validate_taxonomy(spark):
+    """fmt='webp' through the engine surfaces: decode_image round
+    trip + dimension check, validate_images classifying valid VP8L as
+    ok, lossy VP8 as CodecUnavailable, bad signature and corrupt
+    stream as their taxonomy rows, mp4 as the codec-less class."""
+    from segment_rtree_spark.imageio import phash64
+    from segment_rtree_spark.operators.images import validate_images
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(12, 15, 3)).astype(np.uint8)
+    buf = encode_webp(px)
+    assert (decode_image(buf, "webp", 15, 12) == px).all()
+    with pytest.raises(ValueError, match="metadata"):
+        decode_image(buf, "webp", 16, 12)
+
+    vp8 = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+           + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    corrupt = bytearray(buf)
+    corrupt[30:] = b"\xff" * (len(corrupt) - 30)
+    rows = [
+        ("w0", buf, "webp", 15, 12, phash64(px)),
+        ("w1", vp8, "webp", 15, 12, None),
+        ("w2", b"\x00" * 8 + buf[8:], "webp", 15, 12, None),
+        ("w3", bytes(corrupt), "webp", 15, 12, None),
+        ("w4", buf, "mp4", 15, 12, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int, phash long"
+    )
+    got = {r["image_id"]: r for r in validate_images(df, check_phash=True).collect()}
+    assert got["w0"]["ok"] and got["w0"]["err_code"] is None
+    assert got["w1"]["err_code"] == "CodecUnavailable"
+    assert got["w2"]["err_code"] == "BadSignature"
+    assert got["w3"]["err_code"] == "CorruptStream"
+    assert got["w4"]["err_code"] == "CodecUnavailable"
+
+
+def test_resize_reencodes_webp(spark):
+    from segment_rtree_spark.operators.images import resize_images
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"image_id": ["a"], "bytes": [encode_webp(px)], "w": np.int32(16),
+         "h": np.int32(16), "fmt": "webp"}
+    )
+    out = resize_images(spark.createDataFrame(pdf), 8, 8, fmt="webp").collect()
+    assert out[0]["fmt"] == "webp"
+    got = decode_webp(bytes(out[0]["bytes"]))
+    assert got.shape == (8, 8, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    src = {tuple(c) for c in px.reshape(-1, 3)}
+    assert all(tuple(c) in src for c in got.reshape(-1, 3))
