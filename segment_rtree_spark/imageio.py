@@ -36,6 +36,8 @@ import zlib
 
 import numpy as np
 
+from .codec_errors import DimensionMismatchError
+
 __all__ = [
     "encode_raw",
     "encode_png",
@@ -208,7 +210,7 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "jpeg":
         from .jpegio import decode_jpeg
 
-        return decode_jpeg(buf)
+        return decode_jpeg(buf, expect=(w, h))
     if fmt == "bmp":
         return _decode_bmp(buf, w, h)
     if fmt == "gif":
@@ -218,9 +220,9 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "webp":
         from .webp import decode_webp
 
-        px = decode_webp(buf)
+        px = decode_webp(buf, expect=(w, h))
         if px.shape != (h, w, 3):
-            raise ValueError(
+            raise DimensionMismatchError(
                 f"WEBP {px.shape[1]}x{px.shape[0]} != metadata {w}x{h}"
             )
         return px
@@ -252,7 +254,7 @@ def _decode_bmp(buf: bytes, w: int, h: int) -> np.ndarray:
     top_down = bh_ < 0
     bh = -bh_ if top_down else bh_
     if (bw_, bh) != (w, h):
-        raise ValueError(f"BMP {bw_}x{bh} != metadata {w}x{h}")
+        raise DimensionMismatchError(f"BMP {bw_}x{bh} != metadata {w}x{h}")
     if bpp in (1, 4, 8):
         pal = _bmp_palette(buf, hdr_size, bpp, clr_used)
         if compression == 0:
@@ -403,7 +405,7 @@ def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
 
     tw, th = one(256), one(257)
     if (tw, th) != (w, h):
-        raise ValueError(f"TIFF {tw}x{th} != metadata {w}x{h}")
+        raise DimensionMismatchError(f"TIFF {tw}x{th} != metadata {w}x{h}")
     compression = one(259, 1)
     photometric = one(262)
     spp = one(277, 1)
@@ -424,21 +426,37 @@ def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip layout")
     data = bytearray()
+    # bounded inflate: the dims are already pinned to the table
+    # metadata, so the decompressed total is known (plus slack for
+    # writers that pad the last strip to full rows-per-strip) — a
+    # compression bomb strip is rejected at the cap instead of
+    # exhausting executor memory
+    need = w * h * spp
+    cap = need + 65536
     for o, c in zip(offsets, counts):
         if o + c > len(buf):
             raise ValueError("truncated TIFF strip")
         strip = buf[o : o + c]
+        room = cap - len(data)
         if compression in (8, 32946):
+            d = zlib.decompressobj()
             try:
-                strip = zlib.decompress(strip)
+                strip = d.decompress(strip, room + 1)
             except zlib.error as e:
                 raise ValueError(f"corrupt TIFF Deflate strip: {e}") from e
+            if len(strip) <= room and not d.eof:
+                # output stopped before the trailer without hitting
+                # the cap: truncated/unterminated deflate stream
+                raise ValueError(
+                    "corrupt TIFF Deflate strip: truncated stream"
+                )
         elif compression == 5:
-            strip = _tiff_lzw(strip)
+            strip = _tiff_lzw(strip, limit=room + 1)
         elif compression == 32773:
-            strip = _packbits(strip)
+            strip = _packbits(strip, limit=room + 1)
         data += strip
-    need = w * h * spp
+        if len(data) > cap:
+            raise ValueError("TIFF strips inflate beyond the pixel-data size")
     if len(data) < need:
         raise ValueError("TIFF strips short of pixels")
     px = np.frombuffer(bytes(data[:need]), np.uint8).reshape(h, w, spp)
@@ -451,11 +469,14 @@ def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
     return px[:, :, :3]  # RGBA: strip alpha
 
 
-def _tiff_lzw(data: bytes) -> bytes:
+def _tiff_lzw(data: bytes, limit: int | None = None) -> bytes:
     """TIFF-flavor LZW -> bytes: the MSB-first variant of the GIF core
     (_gif_lzw) with fixed 8-bit roots, CLEAR=256/EOI=257, and the
     spec's 'early change' — the code width bumps one entry EARLIER
-    than the table fills (TIFF 6.0 §13). Per-strip streams."""
+    than the table fills (TIFF 6.0 §13). Per-strip streams. `limit`
+    caps the output (LZW expands up to ~4000x, so the caller's
+    pixel-count bound is the only thing standing between a small
+    malicious strip and a multi-GB allocation)."""
     clear, eoi = 256, 257
     base = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base)
@@ -495,14 +516,17 @@ def _tiff_lzw(data: bytes) -> bytes:
         else:
             raise ValueError("corrupt TIFF LZW code")
         out += entry
+        if limit is not None and len(out) > limit:
+            raise ValueError("TIFF LZW output exceeds the pixel-data size")
         prev = entry
         if len(table) == (1 << cs) - 1 and cs < 12:  # early change
             cs += 1
 
 
-def _packbits(data: bytes) -> bytes:
+def _packbits(data: bytes, limit: int | None = None) -> bytes:
     """Apple PackBits -> bytes (TIFF 6.0 §9): n<128 -> n+1 literals,
-    n>128 -> 257-n repeats of the next byte, n==128 no-op."""
+    n>128 -> 257-n repeats of the next byte, n==128 no-op. `limit`
+    caps the output (repeat runs expand up to 128x)."""
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -519,6 +543,8 @@ def _packbits(data: bytes) -> bytes:
                 raise ValueError("truncated PackBits repeat run")
             out += bytes([data[i]]) * (257 - b)
             i += 1
+        if limit is not None and len(out) > limit:
+            raise ValueError("PackBits output exceeds the pixel-data size")
     return bytes(out)
 
 
@@ -682,10 +708,22 @@ def _gif_canvas_frames(buf: bytes):
 
 def _decode_gif(buf: bytes, w: int, h: int) -> np.ndarray:
     """GIF -> first frame composited on the logical screen (animated
-    GIFs: use sample_video_frames for the full frame stream)."""
-    W, H, frames = _gif_canvas_frames(buf)
-    if (W, H) != (w, h):
-        raise ValueError(f"GIF {W}x{H} != metadata {w}x{h}")
+    GIFs: use sample_video_frames for the full frame stream).
+
+    The logical-screen dims are peeked from the fixed header and
+    checked against the table metadata BEFORE _gif_canvas_frames
+    allocates the canvas: the header fields are 16-bit, so a corrupt
+    stream could otherwise demand a ~12 GB canvas from four flipped
+    bytes (frame sub-rects are bounded by the canvas inside
+    _parse_gif, so this one check bounds every allocation)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("missing GIF signature")
+    if len(buf) < 10:
+        raise ValueError("truncated GIF header")
+    W0, H0 = struct.unpack_from("<HH", buf, 6)
+    if (W0, H0) != (w, h):
+        raise DimensionMismatchError(f"GIF {W0}x{H0} != metadata {w}x{h}")
+    _W, _H, frames = _gif_canvas_frames(buf)
     return frames[0]
 
 
@@ -698,6 +736,21 @@ _PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
 # Adam7 pass grid: (x0, y0, dx, dy) per pass
 _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_raw_size(w: int, h: int, depth: int, samples: int,
+                  interlace: int) -> int:
+    """Exact filtered-scanline byte count the IDAT stream must inflate
+    to (per-row filter byte included), for the inflate cap above."""
+    if interlace == 0:
+        return h * (1 + (w * samples * depth + 7) // 8)
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            total += ph * (1 + (pw * samples * depth + 7) // 8)
+    return total
 
 
 def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
@@ -714,7 +767,11 @@ def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
     (the pipeline treats pixels as features, and compositing would
     invent a background color); 16-bit samples keep the high byte
     (the spec's own 8-bit reduction)."""
-    assert buf[:8] == _PNG_SIG, "not a PNG"
+    # a ValueError, not an assert: the signature check is part of the
+    # errors-as-data taxonomy (CorruptStream), must survive python -O,
+    # and AssertionError is outside the validator's named catch set
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("missing PNG signature")
     pos = 8
     idat = bytearray()
     plte = None
@@ -727,7 +784,9 @@ def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
                 ">IIBBBBB", buf, pos + 8
             )
             if (iw, ih) != (w, h):
-                raise ValueError(f"IHDR {iw}x{ih} != metadata {w}x{h}")
+                raise DimensionMismatchError(
+                    f"IHDR {iw}x{ih} != metadata {w}x{h}"
+                )
             if ctype not in _PNG_SAMPLES or depth not in _PNG_DEPTHS[ctype]:
                 raise ValueError(
                     f"invalid PNG depth/type combination {depth}/{ctype}"
@@ -746,7 +805,21 @@ def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     samples = _PNG_SAMPLES[ctype]
-    raw = zlib.decompress(bytes(idat))
+    # bounded inflate: with IHDR dims pinned to the table metadata the
+    # exact filtered-raw size is known up front, so a deflate bomb (a
+    # few KB inflating to GBs) is rejected at the cap instead of
+    # exhausting executor memory — decompression bombs are DATA at
+    # ingest scale, not a crash
+    expected = _png_raw_size(w, h, depth, samples, interlace)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError("PNG IDAT inflates beyond the pixel-data size")
+    if not d.eof:
+        # max_length skips the trailer when output stops early, so a
+        # truncated/unterminated stream must be flagged explicitly —
+        # plain zlib.decompress would have raised here
+        raise ValueError("PNG IDAT truncated or unterminated")
 
     scale_gray = ctype == 0 and depth < 8  # palette indices stay raw
     if interlace == 0:

@@ -50,6 +50,8 @@ import struct
 
 import numpy as np
 
+from .codec_errors import DimensionMismatchError
+
 __all__ = ["encode_jpeg", "decode_jpeg", "JpegError", "JPEG_SOI"]
 
 JPEG_SOI = b"\xff\xd8"
@@ -440,6 +442,15 @@ def _decode_tables(bits, vals, ac: bool = False):
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
+    if not ac and any(v > 15 for v in vals):
+        # DC symbols are magnitude CATEGORIES (T.81 F.1.2.1: 0-11 for
+        # 8-bit precision; 15 is the family-wide ceiling). A corrupt
+        # DHT can declare up to 255, and receive(255 bits) builds
+        # Python ints past 2^63 — which escapes the errors-as-data
+        # taxonomy as OverflowError at the np.fromiter boundary
+        # (fuzzer-found). Reject at table build, covering baseline
+        # and progressive decode alike.
+        raise JpegError("invalid DC category in DHT (> 15)")
     sym = [0] * (1 << 16)
     ln = [0] * (1 << 16)
     fbits = np.zeros(1 << 16, np.int64)
@@ -867,7 +878,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
 
 # -- decoder -----------------------------------------------------------
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
+def decode_jpeg(buf: bytes, expect: tuple[int, int] | None = None) -> np.ndarray:
     """JFIF bytes -> uint8[h,w,3].
 
     Baseline-sequential (SOF0/1) and progressive (SOF2) streams decode;
@@ -877,7 +888,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     CodecUnavailable; corrupt streams raise JpegError (CorruptStream).
     The split mirrors the reference's errors-as-data taxonomy
     (errors.rs:5-47: a valid-but-unhandled input is typed apart from a
-    malformed one)."""
+    malformed one).
+
+    `expect=(w, h)` (table metadata, used by every table-level call
+    site) is validated against the SOF dims BEFORE the component
+    planes / progressive coefficient grids are sized from them: SOF
+    carries 16-bit dims, so without the check a corrupt header can
+    demand a ~12 GB allocation from a few flipped bytes — at ingest
+    scale that is an executor OOM, not an errors-as-data row."""
     if len(buf) < 4 or buf[:2] != JPEG_SOI:
         raise JpegError("missing JPEG SOI")
     pos = 2
@@ -950,6 +968,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise JpegError(f"invalid sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, tq))
+            if expect is not None and (ww, hh) != expect:
+                raise DimensionMismatchError(
+                    f"SOF {ww}x{hh} != metadata {expect[0]}x{expect[1]}"
+                )
             sof = (hh, ww, comps)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):

@@ -435,6 +435,7 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    from ..codec_errors import DimensionMismatchError
     from ..imageio import _PNG_SIG as PNG_SIG, phash64
 
     schema = "image_id string, ok boolean, err_code string, err_detail string"
@@ -538,7 +539,11 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             if buf[:2] != JPEG_SOI:
                 return IMG_ERR_BAD_SIGNATURE, "missing JPEG SOI"
             try:
-                px = decode_jpeg(buf)
+                # expect pins SOF dims to the metadata BEFORE plane
+                # allocation — corrupt 16-bit dim fields would
+                # otherwise demand multi-GB buffers (executor OOM,
+                # not an errors-as-data row)
+                px = decode_jpeg(buf, expect=(w, h))
             except NotImplementedError as e:
                 # a VALID T.81 family member this codec declines
                 # (arithmetic, lossless/hierarchical, 12-bit) is a
@@ -546,6 +551,11 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 # png/bmp/gif/tiff branch below; progressive (SOF2)
                 # now DECODES and never lands here
                 return IMG_ERR_CODEC_UNAVAILABLE, str(e)[:80]
+            except DimensionMismatchError as e:
+                # SOF dims disagree with metadata: a metadata defect
+                # in a decodable file, checked pre-allocation (the
+                # subclass must be caught before its ValueError base)
+                return IMG_ERR_DIMENSION_MISMATCH, str(e)[:80]
             except (JpegError, ValueError, IndexError, struct_error) as e:
                 # decode_jpeg raises JpegError for every corruption it
                 # can name; belt-and-braces for slice/unpack shapes a
@@ -575,6 +585,11 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 # corruption — the taxonomy keeps the two apart so a
                 # curation job can route them differently
                 return IMG_ERR_CODEC_UNAVAILABLE, str(e)[:80]
+            except DimensionMismatchError as e:
+                # header dims disagree with metadata (pre-allocation
+                # check in every decoder): metadata defect, not
+                # stream corruption
+                return IMG_ERR_DIMENSION_MISMATCH, str(e)[:80]
             except (zlib.error, ValueError, IndexError, struct_error) as e:
                 return IMG_ERR_CORRUPT_STREAM, str(e)[:80]
         if px.shape != (h, w, 3):

@@ -31,6 +31,8 @@ import struct
 
 import numpy as np
 
+from .codec_errors import DimensionMismatchError
+
 __all__ = ["decode_webp", "encode_webp"]
 
 # code-length-code read order (RFC 9649 §4.6.2.2)
@@ -496,13 +498,22 @@ def _inv_subtract_green(px: np.ndarray) -> np.ndarray:
     return px
 
 
-def _decode_vp8l(payload: bytes) -> np.ndarray:
-    """VP8L chunk payload -> uint8[h,w,3] RGB (alpha stripped)."""
+def _decode_vp8l(payload: bytes, expect=None) -> np.ndarray:
+    """VP8L chunk payload -> uint8[h,w,3] RGB (alpha stripped).
+
+    `expect=(w, h)` (table metadata) is validated against the header
+    dims BEFORE any pixel buffer is sized from them, so a corrupt or
+    adversarial header cannot force a large allocation — the same
+    pre-allocation discipline as the png/bmp/gif/tiff decoders."""
     if not payload or payload[0] != 0x2F:
         raise ValueError("missing VP8L signature byte")
     br = _Bits(payload, 1)
     w = br.read(14) + 1
     h = br.read(14) + 1
+    if expect is not None and (w, h) != expect:
+        raise DimensionMismatchError(
+            f"VP8L {w}x{h} != metadata {expect[0]}x{expect[1]}"
+        )
     br.read(1)  # alpha-is-used hint
     version = br.read(3)
     if version != 0:
@@ -532,10 +543,12 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
     return px[:, :, 1:4].astype(np.uint8)  # ARGB -> RGB
 
 
-def decode_webp(buf: bytes) -> np.ndarray:
+def decode_webp(buf: bytes, expect=None) -> np.ndarray:
     """RIFF/WEBP container -> uint8[h,w,3]. VP8L (lossless) decodes;
     lossy VP8 and animated/extended features decline as
-    NotImplementedError (CodecUnavailable tier)."""
+    NotImplementedError (CodecUnavailable tier). `expect=(w, h)`
+    bounds allocations by the table metadata (checked against the
+    VP8L header before buffers are sized from it)."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("missing WEBP signature")
     pos = 12
@@ -547,7 +560,7 @@ def decode_webp(buf: bytes) -> np.ndarray:
         if len(body) < size:
             raise ValueError("truncated WEBP chunk")
         if fourcc == b"VP8L":
-            return _decode_vp8l(body)
+            return _decode_vp8l(body, expect)
         if fourcc == b"VP8 ":
             raise NotImplementedError(
                 "lossy VP8 webp unsupported (VP8L lossless only)"
