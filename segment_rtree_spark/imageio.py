@@ -131,30 +131,25 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     clear = 1 << min_cs
     end = clear + 1
     cs = min_cs + 1
-    out = bytearray()
-    acc = nb = 0
-
-    def put(code):
-        nonlocal acc, nb
-        acc |= code << nb
-        nb += cs
-        while nb >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nb -= 8
-
-    put(clear)
     budget = (1 << cs) - clear - 2  # table slots before the width bumps
-    used = 0
-    for v in idx:
-        if used == budget:
-            put(clear)
-            used = 0
-        put(int(v))
-        used += 1
-    put(end)
-    if nb:
-        out.append(acc & 0xFF)
+    # Vectorized emit: every code in the literal scheme is exactly cs
+    # bits (the periodic CLEARs keep the decoder's table — and hence
+    # its code width — from ever growing), so the stream is one
+    # fixed-width LSB-first bit-pack of [CLEAR, block, CLEAR, block,
+    # ..., END] with blocks of `budget` literals. Replaces a
+    # per-pixel Python loop.
+    nidx = idx.astype(np.uint32)
+    chunks = [np.array([clear], np.uint32)]
+    for s in range(0, len(nidx), budget):
+        if s:
+            chunks.append(np.array([clear], np.uint32))
+        chunks.append(nidx[s : s + budget])
+    chunks.append(np.array([end], np.uint32))
+    codes = np.concatenate(chunks)
+    bits = ((codes[:, None] >> np.arange(cs)) & 1).astype(np.uint8)
+    # packbits zero-pads the final partial byte, as the spec's
+    # byte-aligned sub-block framing expects
+    out = np.packbits(bits.ravel(), bitorder="little").tobytes()
     gif = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
     gif.append(0x80 | size_bits)
     gif += b"\x00\x00" + table.tobytes()

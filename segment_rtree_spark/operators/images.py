@@ -304,12 +304,23 @@ def _decode_frames(buf: bytes, fmt: str, w: int, h: int):
     if fmt == "gif":
         # animated GIF: full-canvas snapshots composited per frame
         # (do-not-dispose semantics, see imageio._gif_canvas_frames);
-        # emitted as raw so downstream decode is a reshape
+        # emitted as raw so downstream decode is a reshape. Header
+        # dims are peeked BEFORE the canvas allocation (same
+        # pre-allocation guard as imageio._decode_gif: the 16-bit
+        # fields could otherwise demand a ~12 GB canvas)
+        import struct as _struct
+
+        from ..codec_errors import DimensionMismatchError
         from ..imageio import _gif_canvas_frames
 
-        gw, gh, frames = _gif_canvas_frames(buf)
+        if len(buf) < 10 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("missing GIF signature")
+        gw, gh = _struct.unpack_from("<HH", buf, 6)
         if (gw, gh) != (w, h):
-            raise ValueError(f"gif {gw}x{gh} != metadata {w}x{h}")
+            raise DimensionMismatchError(
+                f"gif {gw}x{gh} != metadata {w}x{h}"
+            )
+        _gw, _gh, frames = _gif_canvas_frames(buf)
         return "raw", [f.tobytes() for f in frames]
     raise NotImplementedError(
         f"video codec for fmt={fmt!r} not available in this environment"

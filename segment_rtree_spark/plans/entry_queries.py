@@ -1516,7 +1516,62 @@ from imgs
 """
 
 
+def q_validate_hostile(spark, sf_dir):
+    """Adversarial-metadata validation under the driver gate (round
+    6): the engine's pre-allocation hardening means a decodable
+    stream whose table metadata disagrees with its own header is
+    typed DimensionMismatch at the HEADER (codec_errors.py,
+    DimensionMismatchError — uniform across all six formats), never
+    CorruptStream and never a multi-GB allocation. Deterministic
+    tampering, closed-form expectations: i%4==1 (png rows) metadata
+    w+1 -> DimensionMismatch decided at IHDR; i%4==2 (raw rows)
+    metadata w+1 -> TruncatedPayload on the Catalyst tier (length
+    equation); i%4==3 (png rows) first byte stomped ->
+    BadSignature on the Catalyst tier; i%4==0 stays clean. The
+    Spark side really decodes the tampered streams; the oracle
+    regenerates every verdict (code AND detail string) from
+    range(n) arithmetic."""
+    from ..operators.images import validate_images
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 280)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    hostile = imgs.withColumn(
+        "w", F.when(i % 4 == 1, F.col("w") + 1)
+        .when(i % 4 == 2, F.col("w") + 1)
+        .otherwise(F.col("w")),
+    ).withColumn(
+        "bytes",
+        F.when(
+            i % 4 == 3,
+            F.concat(
+                F.lit(b"\x00"), F.expr("substring(bytes, 2, length(bytes))")
+            ),
+        ).otherwise(F.col("bytes")),
+    )
+    return validate_images(hostile)
+
+
+def _validate_hostile_oracle():
+    from ..synth import ARITH_SIZE as S
+
+    raw_len, raw_want = S * S * 3, (S + 1) * S * 3
+    return f"""
+with imgs as ({_arith_imgs_cte(280)})
+select image_id,
+  (i % 4 = 0) as ok,
+  case when i % 4 = 1 then 'DimensionMismatch'
+       when i % 4 = 2 then 'TruncatedPayload'
+       when i % 4 = 3 then 'BadSignature' end as err_code,
+  case when i % 4 = 1 then 'IHDR {S}x{S} != metadata {S + 1}x{S}'
+       when i % 4 = 2 then '{raw_len} bytes, want {raw_want}'
+       when i % 4 = 3 then 'missing PNG signature' end as err_detail
+from imgs
+"""
+
+
 REGISTRY["validate_images"] = (q_validate_images, _validate_images_oracle)
+REGISTRY["validate_hostile"] = (q_validate_hostile, _validate_hostile_oracle)
 REGISTRY["raster_vector"] = (q_raster_vector, _raster_vector_oracle)
 
 

@@ -734,19 +734,52 @@ def encode_webp(pixels: np.ndarray) -> bytes:
     _write_prefix_code(bw, {0: 1}, 40)  # distance: present but unused
     del alpha  # single-symbol codes emit no bits per pixel
 
-    gc = green.codes()
-    rc = red.codes()
-    bc = blue.codes()
-    flat = px.reshape(-1, 3)
-    for r, g, b in flat:
-        c, l = gc[int(g)]
-        bw.code(c, l)
-        c, l = rc[int(r)]
-        bw.code(c, l)
-        c, l = bc[int(b)]
-        bw.code(c, l)
-        # alpha: single-symbol code, zero bits
-    payload = b"\x2f" + bw.done()
+    # Vectorized literal emission (the hot path — everything above is
+    # O(alphabet), this is O(pixels)). bw.code(c, l) writes the code
+    # MSB-first into the LSB-first stream, which equals an LSB-first
+    # write of the bit-REVERSED code; so per channel build (reversed
+    # code, length) LUTs, lay every symbol's start offset out with one
+    # cumsum, and scatter bit-plane j of all codes at once (<= 15
+    # passes). Replaces a per-pixel Python loop (~30x on 256x256).
+    def _luts(codes_dict, size):
+        code = np.zeros(size, np.uint32)
+        ln = np.zeros(size, np.uint8)
+        for s, (c, l) in codes_dict.items():
+            r = 0
+            for i in range(l):
+                r = (r << 1) | ((c >> i) & 1)
+            code[s] = r
+            ln[s] = l
+        return code, ln
+
+    g_code, g_len = _luts(green.codes(), 256 + 24)
+    r_code, r_len = _luts(red.codes(), 256)
+    b_code, b_len = _luts(blue.codes(), 256)
+    flat = px.reshape(-1, 3).astype(np.int64)
+    n = flat.shape[0]
+    # symbol order per pixel: G, R, B (alpha: single-symbol, zero bits)
+    scode = np.empty(3 * n, np.uint32)
+    slen = np.empty(3 * n, np.int64)
+    for k, (ch, cl, cc) in enumerate(
+        ((1, g_len, g_code), (0, r_len, r_code), (2, b_len, b_code))
+    ):
+        scode[k::3] = cc[flat[:, ch]]
+        slen[k::3] = cl[flat[:, ch]]
+    offs = np.cumsum(slen) - slen
+    head = np.unpackbits(
+        np.frombuffer(bytes(bw.out), np.uint8), bitorder="little"
+    )
+    head = np.concatenate(
+        [head, ((bw.acc >> np.arange(bw.nb)) & 1).astype(np.uint8)]
+    )
+    bits = np.zeros(len(head) + int(slen.sum()), np.uint8)
+    bits[: len(head)] = head
+    base = len(head)
+    for j in range(int(slen.max(initial=0))):
+        m = slen > j
+        bits[base + offs[m] + j] = (scode[m] >> j) & 1
+    # np.packbits zero-pads the final partial byte, same as bw.done()
+    payload = b"\x2f" + np.packbits(bits, bitorder="little").tobytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"

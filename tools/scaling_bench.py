@@ -49,7 +49,8 @@ def prepare_input(n):
 def run(cores, path=INPUT):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"), str(cores), path],
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True,
+        timeout=int(os.environ.get("SCALING_TIMEOUT", "1200")),
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -76,14 +77,21 @@ JOB_DEDUP = ("scan parquet -> phash_neardup_pairs(max_hamming=8): banded "
              "self-join with adaptive two-sided tiling — a wide-shuffle "
              "profile (exchange on (band,bkey) + sizing pass) vs the PIP "
              "job's broadcast profile")
+JOB_ANN = ("synth 1M x 64-dim vectors -> ann_topk(k=5, kernel refine): "
+           "sign-LSH bucketing then cogrouped BLAS score matrices per "
+           "bucket — a third shuffle/memory shape (narrow exchange on "
+           "bucket key, dense per-bucket O(b^2) compute + top-k heap) "
+           "vs the PIP broadcast and the dedup wide band join")
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
-    if not os.path.exists(INPUT):
-        prepare_input(n)
     mode = os.environ.get("SCALING_MODE", "strong")
     job = os.environ.get("SCALING_JOB", "pip")  # threads through to workers
+    # the ann profile synthesises its own vector corpus in-worker; the
+    # image parquet is only needed by the pip/dedup jobs
+    if job != "ann" and not os.path.exists(INPUT):
+        prepare_input(n)
 
     if mode == "weak":
         # Weak scaling: work per core held constant (quarter input on N
@@ -148,7 +156,7 @@ def main():
             )
         eff = round(median(p["efficiency"] for p in pairs), 3)
         summary = {
-            "job": JOB_DEDUP if job == "dedup" else JOB,
+            "job": {"dedup": JOB_DEDUP, "ann": JOB_ANN}.get(job, JOB),
             "parallelism": {"N": CORES_N, "4N": CORES_4N},
             "n_images": pairs[0]["local4N"]["n_images"],
             "pairs": pairs,
@@ -160,19 +168,22 @@ def main():
         out = os.path.join(REPO, "BENCH", "scaling.json")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # scaling.json holds the PIP record at top level plus one entry per
-    # alternate job profile — a dedup run must not clobber the PIP
+    # alternate job profile — a dedup/ann run must not clobber the PIP
     # record and vice versa
+    ALT_KEYS = {"dedup": "dedup_job", "ann": "ann_job"}
     if out.endswith("scaling.json"):
         existing = {}
         if os.path.exists(out):
             with open(out) as f:
                 existing = json.load(f)
-        if job == "dedup":
-            existing.pop("dedup_job", None)
-            existing["dedup_job"] = summary
+        if job in ALT_KEYS:
+            existing.pop(ALT_KEYS[job], None)
+            existing[ALT_KEYS[job]] = summary
             summary = existing
-        elif "dedup_job" in existing:
-            summary["dedup_job"] = existing["dedup_job"]
+        else:
+            for key in ALT_KEYS.values():
+                if key in existing:
+                    summary[key] = existing[key]
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

@@ -48,22 +48,55 @@ def main():
     # join. The warmup touches every core.
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    imgs = spark.read.parquet(path)
+    job = os.environ.get("SCALING_JOB", "pip")
+    if job == "ann":
+        # the cogrouped-BLAS-refine profile needs a vector corpus, not
+        # the image parquet: the same deterministic hash-component
+        # synthesis bench.py uses, at 1M x 64-dim (auto n_bits ~12 ->
+        # ~4096 buckets of ~256). Per-bucket score matrices give this
+        # job a shuffle/memory shape unlike both the PIP broadcast and
+        # the dedup band join.
+        from pyspark.sql import functions as F
 
-    def ident(batches):
-        for pdf in batches:
-            yield pdf[["phash"]]
+        n = int(os.environ.get("SCALING_VECS", "1000000"))
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), "
+                "d -> cast(pmod(xxhash64(id * 64 + d), 1000) as double) / 500.0 - 1.0)"
+            ).alias("embedding"),
+        )
 
-    imgs.select("phash").repartition(cores * 2).mapInPandas(ident, "phash long").count()
+        def _warm(batches):
+            for pdf in batches:
+                yield pdf
 
-    n = imgs.count()
+        spark.range(cores * 2).repartition(cores * 2).mapInPandas(
+            _warm, "id long"
+        ).count()
+    else:
+        imgs = spark.read.parquet(path)
+
+        def ident(batches):
+            for pdf in batches:
+                yield pdf[["phash"]]
+
+        imgs.select("phash").repartition(cores * 2).mapInPandas(
+            ident, "phash long"
+        ).count()
+        n = imgs.count()
     runs = []
     n_pairs = 0
     reps = int(os.environ.get("SCALING_REPS", "3"))
-    job = os.environ.get("SCALING_JOB", "pip")
     for _ in range(reps):
         t0 = time.time()
-        if job == "dedup":
+        if job == "ann":
+            from segment_rtree_spark.operators.embed import ann_topk
+
+            n_pairs = ann_topk(
+                vecs, k=5, target_bucket=256, refine="kernel"
+            ).count()
+        elif job == "dedup":
             # the band-join profile: explode -> shuffle on (band, bkey)
             # -> sizing pass -> tiled self-join -> exact Hamming filter.
             # A different shuffle/memory shape than the PIP job (wide
