@@ -39,6 +39,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "phash_neardup_pairs",
     "phash_neardup_against",
+    "crossmodal_neardup_pairs",
 ]
 
 # (a, b) parameters for the k minhash permutations h_i = (a*h + b) % P
@@ -1091,8 +1092,18 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
                         n_bands: int = 4,
                         hot_threshold: int | None = 4096,
                         max_bucket: int | None = None,
-                        drop_observation=None) -> DataFrame:
+                        drop_observation=None,
+                        partition_col: str | None = None) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance.
+
+    `partition_col` (a non-negative < 2^31 long column, e.g. a caption
+    fingerprint) is folded into every band bucket key: rows can only
+    pair within equal values, the fold costs nothing (one shift-or in
+    the existing key expression), hot phash buckets are SPLIT by the
+    partition value before the skew guard ever sees them, and the
+    first-collision-band dedup stays sound (the fold is uniform
+    across bands). This is how crossmodal_neardup_pairs gets joint
+    caption+image semantics without intersecting two pair streams.
 
     Band trick: split the 64-bit hash into n_bands equal bands; by
     pigeonhole any pair within Hamming <= max_hamming shares an
@@ -1139,11 +1150,19 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
     # cached relation (measured 5-10x on a full-width 3M-image cache —
     # the pixel bytes column rode through the explode), and the
     # operator only ever needs (id, phash)
-    images = images.select(id_col, phash)
+    cols = [id_col, phash] + ([partition_col] if partition_col else [])
+    images = images.select(*cols)
     keys = [
         F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask))
         for b in range(n_bands)
     ]
+    if partition_col is not None:
+        # (fp << width) | band_key: fp < 2^31 and width <= 32 keep the
+        # folded key inside a signed 64-bit long
+        keys = [
+            F.shiftleft(F.col(partition_col), width).bitwiseOR(k)
+            for k in keys
+        ]
     entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1186,3 +1205,64 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
         .select("id_a", "id_b", "hamming")
     )
     return out.distinct() if max_bucket is not None else out
+
+
+def crossmodal_neardup_pairs(images: DataFrame, max_hamming: int = 8,
+                             id_col: str = "image_id",
+                             phash: str = "phash",
+                             caption: str = "caption",
+                             n_bands: int = 4,
+                             hot_threshold: int | None = 4096,
+                             max_bucket: int | None = None,
+                             drop_observation=None) -> DataFrame:
+    """Joint caption+image near-duplicates over the image+caption
+    table: pairs whose captions are IDENTICAL and whose phash Hamming
+    distance is <= max_hamming — the classic web-crawl duplicate
+    (same alt-text, re-encoded/resized image), which neither modality
+    catches alone (exact caption dedup keeps both copies when the
+    bytes differ; phash dedup alone merges distinct items that happen
+    to look alike). Output: (id_a, id_b, hamming, <caption>).
+
+    Scale design: the caption's rolling-hash fingerprint (the same
+    Catalyst fold as text.with_fingerprint, < 2^31) is folded into
+    every phash band bucket key via `partition_col`, so
+      * cross-caption pairs never enter the candidate stream (vs
+        intersecting two independently generated pair sets, which
+        pays both full self-joins);
+      * hot phash buckets (near-identical imagery) are split by
+        caption BEFORE the skew guard sizes them — the tiling /
+        max_bucket machinery then only sees same-caption crowds;
+      * the one extra cost is a shift-or inside the existing band
+        key expression: no extra shuffle, no extra scan.
+    Fingerprint equality is necessary but not sufficient (mod-2^31
+    collisions), so exact caption equality is verified by joining
+    captions back onto the CANDIDATE stream — paid per candidate
+    pair, not per input row.
+    """
+    from .text import with_fingerprint
+
+    fp = with_fingerprint(
+        images.select(id_col, phash, caption), text=caption, out="_cap_fp"
+    )
+    pairs = phash_neardup_pairs(
+        fp, max_hamming=max_hamming, id_col=id_col, phash=phash,
+        n_bands=n_bands, hot_threshold=hot_threshold,
+        max_bucket=max_bucket, drop_observation=drop_observation,
+        partition_col="_cap_fp",
+    )
+    caps = images.select(id_col, caption)
+    return (
+        pairs
+        .join(
+            caps.select(F.col(id_col).alias("id_a"),
+                        F.col(caption).alias("_cap_a")),
+            "id_a",
+        )
+        .join(
+            caps.select(F.col(id_col).alias("id_b"),
+                        F.col(caption).alias("_cap_b")),
+            "id_b",
+        )
+        .filter(F.col("_cap_a") == F.col("_cap_b"))
+        .select("id_a", "id_b", "hamming", F.col("_cap_a").alias(caption))
+    )

@@ -1570,8 +1570,59 @@ from imgs
 """
 
 
+def q_crossmodal_neardup(spark, sf_dir):
+    """Joint caption+image near-dup pairs (round 6): identical caption
+    AND phash Hamming <= 8, generated in ONE banded self-join whose
+    bucket keys fold in the caption fingerprint (cross-caption pairs
+    never enter the candidate stream; hot phash buckets are split by
+    caption before the skew guard sizes them), with exact caption
+    equality verified on the candidate stream. Corpus: 97 caption
+    groups over 1000 arith images with closed-form phashes whose
+    within-group xor lives in the low 4 bits — so bands 1-3 always
+    collide and the oracle's plain within-caption Hamming join is the
+    COMPLETE answer (full recall by construction), making this an
+    exact-match gate, not a recall estimate."""
+    from ..operators.dedup import crossmodal_neardup_pairs
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 1000)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    corpus = (
+        imgs.withColumn("_i", i)
+        .withColumn(
+            "caption", F.expr("concat('cap ', cast(_i % 97 as string))")
+        )
+        .withColumn(
+            "phash",
+            F.expr("cast((_i % 97) * 2654435761 as long) ^ (_i div 97)"),
+        )
+        .drop("_i")
+    )
+    return crossmodal_neardup_pairs(corpus, max_hamming=8)
+
+
+def _crossmodal_neardup_oracle():
+    return f"""
+with imgs as ({_arith_imgs_cte(1000)}),
+m as (
+  select i, image_id,
+         'cap ' || cast(i % 97 as varchar) as caption,
+         xor((i % 97) * 2654435761, i // 97) as ph
+  from imgs
+)
+select a.image_id as id_a, b.image_id as id_b,
+       cast(bit_count(xor(a.ph, b.ph)) as int) as hamming,
+       a.caption as caption
+from m a join m b on a.caption = b.caption and a.i < b.i
+where bit_count(xor(a.ph, b.ph)) <= 8
+"""
+
+
 REGISTRY["validate_images"] = (q_validate_images, _validate_images_oracle)
 REGISTRY["validate_hostile"] = (q_validate_hostile, _validate_hostile_oracle)
+REGISTRY["crossmodal_neardup"] = (
+    q_crossmodal_neardup, _crossmodal_neardup_oracle
+)
 REGISTRY["raster_vector"] = (q_raster_vector, _raster_vector_oracle)
 
 

@@ -546,3 +546,78 @@ def test_phash_band_stats_matches_bruteforce(spark):
     assert {k: v[0] for k, v in got.items()} == dict(want)
     for k, (n, trunc) in got.items():
         assert trunc == (n > 20)
+
+
+def test_crossmodal_neardup_matches_bruteforce(spark):
+    """crossmodal_neardup_pairs == brute force (identical caption AND
+    hamming <= t) on a random corpus with duplicate captions. The
+    corpus confines within-caption xors to the low bits of band 0, so
+    banding has full recall and the brute-force set is the complete
+    semantic answer."""
+    import itertools
+
+    import numpy as np
+
+    from segment_rtree_spark.operators.dedup import crossmodal_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        g = i % 23
+        base = int(rng.integers(0, 1 << 60)) if g == 0 and i < 23 else None
+        rows.append((f"im{i:04d}", f"caption {g}",
+                     (int(np.random.default_rng(g).integers(0, 1 << 60))
+                      ^ int(rng.integers(0, 16)))))
+    df = spark.createDataFrame(rows, "image_id string, caption string, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"], r["caption"])
+        for r in crossmodal_neardup_pairs(df, max_hamming=8).collect()
+    }
+    want = set()
+    for (ia, ca, pa), (ib, cb, pb) in itertools.combinations(rows, 2):
+        if ca == cb:
+            h = bin(pa ^ pb).count("1")
+            if h <= 8:
+                a, b = sorted((ia, ib))
+                want.add((a, b, h, ca))
+    got_norm = {(min(a, b), max(a, b), h, c) for a, b, h, c in got}
+    assert got_norm == want and len(want) > 50
+
+
+def test_crossmodal_fingerprint_collision_excluded(spark):
+    """'bA' and 'a`' share the rolling-hash fingerprint (98*31+65 ==
+    97*31+96 == 3103): the folded band keys collide, so the pair
+    ENTERS the candidate stream — the exact-caption verify must drop
+    it. Same phash makes hamming 0, the easiest pair to admit."""
+    from segment_rtree_spark.operators.text import with_fingerprint
+    from segment_rtree_spark.operators.dedup import crossmodal_neardup_pairs
+
+    rows = [("x1", "bA", 7), ("x2", "a`", 7), ("x3", "bA", 6)]
+    df = spark.createDataFrame(rows, "image_id string, caption string, phash long")
+    fps = {r["caption"]: r["fp"]
+           for r in with_fingerprint(df, text="caption", out="fp").collect()}
+    assert fps["bA"] == fps["a`"]  # the premise: a real collision
+    got = [(r["id_a"], r["id_b"], r["hamming"], r["caption"])
+           for r in crossmodal_neardup_pairs(df, max_hamming=8).collect()]
+    # only the same-caption pair survives; the collision pair is gone
+    assert got == [("x1", "x3", 1, "bA")]
+
+
+def test_partition_fold_wide_bands(spark):
+    """partition_col with n_bands=2 (32-bit band keys): the (fp <<
+    width) | key fold must stay inside a signed long at the widest
+    band setting (fp < 2^31, width 32 -> 63 bits)."""
+    from segment_rtree_spark.operators.dedup import crossmodal_neardup_pairs
+
+    rows = [
+        ("a1", "same cap", (1 << 59) ^ 3),
+        ("a2", "same cap", (1 << 59) ^ 5),
+        ("b1", "other cap", (1 << 59) ^ 3),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string, phash long")
+    got = crossmodal_neardup_pairs(df, max_hamming=8, n_bands=2).collect()
+    # phashes differ by 3^5 = 0b110 -> hamming 2; the cross-caption
+    # row shares a1's exact phash but must not pair
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [
+        ("a1", "a2", 2)
+    ]
