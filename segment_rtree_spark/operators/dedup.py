@@ -40,6 +40,7 @@ __all__ = [
     "phash_neardup_pairs",
     "phash_neardup_against",
     "crossmodal_neardup_pairs",
+    "crossmodal_neardup_against",
 ]
 
 # (a, b) parameters for the k minhash permutations h_i = (a*h + b) % P
@@ -410,24 +411,30 @@ def lsh_bucket_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text"
 
 def phash_band_stats(images: DataFrame, id_col: str = "image_id",
                      phash: str = "phash", n_bands: int = 4,
-                     max_bucket: int | None = None) -> DataFrame:
+                     max_bucket: int | None = None,
+                     partition_col: str | None = None) -> DataFrame:
     """Per-band-bucket size monitor for the phash joins: (band, bkey,
     bucket_n, truncated) — the image twin of lsh_bucket_stats. Run it
     alongside a capped phash_neardup_against (or let the streaming
     wrappers run it for you at query build) to see exactly which
-    mega-buckets a max_bucket cap drops."""
+    mega-buckets a max_bucket cap drops. `partition_col` folds into
+    the keys exactly as the join operators do, so the stats count the
+    buckets the capped join will actually see."""
     if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
         raise ValueError(
             f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
         )
     width = 64 // n_bands
     mask = (1 << width) - 1
+
+    def bkey(b):
+        k = F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask))
+        if partition_col is not None:
+            k = F.shiftleft(F.col(partition_col), width).bitwiseOR(k)
+        return k
+
     entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col(phash), b * width)
-            .bitwiseAND(F.lit(mask)).alias("bkey"),
-        )
+        F.struct(F.lit(b).alias("band"), bkey(b).alias("bkey"))
         for b in range(n_bands)
     ]
     stats = (
@@ -640,7 +647,9 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
                           n_bands: int = 4,
                           max_bucket: int | None = None,
                           hot_threshold: int = 4096,
-                          drop_observation=None) -> DataFrame:
+                          drop_observation=None,
+                          partition_col: str | None = None,
+                          verify_col: str | None = None) -> DataFrame:
     """Incremental image near-dup: (new_id, corpus_id, hamming) pairs
     within the Hamming ball, candidates from the same band split as
     phash_neardup_pairs but joined new-batch-vs-corpus — the ingest
@@ -670,7 +679,18 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
     side's capped drops: filled eagerly at operator build (the corpus
     side is static even under a streaming new_images frame, so the
     one sizing job is always legal), observation.get is ready as soon
-    as the call returns — see _cap_buckets."""
+    as the call returns — see _cap_buckets.
+
+    `partition_col` folds a non-negative < 2^31 long column into every
+    band bucket key on BOTH sides (pairs only within equal values —
+    see phash_neardup_pairs). `verify_col` is carried through the band
+    join on both sides and the output keeps only rows where the two
+    sides' values are EQUAL, emitting it as a column; it rides the
+    exploded frames (n_bands x replication) because joining captions
+    back onto the pair stream would be a stream-stream join when
+    new_images is streaming — carry-through is the stream-safe
+    verify. Together these give crossmodal_neardup_against its joint
+    caption+image semantics."""
     if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
         raise ValueError(
             f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
@@ -679,11 +699,22 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
     mask = (1 << width) - 1
 
     def banded(images, side):
-        images = images.select(id_col, phash)  # prune before the Generate
+        cols = [id_col, phash]  # prune before the Generate
+        if partition_col is not None:
+            cols.append(partition_col)
+        if verify_col is not None and verify_col not in cols:
+            cols.append(verify_col)
+        images = images.select(*cols)
         keys = [
             F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask))
             for b in range(n_bands)
         ]
+        if partition_col is not None:
+            # (fp << width) | band_key stays inside a signed long
+            keys = [
+                F.shiftleft(F.col(partition_col), width).bitwiseOR(k)
+                for k in keys
+            ]
         entries = [
             F.struct(
                 F.lit(b).alias("band"), keys[b].alias("bkey"),
@@ -691,13 +722,19 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
             )
             for b in range(n_bands)
         ]
+        carry = (
+            [F.col(verify_col).alias(f"vc_{side}")]
+            if verify_col is not None else []
+        )
         return images.select(
-            F.col(id_col), F.col(phash), F.explode(F.array(*entries)).alias("e")
+            F.col(id_col), F.col(phash), *([verify_col] if carry else []),
+            F.explode(F.array(*entries)).alias("e"),
         ).select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(phash).alias(f"ph_{side}"),
             F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"),
             F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys"),
+            *carry,
         )
 
     streaming = new_images.isStreaming
@@ -708,11 +745,18 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
     xor = F.col("ph_new").bitwiseXOR(F.col("ph_corpus"))
 
     def verify(joined):
-        return (
-            joined.withColumn("hamming", F.bit_count(xor))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("new_id", "corpus_id", "hamming")
+        out = joined.withColumn("hamming", F.bit_count(xor)).filter(
+            F.col("hamming") <= max_hamming
         )
+        if verify_col is not None:
+            # exact equality on the carried values: the folded
+            # fingerprint admitted the candidate, the value decides
+            out = out.filter(F.col("vc_new") == F.col("vc_corpus"))
+            return out.select(
+                "new_id", "corpus_id", "hamming",
+                F.col("vc_new").alias(verify_col),
+            )
+        return out.select("new_id", "corpus_id", "hamming")
 
     if streaming:
         joined = a.alias("a").join(b.alias("b"), ["band", "bkey"])
@@ -1265,4 +1309,45 @@ def crossmodal_neardup_pairs(images: DataFrame, max_hamming: int = 8,
         )
         .filter(F.col("_cap_a") == F.col("_cap_b"))
         .select("id_a", "id_b", "hamming", F.col("_cap_a").alias(caption))
+    )
+
+
+def crossmodal_neardup_against(new_images: DataFrame, corpus: DataFrame,
+                               max_hamming: int = 8,
+                               id_col: str = "image_id",
+                               phash: str = "phash",
+                               caption: str = "caption",
+                               n_bands: int = 4,
+                               max_bucket: int | None = None,
+                               hot_threshold: int = 4096,
+                               drop_observation=None) -> DataFrame:
+    """Incremental joint caption+image near-dup: (new_id, corpus_id,
+    hamming, <caption>) pairs where the arriving image's caption
+    EQUALS a kept image's caption and the phashes are within the
+    Hamming ball — the ingest filter form of crossmodal_neardup_pairs
+    ("is this incoming image+caption pair a re-encode of something we
+    already keep?").
+
+    Same scale design as the batch form: the caption fingerprint
+    folds into the band bucket keys on both sides (cross-caption
+    candidates never exist; hot corpus buckets are caption-split
+    before the cap/tiling guard sees them). Exact caption equality is
+    verified via carry-through (`verify_col`), not a join-back,
+    because `new_images` may be a STREAMING frame (this is what
+    streaming_crossmodal_matches passes) and joining captions back
+    onto the pair stream would be a stream-stream join.
+    """
+    from .text import with_fingerprint
+
+    def fp(df):
+        return with_fingerprint(
+            df.select(id_col, phash, caption), text=caption, out="_cap_fp"
+        )
+
+    return phash_neardup_against(
+        fp(new_images), fp(corpus), max_hamming=max_hamming,
+        id_col=id_col, phash=phash, n_bands=n_bands,
+        max_bucket=max_bucket, hot_threshold=hot_threshold,
+        drop_observation=drop_observation,
+        partition_col="_cap_fp", verify_col=caption,
     )

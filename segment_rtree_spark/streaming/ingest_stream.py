@@ -23,12 +23,17 @@ import logging
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.dedup import lsh_pairs_against, phash_neardup_against
+from ..operators.dedup import (
+    crossmodal_neardup_against,
+    lsh_pairs_against,
+    phash_neardup_against,
+)
 
 log = logging.getLogger(__name__)
 
 __all__ = [
     "streaming_neardup_matches",
+    "streaming_crossmodal_matches",
     "streaming_text_matches",
     "streaming_embed_matches",
     "streaming_ingest_pass_through",
@@ -123,6 +128,59 @@ def streaming_neardup_matches(
         max_hamming=max_hamming,
         id_col=id_col,
         phash=phash,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+    )
+
+
+def streaming_crossmodal_matches(
+    stream_images: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "image_id",
+    phash: str = "phash",
+    caption: str = "caption",
+    n_bands: int = 4,
+    max_bucket: int | str | None = "auto",
+    warn_drops: bool = True,
+) -> DataFrame:
+    """(new_id, corpus_id, hamming, <caption>) append stream of joint
+    caption+image near-dups vs the kept corpus — the streaming form of
+    crossmodal_neardup_against (identical rows to the batch operator
+    over the same input set; asserted stream==batch in tests).
+
+    Stays stateless/append-only like streaming_neardup_matches: the
+    caption fingerprint folds into the stream-static band join's
+    bucket keys, and the exact-caption verify is a carried-column
+    filter, not a join-back (a join-back onto the pair stream would be
+    stream-stream). The corpus-side `max_bucket` guard ('auto' =
+    corpus-scaled, see _auto_cap) caps band buckets AFTER the caption
+    split — so a hot bucket here means many near-identical images
+    under ONE caption, the precise pile exact dedup should have
+    collapsed upstream.
+    """
+    if max_bucket == "auto":
+        max_bucket = _auto_cap(corpus)
+    if warn_drops and max_bucket is not None:
+        from ..operators.dedup import phash_band_stats
+        from ..operators.text import with_fingerprint
+
+        # stats over the caption-split keys the join actually uses:
+        # fold the fingerprint exactly as the operator will
+        fp = with_fingerprint(
+            corpus.select(id_col, phash, caption), text=caption, out="_fp"
+        )
+        _warn_drops(
+            phash_band_stats(fp, id_col, phash, n_bands, partition_col="_fp"),
+            max_bucket, "streaming_crossmodal_matches",
+        )
+    return crossmodal_neardup_against(
+        stream_images,
+        corpus,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        phash=phash,
+        caption=caption,
         n_bands=n_bands,
         max_bucket=max_bucket,
     )

@@ -621,3 +621,38 @@ def test_partition_fold_wide_bands(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [
         ("a1", "a2", 2)
     ]
+
+
+def test_crossmodal_against_matches_bruteforce(spark):
+    """Incremental crossmodal == brute force (caption equal AND
+    hamming <= t, new x corpus), including a cross-side fingerprint
+    collision that must be generated then rejected by the carried-
+    column verify."""
+    import numpy as np
+
+    from segment_rtree_spark.operators.dedup import crossmodal_neardup_against
+
+    rng = np.random.default_rng(13)
+    mk = lambda n, pre: [
+        (f"{pre}{j:03d}", f"cap {j % 11}",
+         int(np.random.default_rng(j % 11).integers(0, 1 << 60))
+         ^ int(rng.integers(0, 16)))
+        for j in range(n)
+    ]
+    new = mk(60, "n")
+    # collision pair across sides: captions 'bA'/'a`' share fp 3103
+    new.append(("nCOLL", "bA", 12345))
+    corp = mk(80, "c") + [("cCOLL", "a`", 12345)]
+    ndf = spark.createDataFrame(new, "image_id string, caption string, phash long")
+    cdf = spark.createDataFrame(corp, "image_id string, caption string, phash long")
+    got = {
+        (r["new_id"], r["corpus_id"], r["hamming"], r["caption"])
+        for r in crossmodal_neardup_against(ndf, cdf, max_hamming=8).collect()
+    }
+    want = {
+        (ia, ib, bin(pa ^ pb).count("1"), ca)
+        for ia, ca, pa in new for ib, cb, pb in corp
+        if ca == cb and bin(pa ^ pb).count("1") <= 8
+    }
+    assert got == want and len(want) > 20
+    assert not any(a == "nCOLL" for a, _, _, _ in got)

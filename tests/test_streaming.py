@@ -499,3 +499,72 @@ def test_streaming_cap_warns_at_query_build(spark, caplog):
                          logger="segment_rtree_spark.streaming.ingest_stream"):
         streaming_neardup_matches(stream, corpus, max_hamming=16, warn_drops=False)
     assert not [r for r in caplog.records if "skew cap" in r.getMessage()]
+
+
+def test_streaming_crossmodal_matches_batch(spark, tmp_path):
+    """Joint caption+image stream-static ingest filter == batch
+    crossmodal_neardup_against over the same arrivals: the caption
+    fingerprint folds into the stream-static band join's keys and the
+    exact-caption verify is a carried-column filter, so the query
+    stays stateless append-mode and must reproduce the batch set."""
+    import time
+
+    from segment_rtree_spark.operators.dedup import crossmodal_neardup_against
+    from segment_rtree_spark.streaming.ingest_stream import (
+        streaming_crossmodal_matches,
+    )
+    from segment_rtree_spark.synth import images_df_arith
+
+    base = images_df_arith(spark, 300).select("image_id", "phash")
+    # controlled near-dups: 7 caption groups whose phashes share a
+    # group base and differ in the low 4 bits, so within-caption
+    # pairs are guaranteed matches; the original arith phash decides
+    # the stream/corpus split (uncorrelated with the group)
+    imgs = base.select(
+        "image_id",
+        F.col("phash").alias("orig"),
+        F.expr("pmod(phash, 7)").alias("g"),
+    ).select(
+        "image_id",
+        "orig",
+        F.expr("concat('cap ', cast(g as string))").alias("caption"),
+        F.expr(
+            "cast(g * 2654435761 as long) ^ pmod(xxhash64(image_id), 16)"
+        ).alias("phash"),
+    ).cache()
+    corpus = imgs.filter(F.col("orig").bitwiseAND(F.lit(1)) != 0).drop(
+        "orig"
+    ).cache()
+    arrivals = imgs.filter(F.col("orig").bitwiseAND(F.lit(1)) == 0).drop("orig")
+
+    src = str(tmp_path / "xm_arrivals")
+    half1 = arrivals.filter(F.col("phash").bitwiseAND(F.lit(2)) == 0)
+    half2 = arrivals.filter(F.col("phash").bitwiseAND(F.lit(2)) != 0)
+    half1.coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    half2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "image_id string, phash long, caption string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_crossmodal_matches(stream, corpus, max_hamming=24)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("xm_matches")
+        .option("checkpointLocation", str(tmp_path / "xmckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["new_id"], r["corpus_id"], r["hamming"], r["caption"])
+        for r in spark.sql("select * from xm_matches").collect()
+    }
+    want = {
+        (r["new_id"], r["corpus_id"], r["hamming"], r["caption"])
+        for r in crossmodal_neardup_against(
+            arrivals, corpus, max_hamming=24
+        ).collect()
+    }
+    assert got == want and got
