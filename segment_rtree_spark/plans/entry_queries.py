@@ -2106,6 +2106,59 @@ where bit_count(xor(ma.phash, mb.phash)) <= 16
 REGISTRY["phash_incremental"] = (q_phash_incremental, _phash_incremental_oracle)
 
 
+def q_crossmodal_incremental(spark, sf_dir):
+    """Incremental joint caption+image near-dup (round 6): arriving
+    images (even index) vs the kept corpus (odd index), identical
+    caption AND phash Hamming <= 8, through the caption-fingerprint-
+    folded band join with the carried-column exact-caption verify
+    (crossmodal_neardup_against). Same full-recall-by-construction
+    corpus as crossmodal_neardup: within-caption phashes differ only
+    in the low 4 bits, so bands 1-3 always collide and the oracle's
+    plain within-caption new x corpus Hamming join is the COMPLETE
+    answer — an exact-match gate, not a recall estimate."""
+    from ..operators.dedup import crossmodal_neardup_against
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 1000)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    tagged = (
+        imgs.withColumn("_i", i)
+        .withColumn(
+            "caption", F.expr("concat('cap ', cast(_i % 97 as string))")
+        )
+        .withColumn(
+            "phash",
+            F.expr("cast((_i % 97) * 2654435761 as long) ^ (_i div 97)"),
+        )
+    )
+    new = tagged.filter(F.col("_i") % 2 == 0).drop("_i")
+    corpus = tagged.filter(F.col("_i") % 2 != 0).drop("_i")
+    return crossmodal_neardup_against(new, corpus, max_hamming=8)
+
+
+def _crossmodal_incremental_oracle():
+    return f"""
+with imgs as ({_arith_imgs_cte(1000)}),
+m as (
+  select i, image_id,
+         'cap ' || cast(i % 97 as varchar) as caption,
+         xor((i % 97) * 2654435761, i // 97) as ph
+  from imgs
+)
+select a.image_id as new_id, b.image_id as corpus_id,
+       cast(bit_count(xor(a.ph, b.ph)) as int) as hamming,
+       a.caption as caption
+from m a join m b on a.caption = b.caption
+where a.i % 2 = 0 and b.i % 2 <> 0
+  and bit_count(xor(a.ph, b.ph)) <= 8
+"""
+
+
+REGISTRY["crossmodal_incremental"] = (
+    q_crossmodal_incremental, _crossmodal_incremental_oracle
+)
+
+
 # -- haversine kNN (geotag metric; rank-only output) ----------------------
 
 def q_knn_haversine(spark, sf_dir):
