@@ -125,6 +125,21 @@ class SpatialFrame:
             phash_neardup_against(self.df, other, max_hamming=max_hamming, **kw)
         )
 
+    def crossmodal_against(self, corpus: "SpatialFrame | DataFrame",
+                           max_hamming: int = 8, **kw) -> "SpatialFrame":
+        """Joint caption+image ingest filter: this frame's images
+        matched against a kept corpus where the caption is identical
+        AND the phash is within the Hamming ball (see
+        operators.dedup.crossmodal_neardup_against)."""
+        from .operators.dedup import crossmodal_neardup_against
+
+        other = corpus.df if isinstance(corpus, SpatialFrame) else corpus
+        return self._wrap(
+            crossmodal_neardup_against(
+                self.df, other, max_hamming=max_hamming, **kw
+            )
+        )
+
     # -- raster <-> vector -------------------------------------------------
 
     def raster_vector_agg(self, layer: PolygonLayer, res: int) -> "SpatialFrame":

@@ -37,6 +37,7 @@ __all__ = [
     "streaming_text_matches",
     "streaming_embed_matches",
     "streaming_ingest_pass_through",
+    "streaming_crossmodal_pass_through",
     "streaming_text_pass_through",
 ]
 
@@ -329,6 +330,40 @@ def streaming_ingest_pass_through(
             batch_df, corpus, max_hamming=max_hamming, id_col=id_col,
             phash=phash, n_bands=n_bands, max_bucket=max_bucket,
             hot_threshold=hot_threshold,
+        )
+
+    return _pass_through(
+        stream_images, matcher, id_col, path, checkpoint, trigger_available_now
+    )
+
+
+def streaming_crossmodal_pass_through(
+    stream_images: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    checkpoint: str,
+    max_hamming: int = 8,
+    id_col: str = "image_id",
+    phash: str = "phash",
+    caption: str = "caption",
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+    hot_threshold: int = 4096,
+    trigger_available_now: bool = False,
+):
+    """Joint caption+image twin of streaming_ingest_pass_through:
+    continuously append to `path` the arriving images that are NOT
+    joint caption+image near-dups of the kept corpus (identical
+    caption AND phash within the Hamming ball — an image is kept if
+    EITHER modality differs). foreachBatch makes each micro-batch
+    static, so the full batch operator runs, including the
+    caption-folded band keys and adaptive tiling the stream-static
+    join cannot plan."""
+    def matcher(batch_df):
+        return crossmodal_neardup_against(
+            batch_df, corpus, max_hamming=max_hamming, id_col=id_col,
+            phash=phash, caption=caption, n_bands=n_bands,
+            max_bucket=max_bucket, hot_threshold=hot_threshold,
         )
 
     return _pass_through(

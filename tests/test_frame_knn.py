@@ -253,3 +253,28 @@ def test_boundary_distance_tree_pruning_exact():
         brute = boundary_distance(px, py, poly, tree_min_segments=10**9)
         tree = boundary_distance(px, py, poly, tree_min_segments=1)
         assert np.array_equal(brute, tree)
+
+
+def test_frame_crossmodal_against(spark):
+    """SpatialFrame.crossmodal_against chains to the joint
+    caption+image incremental operator."""
+    from pyspark.sql import functions as F
+
+    from segment_rtree_spark.frame import SpatialFrame
+    from segment_rtree_spark.operators.dedup import crossmodal_neardup_against
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, 200).withColumn(
+        "caption", F.expr("concat('c', cast(pmod(phash, 5) as string))")
+    )
+    new = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) == 0)
+    corpus = imgs.filter(F.col("phash").bitwiseAND(F.lit(1)) != 0)
+    via_frame = sorted(
+        map(tuple, SpatialFrame(new).crossmodal_against(
+            SpatialFrame(corpus), max_hamming=40
+        ).df.collect())
+    )
+    direct = sorted(
+        map(tuple, crossmodal_neardup_against(new, corpus, max_hamming=40).collect())
+    )
+    assert via_frame == direct and via_frame

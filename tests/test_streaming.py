@@ -568,3 +568,63 @@ def test_streaming_crossmodal_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_crossmodal_pass_through(spark, tmp_path):
+    """Crossmodal foreachBatch filter: the appended set equals arrivals
+    minus joint caption+image matches — an arrival sharing a phash ball
+    with the corpus under a DIFFERENT caption must pass through."""
+    import time
+
+    from segment_rtree_spark.operators.dedup import crossmodal_neardup_against
+    from segment_rtree_spark.streaming.ingest_stream import (
+        streaming_crossmodal_pass_through,
+    )
+    from segment_rtree_spark.synth import images_df_arith
+
+    base = images_df_arith(spark, 300).select("image_id", "phash")
+    imgs = base.select(
+        "image_id",
+        F.col("phash").alias("orig"),
+        F.expr("pmod(phash, 7)").alias("g"),
+    ).select(
+        "image_id",
+        "orig",
+        # caption group g, but a third of rows get a row-unique caption
+        # so phash-close/caption-different arrivals exist and must pass
+        F.expr(
+            "case when pmod(xxhash64(image_id), 3) = 0 "
+            "then concat('solo-', image_id) "
+            "else concat('cap ', cast(g as string)) end"
+        ).alias("caption"),
+        F.expr(
+            "cast(g * 2654435761 as long) ^ pmod(xxhash64(image_id), 16)"
+        ).alias("phash"),
+    ).cache()
+    corpus = imgs.filter(F.col("orig").bitwiseAND(F.lit(1)) != 0).drop("orig").cache()
+    arrivals = imgs.filter(F.col("orig").bitwiseAND(F.lit(1)) == 0).drop("orig").cache()
+
+    src = str(tmp_path / "xmpt_arrivals")
+    arrivals.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "image_id string, caption string, phash long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out_dir = str(tmp_path / "xmpt_passed")
+    q = streaming_crossmodal_pass_through(
+        stream, corpus, out_dir, str(tmp_path / "xmptckpt"),
+        max_hamming=24, trigger_available_now=True,
+    )
+    q.awaitTermination()
+
+    got = {r["image_id"] for r in spark.read.parquet(out_dir).collect()}
+    matched = {
+        r["new_id"]
+        for r in crossmodal_neardup_against(
+            arrivals, corpus, max_hamming=24
+        ).collect()
+    }
+    all_ids = {r["image_id"] for r in arrivals.collect()}
+    want = all_ids - matched
+    assert got == want and got
+    # the caption-shift rows guarantee some phash-close arrivals passed
+    assert matched and want
