@@ -219,3 +219,32 @@ def test_cap_buckets_plans_broadcast_anti_join(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     pv = plan_str(_bucketed_vectors(emb, 4, "vec_id", "embedding", 10))
     assert "BroadcastHashJoin" in pv and "LeftAnti" in pv
+
+
+def test_crossmodal_fully_jvm_side(spark):
+    """The cross-modal path (caption fingerprint fold + band join +
+    carried-column verify) must stay entirely inside Catalyst: no
+    Python eval nodes anywhere (the fingerprint is a Catalyst rolling
+    hash, the fold is shiftleft/or, the verify is a column filter) and
+    the candidate join keyed on the folded (band, bkey)."""
+    from segment_rtree_spark.operators.dedup import (
+        crossmodal_neardup_against,
+        crossmodal_neardup_pairs,
+    )
+
+    imgs = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("image_id"),
+        F.col("o_orderkey").alias("phash"),
+        F.concat(F.lit("cap "), (F.col("o_orderkey") % 13).cast("string")).alias(
+            "caption"
+        ),
+    )
+    new = imgs.filter(F.col("phash") % 2 == 0)
+    corp = imgs.filter(F.col("phash") % 2 == 1)
+    for df in (
+        crossmodal_neardup_against(new, corp),
+        crossmodal_neardup_pairs(imgs),
+    ):
+        p = plan_str(df, "simple")
+        assert "EvalPython" not in p, p       # Batch- and Arrow-
+        assert "bkey" in p, p
