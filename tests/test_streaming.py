@@ -628,3 +628,44 @@ def test_streaming_crossmodal_pass_through(spark, tmp_path):
     assert got == want and got
     # the caption-shift rows guarantee some phash-close arrivals passed
     assert matched and want
+
+
+def test_streaming_crossmodal_warn_counts_folded_buckets(spark, caplog):
+    """The crossmodal build-time drop warning must price buckets on
+    the CAPTION-FOLDED keys the join actually uses: one hot phash pile
+    split evenly across many distinct captions stays under the cap (no
+    warning — cross-caption rows were never candidates), while the
+    same pile under ONE caption warns."""
+    import logging
+
+    from segment_rtree_spark.streaming.ingest_stream import (
+        streaming_crossmodal_matches,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("value").cast("string").alias("image_id"),
+                F.col("value").alias("phash"),
+                F.lit("c").alias("caption"))
+    )
+
+    def corpus(n_captions):
+        return spark.range(1100).select(
+            F.concat(F.lit("hot"), F.col("id")).alias("image_id"),
+            F.lit(0x123456789ABCDEF0).alias("phash"),
+            F.concat(F.lit("cap "), (F.col("id") % n_captions).cast("string"))
+            .alias("caption"),
+        ).cache()
+
+    with caplog.at_level(logging.WARNING,
+                         logger="segment_rtree_spark.streaming.ingest_stream"):
+        streaming_crossmodal_matches(stream, corpus(1), max_hamming=8)
+    warned = [r for r in caplog.records if "skew cap" in r.getMessage()]
+    assert warned and "4 band bucket(s)" in warned[0].getMessage()
+
+    caplog.clear()
+    # same phashes, 50 captions: per-folded-bucket 22 rows << auto cap
+    with caplog.at_level(logging.WARNING,
+                         logger="segment_rtree_spark.streaming.ingest_stream"):
+        streaming_crossmodal_matches(stream, corpus(50), max_hamming=8)
+    assert not [r for r in caplog.records if "skew cap" in r.getMessage()]
