@@ -41,6 +41,7 @@ __all__ = [
     "phash_neardup_against",
     "crossmodal_neardup_pairs",
     "crossmodal_neardup_against",
+    "crossmodal_components",
 ]
 
 # (a, b) parameters for the k minhash permutations h_i = (a*h + b) % P
@@ -1350,4 +1351,84 @@ def crossmodal_neardup_against(new_images: DataFrame, corpus: DataFrame,
         max_bucket=max_bucket, hot_threshold=hot_threshold,
         drop_observation=drop_observation,
         partition_col="_cap_fp", verify_col=caption,
+    )
+
+
+def crossmodal_components(images: DataFrame, id_col: str = "image_id",
+                          phash: str = "phash", caption: str = "caption",
+                          max_hamming: int = 8, max_iter: int = 50,
+                          n_bands: int = 4, rep_join: str = "window",
+                          hot_threshold: int | None = 4096,
+                          max_bucket: int | None = None,
+                          drop_observation=None) -> DataFrame:
+    """Joint caption+image near-duplicate clusters: (image_id,
+    component) with component = the minimum image id reachable through
+    VERIFIED crossmodal pairs (identical caption AND phash Hamming <=
+    max_hamming) — pairs -> clusters for the crossmodal family, the
+    same step lsh_components / phash_components provide for the text
+    and image modalities.
+
+    Same two-level 10^12 shape as phash_components, with the node
+    collapsed one level further: byte-identical (caption, phash) PAIRS
+    dedup first (a million exact re-posts of one captioned image
+    become ONE node), then the caption-folded band join + min-label
+    propagation run over distinct nodes only, and each image inherits
+    its cluster's min id. Because edges never cross captions (the fold
+    makes cross-caption candidates impossible), every cluster lives
+    inside one caption group by construction. The node key is
+    caption || '|' || phash — injective (the phash suffix contains no
+    separator, so the LAST '|' always splits unambiguously) and
+    orderable, which is all min-label propagation needs; cluster
+    OUTPUT labels are image ids, never node keys. NULL phash or NULL
+    caption rows are singleton clusters (they cannot band-join) and
+    rejoin the output at the end.
+    """
+    all_rows = images.select(
+        F.col(id_col), F.col(phash).alias("ph"), F.col(caption).alias("cap")
+    )
+    null_rows = all_rows.filter(
+        F.col("ph").isNull() | F.col("cap").isNull()
+    ).select(id_col, F.col(id_col).alias("component"))
+    rows = all_rows.filter(F.col("ph").isNotNull() & F.col("cap").isNotNull())
+    # one materialization feeds the sizing pass, both join sides and
+    # the node list (see phash_components)
+    nodes = (
+        rows.select("cap", "ph").distinct()
+        .select(
+            F.concat_ws("|", "cap", F.col("ph").cast("string")).alias("nid"),
+            "cap", "ph",
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = crossmodal_neardup_pairs(
+        nodes, max_hamming=max_hamming, id_col="nid", phash="ph",
+        caption="cap", n_bands=n_bands, hot_threshold=hot_threshold,
+        max_bucket=max_bucket, drop_observation=drop_observation,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = label_propagate(nodes.select(F.col("nid").alias("node")), edges,
+                           max_iter)
+    labelled = (
+        rows.withColumn(
+            "nid", F.concat_ws("|", "cap", F.col("ph").cast("string"))
+        )
+        .join(comp, F.col("nid") == F.col("node"))
+        .select(id_col, "label")
+    )
+    if rep_join == "broadcast":
+        labelled = labelled.localCheckpoint(eager=False)
+        mins = labelled.groupBy("label").agg(F.min(id_col).alias("component"))
+        return (
+            labelled.join(F.broadcast(mins), "label")
+            .select(id_col, "component")
+            .union(null_rows)
+        )
+    if rep_join != "window":
+        raise ValueError(f"rep_join must be 'window' or 'broadcast', got {rep_join!r}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label")
+    return (
+        labelled.select(id_col, F.min(id_col).over(w).alias("component"))
+        .union(null_rows)
     )

@@ -2159,6 +2159,73 @@ REGISTRY["crossmodal_incremental"] = (
 )
 
 
+def q_crossmodal_components(spark, sf_dir):
+    """Joint caption+image near-dup clusters (round 6): distinct
+    (caption, phash) node collapse -> caption-folded banded Hamming
+    pairs among distinct nodes -> min-label propagation -> each image
+    inherits its cluster's min id. Same arith phash chains as
+    phash_components (max_hamming=1, nontrivial multi-hop clusters),
+    split across 5 caption groups so the oracle's per-caption
+    reachability closure differs from the caption-blind one."""
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 400)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    df = imgs.withColumn(
+        "caption", F.concat(F.lit("cap "), (i % 5).cast("string"))
+    )
+    return _dedup.crossmodal_components(df, max_hamming=1, n_bands=2)
+
+
+def _crossmodal_components_oracle():
+    bands = " union all ".join(
+        f"select cap, phash, {b} as band, (phash >> {b * 32}) & 4294967295 "
+        f"as bkey from ph"
+        for b in range(2)
+    )
+    return f"""
+with recursive imgs as ({_arith_imgs_cte(400)}),
+m as (
+  select i, image_id, 'cap ' || cast(i % 5 as varchar) as cap, phash
+  from imgs
+),
+ph as (select distinct cap, phash from m),
+bands as ({bands}),
+near as (
+  select distinct a.cap as cap, a.phash as src, b.phash as dst
+  from bands a
+  join bands b on a.cap = b.cap and a.band = b.band and a.bkey = b.bkey
+  where a.phash < b.phash and bit_count(xor(a.phash, b.phash)) <= 1
+),
+und as (
+  select cap, src, dst from near
+  union
+  select cap, dst as src, src as dst from near
+),
+reach as (
+  select cap, phash as node, phash as r from ph
+  union
+  select reach.cap, reach.node, e.dst
+  from reach join und e on e.cap = reach.cap and e.src = reach.r
+),
+comp as (select cap, node, min(r) as label from reach group by cap, node),
+rep as (
+  select c.cap, c.label, min(m.image_id) as component
+  from m join comp c on m.cap = c.cap and m.phash = c.node
+  group by c.cap, c.label
+)
+select m.image_id, r.component
+from m
+join comp c on m.cap = c.cap and m.phash = c.node
+join rep r on r.cap = c.cap and r.label = c.label
+"""
+
+
+REGISTRY["crossmodal_components"] = (
+    q_crossmodal_components, _crossmodal_components_oracle
+)
+
+
 # -- haversine kNN (geotag metric; rank-only output) ----------------------
 
 def q_knn_haversine(spark, sf_dir):

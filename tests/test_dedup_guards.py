@@ -656,3 +656,62 @@ def test_crossmodal_against_matches_bruteforce(spark):
     }
     assert got == want and len(want) > 20
     assert not any(a == "nCOLL" for a, _, _, _ in got)
+
+
+def test_crossmodal_components_bruteforce(spark):
+    """Joint caption+image clusters == brute-force union-find over
+    (caption equal AND hamming <= t) pairs, including exact-duplicate
+    (caption, phash) rows collapsing to one node and NULL rows as
+    singletons."""
+    import numpy as np
+
+    from segment_rtree_spark.operators.dedup import crossmodal_components
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for j in range(120):
+        g = j % 9
+        ph = (g * 2654435761) ^ int(rng.integers(0, 8))
+        rows.append((f"i{j:03d}", f"cap {g % 5}", ph))
+    rows += [("iDUP1", "cap 0", rows[0][2]), ("iDUP2", "cap 0", rows[0][2])]
+    rows += [("iNULL1", None, 42), ("iNULL2", "cap 1", None)]
+    df = spark.createDataFrame(
+        rows, "image_id string, caption string, phash long"
+    )
+
+    for rep_join in ("window", "broadcast"):
+        got = {
+            (r["image_id"], r["component"])
+            for r in crossmodal_components(
+                df, max_hamming=8, rep_join=rep_join
+            ).collect()
+        }
+
+        # brute force
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        valid = [(i, c, p) for i, c, p in rows if c is not None and p is not None]
+        for a in range(len(valid)):
+            for b in range(a + 1, len(valid)):
+                ia, ca, pa = valid[a]
+                ib, cb, pb = valid[b]
+                if ca == cb and bin(pa ^ pb).count("1") <= 8:
+                    parent[find(ia)] = find(ib)
+        comp = {}
+        for i, _, _ in valid:
+            comp.setdefault(find(i), []).append(i)
+        want = {
+            (i, min(members))
+            for members in comp.values()
+            for i in members
+        }
+        want |= {("iNULL1", "iNULL1"), ("iNULL2", "iNULL2")}
+        assert got == want
+        # the seeded corpus must actually exercise multi-row clusters
+        assert len({c for _, c in want}) < len(want)
