@@ -410,6 +410,90 @@ def lsh_bucket_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text"
     return stats.withColumn("truncated", cap.isNotNull() & (F.col("bucket_n") > cap))
 
 
+def _band_width(n_bands: int) -> int:
+    """Validate-and-derive the band width for a 64-bit signature.
+
+    n_bands must evenly split the 64-bit hash: a non-divisor would
+    silently leave the high 64 % n_bands bits unbanded (breaking the
+    pigeonhole recall guarantee), and n_bands=1 would need a 2^64-1
+    mask that overflows Spark's signed long literal."""
+    if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
+        raise ValueError(
+            f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
+        )
+    return 64 // n_bands
+
+
+def _banded_explode(rows: DataFrame, id_col: str, sig: str, n_bands: int,
+                    partition_col: str | None = None,
+                    with_keys: bool = False,
+                    carry: tuple[str, ...] = (),
+                    rename: dict[str, str] | None = None) -> DataFrame:
+    """The shared banding core for every 64-bit-signature modality
+    (phash, full-width simhash, the crossmodal caption fold): one row
+    per (input row, band) with the band's bucket key — the
+    explode→fold half of the banded-join shape that phash/simhash/
+    crossmodal pairs, *_against, and the band-stats monitor all
+    consume. Adding a modality means choosing a signature column and
+    (optionally) a fold/verify pair — not re-writing this block.
+
+    Single-pass banding (explode, not union-per-band): the input may
+    be an expensive synthesized/decoded table; a union would rescan it
+    once per band. An explicit narrow projection runs BEFORE the
+    banding Generate: Catalyst does not reliably prune columns through
+    Sample+Generate over a cached relation (measured 5-10x on a
+    full-width 3M-image cache — the pixel bytes column rode through
+    the explode), and the join only ever needs (id, sig, carry).
+
+    `partition_col` (a non-negative < 2^31 long column, e.g. a caption
+    fingerprint) folds into every band key — (fp << width) | band_key
+    stays inside a signed 64-bit long — so rows can only ever pair
+    within equal values and hot signature buckets are SPLIT by the
+    fold before any skew guard sizes them. `with_keys` additionally
+    carries the band ordinal `bi` and the FULL key array `keys`,
+    enabling first-collision-band pair emission downstream (see
+    _first_band_pred). `carry` columns ride the explode (n_bands x
+    replication — the stream-safe way to verify them later without a
+    join-back); `rename` maps output column names (the two-sided join
+    wants side-prefixed names)."""
+    width = _band_width(n_bands)
+    mask = (1 << width) - 1
+    cols = [id_col, sig]
+    if partition_col is not None:
+        cols.append(partition_col)
+    cols += [c for c in carry if c not in cols]
+    rows = rows.select(*cols)
+    keys = [
+        F.shiftright(F.col(sig), b * width).bitwiseAND(F.lit(mask))
+        for b in range(n_bands)
+    ]
+    if partition_col is not None:
+        keys = [
+            F.shiftleft(F.col(partition_col), width).bitwiseOR(k) for k in keys
+        ]
+    entries = []
+    for b in range(n_bands):
+        fields = [F.lit(b).alias("band"), keys[b].alias("bkey")]
+        if with_keys:
+            fields += [F.lit(b).alias("bi"), F.array(*keys).alias("keys")]
+        entries.append(F.struct(*fields))
+    rename = rename or {}
+    out = [
+        F.col(id_col).alias(rename.get(id_col, id_col)),
+        F.col(sig).alias(rename.get(sig, sig)),
+        F.col("e.band").alias("band"),
+        F.col("e.bkey").alias("bkey"),
+    ]
+    if with_keys:
+        out += [F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys")]
+    out += [F.col(c).alias(rename.get(c, c)) for c in carry if c != sig and c != id_col]
+    return rows.select(
+        F.col(id_col), F.col(sig),
+        *[c for c in carry if c != sig and c != id_col],
+        F.explode(F.array(*entries)).alias("e"),
+    ).select(*out)
+
+
 def phash_band_stats(images: DataFrame, id_col: str = "image_id",
                      phash: str = "phash", n_bands: int = 4,
                      max_bucket: int | None = None,
@@ -419,28 +503,12 @@ def phash_band_stats(images: DataFrame, id_col: str = "image_id",
     alongside a capped phash_neardup_against (or let the streaming
     wrappers run it for you at query build) to see exactly which
     mega-buckets a max_bucket cap drops. `partition_col` folds into
-    the keys exactly as the join operators do, so the stats count the
-    buckets the capped join will actually see."""
-    if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
-        raise ValueError(
-            f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
-        )
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-
-    def bkey(b):
-        k = F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask))
-        if partition_col is not None:
-            k = F.shiftleft(F.col(partition_col), width).bitwiseOR(k)
-        return k
-
-    entries = [
-        F.struct(F.lit(b).alias("band"), bkey(b).alias("bkey"))
-        for b in range(n_bands)
-    ]
+    the keys exactly as the join operators do (same _banded_explode),
+    so the stats count the buckets the capped join will actually see."""
     stats = (
-        images.select(F.explode(F.array(*entries)).alias("e"))
-        .groupBy(F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
+        _banded_explode(images, id_col, phash, n_bands,
+                        partition_col=partition_col)
+        .groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
     )
     cap = F.lit(max_bucket) if max_bucket is not None else F.lit(None).cast("int")
@@ -692,50 +760,13 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
     new_images is streaming — carry-through is the stream-safe
     verify. Together these give crossmodal_neardup_against its joint
     caption+image semantics."""
-    if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
-        raise ValueError(
-            f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
-        )
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-
     def banded(images, side):
-        cols = [id_col, phash]  # prune before the Generate
-        if partition_col is not None:
-            cols.append(partition_col)
-        if verify_col is not None and verify_col not in cols:
-            cols.append(verify_col)
-        images = images.select(*cols)
-        keys = [
-            F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ]
-        if partition_col is not None:
-            # (fp << width) | band_key stays inside a signed long
-            keys = [
-                F.shiftleft(F.col(partition_col), width).bitwiseOR(k)
-                for k in keys
-            ]
-        entries = [
-            F.struct(
-                F.lit(b).alias("band"), keys[b].alias("bkey"),
-                F.lit(b).alias("bi"), F.array(*keys).alias("keys"),
-            )
-            for b in range(n_bands)
-        ]
-        carry = (
-            [F.col(verify_col).alias(f"vc_{side}")]
-            if verify_col is not None else []
-        )
-        return images.select(
-            F.col(id_col), F.col(phash), *([verify_col] if carry else []),
-            F.explode(F.array(*entries)).alias("e"),
-        ).select(
-            F.col(id_col).alias(f"{side}_id"),
-            F.col(phash).alias(f"ph_{side}"),
-            F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"),
-            F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys"),
-            *carry,
+        carry = (verify_col,) if verify_col is not None else ()
+        return _banded_explode(
+            images, id_col, phash, n_bands, partition_col=partition_col,
+            with_keys=True, carry=carry,
+            rename={id_col: f"{side}_id", phash: f"ph_{side}",
+                    **({verify_col: f"vc_{side}"} if verify_col else {})},
         )
 
     streaming = new_images.isStreaming
@@ -1138,7 +1169,8 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
                         hot_threshold: int | None = 4096,
                         max_bucket: int | None = None,
                         drop_observation=None,
-                        partition_col: str | None = None) -> DataFrame:
+                        partition_col: str | None = None,
+                        verify_col: str | None = None) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance.
 
     `partition_col` (a non-negative < 2^31 long column, e.g. a caption
@@ -1173,60 +1205,29 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
     shared band may be a dropped bucket), so the capped path dedups
     the verified pair stream with distinct() instead — the same
     contract as phash_neardup_against.
+
+    `verify_col` is carried THROUGH the band join on both sides
+    (riding the banding explode — see _banded_explode) and the output
+    keeps only pairs whose two values are EQUAL, emitting the column.
+    Paired with `partition_col` = a fingerprint of the same column,
+    this is the one-join crossmodal shape: the fold makes cross-value
+    candidates impossible, the carried equality rejects fingerprint
+    collisions — no join-back against the corpus (which would be two
+    extra shuffles of the full (id, value) projection at 10^12 rows;
+    the streaming *_against path proved the carried shape first and
+    the batch path now matches it).
     """
-    # n_bands must evenly split the 64-bit hash: a non-divisor would
-    # silently leave the high 64 % n_bands bits unbanded (breaking the
-    # pigeonhole recall guarantee), and n_bands=1 would need a 2^64-1
-    # mask that overflows Spark's signed long literal.
-    if not (2 <= n_bands <= 64 and 64 % n_bands == 0):
-        raise ValueError(
-            f"n_bands must be a divisor of 64 in [2, 64], got {n_bands}"
-        )
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    # single-pass banding (explode, not union-per-band): the input may
-    # be an expensive synthesized/decoded table; a union would rescan
-    # it once per band. Each row carries the band ordinal + the full
-    # key array so a pair colliding in several bands is emitted from
-    # its FIRST one only (streaming filter instead of a distinct()
-    # shuffle over the whole candidate stream — see lsh_pairs).
-    # explicit narrow projection BEFORE the banding Generate: Catalyst
-    # does not reliably prune columns through Sample+Generate over a
-    # cached relation (measured 5-10x on a full-width 3M-image cache —
-    # the pixel bytes column rode through the explode), and the
-    # operator only ever needs (id, phash)
-    cols = [id_col, phash] + ([partition_col] if partition_col else [])
-    images = images.select(*cols)
-    keys = [
-        F.shiftright(F.col(phash), b * width).bitwiseAND(F.lit(mask))
-        for b in range(n_bands)
-    ]
-    if partition_col is not None:
-        # (fp << width) | band_key: fp < 2^31 and width <= 32 keep the
-        # folded key inside a signed 64-bit long
-        keys = [
-            F.shiftleft(F.col(partition_col), width).bitwiseOR(k)
-            for k in keys
-        ]
-    entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            keys[b].alias("bkey"),
-            F.lit(b).alias("bi"),
-            F.array(*keys).alias("keys"),
-        )
-        for b in range(n_bands)
-    ]
-    ex = images.select(
-        F.col(id_col), F.col(phash), F.explode(F.array(*entries)).alias("e")
-    ).select(
-        id_col, phash, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"),
-        F.col("e.bi").alias("bi"), F.col("e.keys").alias("keys"),
+    capped = max_bucket is not None
+    carry = (verify_col,) if verify_col is not None else ()
+    # with_keys only when the first-collision-band dedup applies: the
+    # capped path dedups with distinct() (a pair's first shared band
+    # may be a dropped bucket), so bi/keys would be dead weight there
+    ex = _banded_explode(
+        images, id_col, phash, n_bands, partition_col=partition_col,
+        with_keys=not capped, carry=carry,
     )
-    if max_bucket is not None:
-        # capped path: first-band dedup is unsound once buckets can
-        # vanish (drop bi/keys — dead weight), distinct() at the end
-        ex = _cap_buckets(ex.drop("bi", "keys"), max_bucket, drop_observation)
+    if capped:
+        ex = _cap_buckets(ex, max_bucket, drop_observation)
     elif drop_observation is not None:
         _observe_zero_drops(drop_observation, images.sparkSession)
     joined = (
@@ -1235,21 +1236,26 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
         # hash upstream and counted the survivors
         _tiled_self_join(ex, id_col, hot_threshold)
     )
-    if max_bucket is None:
+    if not capped:
         joined = joined.filter(F.expr(_first_band_pred(n_bands)))
-    pairs = joined.select(
+    xor = F.col(f"a.{phash}").bitwiseXOR(F.col(f"b.{phash}"))
+    out = joined.withColumn("hamming", F.bit_count(xor)).filter(
+        F.col("hamming") <= max_hamming
+    )
+    sel = [
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.col(f"a.{phash}").alias("ph_a"),
-        F.col(f"b.{phash}").alias("ph_b"),
-    )
-    xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
-    out = (
-        pairs.withColumn("hamming", F.bit_count(xor))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    return out.distinct() if max_bucket is not None else out
+        F.col("hamming"),
+    ]
+    if verify_col is not None:
+        # exact equality on the carried values: the folded fingerprint
+        # admitted the candidate, the value decides
+        out = out.filter(
+            F.col(f"a.{verify_col}") == F.col(f"b.{verify_col}")
+        )
+        sel.append(F.col(f"a.{verify_col}").alias(verify_col))
+    out = out.select(*sel)
+    return out.distinct() if capped else out
 
 
 def crossmodal_neardup_pairs(images: DataFrame, max_hamming: int = 8,
@@ -1280,36 +1286,25 @@ def crossmodal_neardup_pairs(images: DataFrame, max_hamming: int = 8,
       * the one extra cost is a shift-or inside the existing band
         key expression: no extra shuffle, no extra scan.
     Fingerprint equality is necessary but not sufficient (mod-2^31
-    collisions), so exact caption equality is verified by joining
-    captions back onto the CANDIDATE stream — paid per candidate
-    pair, not per input row.
+    collisions), so exact caption equality is verified on the CARRIED
+    caption values (`verify_col` — the caption rides the banding
+    explode on both sides and the verify is a column filter). The
+    earlier join-back formulation re-joined the full (id, caption)
+    projection onto the pair stream twice — two corpus-wide shuffles
+    at 10^12 rows; the carried shape (proven first on the streaming
+    path, where a join-back would be a stream-stream join) trades
+    them for caption x n_bands bytes in the exploded frame.
     """
     from .text import with_fingerprint
 
     fp = with_fingerprint(
         images.select(id_col, phash, caption), text=caption, out="_cap_fp"
     )
-    pairs = phash_neardup_pairs(
+    return phash_neardup_pairs(
         fp, max_hamming=max_hamming, id_col=id_col, phash=phash,
         n_bands=n_bands, hot_threshold=hot_threshold,
         max_bucket=max_bucket, drop_observation=drop_observation,
-        partition_col="_cap_fp",
-    )
-    caps = images.select(id_col, caption)
-    return (
-        pairs
-        .join(
-            caps.select(F.col(id_col).alias("id_a"),
-                        F.col(caption).alias("_cap_a")),
-            "id_a",
-        )
-        .join(
-            caps.select(F.col(id_col).alias("id_b"),
-                        F.col(caption).alias("_cap_b")),
-            "id_b",
-        )
-        .filter(F.col("_cap_a") == F.col("_cap_b"))
-        .select("id_a", "id_b", "hamming", F.col("_cap_a").alias(caption))
+        partition_col="_cap_fp", verify_col=caption,
     )
 
 

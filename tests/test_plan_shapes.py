@@ -248,3 +248,10 @@ def test_crossmodal_fully_jvm_side(spark):
         p = plan_str(df, "simple")
         assert "EvalPython" not in p, p       # Batch- and Arrow-
         assert "bkey" in p, p
+        # carried-column verify on BOTH forms: exactly ONE join (the
+        # band equi-join) — a regression to the join-back formulation
+        # (re-joining the (id, caption) projection onto the pair
+        # stream for verification) adds two more join nodes and two
+        # corpus-wide shuffles at scale
+        n_joins = sum(1 for line in p.splitlines() if "Join" in line)
+        assert n_joins == 1, p
