@@ -156,7 +156,11 @@ def lsh_buckets(
     the kernel already had in hand."""
     planes = np.stack([hyperplane(i, dim) for i in range(n_bits)])  # [bits, dim]
     weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
-    schema = f"{id_col} long, bucket long"
+    # id dtype from the input, not hard-coded long: the curation
+    # pipelines bucket by string image ids, the embeddings table by
+    # bigint vec ids — the kernel passes the column through either way
+    id_dtype = dict(vectors.select(id_col).dtypes)[id_col]
+    schema = f"{id_col} {id_dtype}, bucket long"
     if keep_vec:
         schema += f", {vec} array<double>"
 
