@@ -132,7 +132,7 @@ def lsh_buckets(
     n_bits: int = N_BITS,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    dim: int = DIM,
+    dim: int | None = None,
     bit_exact: bool = False,
     keep_vec: bool = False,
 ) -> DataFrame:
@@ -154,7 +154,12 @@ def lsh_buckets(
     to the vectors on id — at 10^9 vectors that join is a full
     embedding-column shuffle that exists only to re-attach a column
     the kernel already had in hand."""
-    planes = np.stack([hyperplane(i, dim) for i in range(n_bits)])  # [bits, dim]
+    # dim=None (default) infers the vector dimension from the data —
+    # the hyperplane family is parametrized by (index, dim), so every
+    # consumer of the same column sees the same planes; the oracle
+    # registry pins hyperplane literals at the table's actual dim.
+    # Planes build lazily inside the kernel (first non-empty batch),
+    # so inference costs no extra job.
     weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
     # id dtype from the input, not hard-coded long: the curation
     # pipelines bucket by string image ids, the embeddings table by
@@ -165,18 +170,26 @@ def lsh_buckets(
         schema += f", {vec} array<double>"
 
     def kernel(batches):
+        planes = None
+        vdim = dim
         for pdf in batches:
             if len(pdf) == 0:  # zero-row Arrow batches reach kernels
                 continue
             emb = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec]], dtype=np.float64
             )
+            if planes is None:
+                if vdim is None:
+                    vdim = emb.shape[1]
+                planes = np.stack(
+                    [hyperplane(i, vdim) for i in range(n_bits)]
+                )  # [bits, dim]
             n = len(pdf)
             if bit_exact:
                 bucket = np.zeros(n, dtype=np.int64)
                 for b in range(n_bits):
                     acc = np.zeros(n)
-                    for d in range(dim):  # sequential: matches the SQL fold
+                    for d in range(vdim):  # sequential: matches the SQL fold
                         acc = acc + emb[:, d] * planes[b, d]
                     bucket |= (acc > 0.0).astype(np.int64) << b
             else:

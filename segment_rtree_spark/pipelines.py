@@ -22,7 +22,14 @@ from .layer import PolygonLayer
 from .operators.dedup import phash_components
 from .operators.pip_join import pip_join_broadcast
 
-__all__ = ["curate_images", "curate_images_checkpointed"]
+__all__ = [
+    "curate_images",
+    "curate_images_checkpointed",
+    "curate_multimodal",
+    "curate_multimodal_checkpointed",
+    "curate_images_against",
+    "curate_images_against_checkpointed",
+]
 
 
 def curate_images(images: DataFrame, layer: PolygonLayer,
@@ -232,3 +239,432 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
         drop_observation=drop_observation,
     )
     return done, _keep_representatives(ok, comp, id_col, caption)
+
+
+# -- multimodal curation (exact -> crossmodal -> optional embedding) ------
+
+def _multimodal_cluster(ok: DataFrame,
+                        max_hamming: int, n_bands: int,
+                        hot_threshold: int | None, max_bucket: int | None,
+                        drop_observation,
+                        embedding: str | None, embed_threshold: float,
+                        embed_n_bits: int | None, embed_n_probe: int,
+                        embed_refine: str, embed_bit_exact: bool,
+                        embed_max_bucket, embed_drop_observation,
+                        materialize: bool,
+                        id_col: str, caption: str, phash: str) -> DataFrame:
+    """Shared dedup cascade for the multimodal curation forms.
+
+    Input: the survivor frame (id, caption, phash, _content,
+    [embedding], n_regions) after the region+caption filters. Three
+    stages, each collapsing the previous stage's REPRESENTATIVES only
+    (cheapest collapse first, each join runs over an already-reduced
+    set — the cascade a 100 TB curation actually schedules):
+
+      1. EXACT: identical content hash (_content, computed map-side at
+         the scan — the bytes themselves never shuffle) collapses to
+         the min id in ONE window shuffle on the hash; the group size
+         rides forward as n_exact.
+      2. CROSSMODAL: identical caption AND phash Hamming <=
+         max_hamming, via the caption-folded band join + min-label
+         propagation (crossmodal_components — distinct (caption,
+         phash) nodes, so degenerate corpora stay linear). Cluster
+         sizes accumulate: each crossmodal cluster's size is the SUM
+         of its members' exact-group sizes.
+      3. EMBEDDING (optional, `embedding` = column name): cosine
+         near-dup pairs over the crossmodal representatives
+         (embedding_neardup_pairs — sign-LSH buckets, never
+         all-pairs) feed one more min-label propagation; sizes
+         accumulate again. NULL embeddings are singletons (they join
+         the node list but no pair can touch them).
+
+    Returns (id_col, caption, n_regions, cluster_size) with
+    cluster_size = TOTAL surviving images the representative stands
+    for across every stage."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import crossmodal_components, label_propagate
+
+    # 1. exact collapse: one shuffle on the content hash
+    w = Window.partitionBy("_content")
+    ex = (
+        ok.withColumn("_exact_rep", F.min(id_col).over(w))
+        .withColumn("n_exact", F.count(F.lit(1)).over(w))
+    )
+    s1 = ex.filter(F.col(id_col) == F.col("_exact_rep")).drop(
+        "_exact_rep", "_content"
+    )
+    if materialize:
+        # s1 feeds the crossmodal band join AND the label rejoin —
+        # without the checkpoint the window shuffle re-runs per consumer
+        s1 = s1.localCheckpoint(eager=False)
+
+    # 2. crossmodal collapse over exact representatives
+    comp = crossmodal_components(
+        s1, id_col=id_col, phash=phash, caption=caption,
+        max_hamming=max_hamming, n_bands=n_bands,
+        hot_threshold=hot_threshold, max_bucket=max_bucket,
+        drop_observation=drop_observation,
+    )
+    w2 = Window.partitionBy("component")
+    s2 = (
+        s1.join(comp, id_col)
+        .withColumn("_csize", F.sum("n_exact").over(w2))
+        .filter(F.col(id_col) == F.col("component"))
+        .drop("component", "n_exact")
+    )
+    if embedding is None:
+        return s2.select(
+            id_col, caption, "n_regions", F.col("_csize").alias("cluster_size")
+        )
+
+    # 3. embedding collapse over crossmodal representatives
+    if materialize:
+        s2 = s2.localCheckpoint(eager=False)
+    from .operators.embed import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        s2.filter(F.col(embedding).isNotNull()).select(id_col, embedding),
+        threshold=embed_threshold, id_col=id_col, vec=embedding,
+        n_bits=embed_n_bits, n_probe=embed_n_probe,
+        max_bucket=embed_max_bucket, refine=embed_refine,
+        bit_exact=embed_bit_exact,
+        drop_observation=embed_drop_observation,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp2 = label_propagate(
+        s2.select(F.col(id_col).alias("node")), edges
+    )
+    w3 = Window.partitionBy("label")
+    return (
+        s2.join(comp2, s2[id_col] == comp2["node"])
+        .withColumn("cluster_size", F.sum("_csize").over(w3))
+        .filter(F.col(id_col) == F.col("label"))
+        .select(id_col, caption, "n_regions", "cluster_size")
+    )
+
+
+def _survivors_multimodal(narrow: DataFrame, layer: PolygonLayer,
+                          min_caption_tokens: int, how: str,
+                          keep: list, id_col: str, caption: str,
+                          x: str, y: str) -> DataFrame:
+    """Region filter + per-image aggregate + caption filter — the
+    row-local stage every curation form shares. `keep` columns ride
+    the PIP kernel so the survivor set is one groupBy on the hit
+    stream (see curate_images)."""
+    if how == "broadcast":
+        hits = pip_join_broadcast(narrow, layer, x=x, y=y, keep=keep)
+    else:
+        from .operators.pip_join import pip_join
+
+        hits = pip_join(narrow, layer, how=how, x=x, y=y, keep=keep)
+    aggs = [
+        F.first(c).alias(c) for c in keep if c != id_col
+    ] + [F.count(F.lit(1)).alias("n_regions")]
+    return (
+        hits.groupBy(id_col)
+        .agg(*aggs)
+        .filter(F.size(F.split(F.col(caption), " ")) >= min_caption_tokens)
+    )
+
+
+def curate_multimodal(images: DataFrame, layer: PolygonLayer,
+                      min_caption_tokens: int = 2,
+                      max_hamming: int = 8,
+                      how: str = "broadcast",
+                      n_bands: int = 4,
+                      materialize: bool = True,
+                      hot_threshold: int | None = 4096,
+                      max_bucket: int | None = None,
+                      drop_observation=None,
+                      embedding: str | None = None,
+                      embed_threshold: float = 0.95,
+                      embed_n_bits: int | None = None,
+                      embed_n_probe: int = 1,
+                      embed_refine: str = "kernel",
+                      embed_bit_exact: bool = False,
+                      embed_max_bucket="auto",
+                      embed_drop_observation=None,
+                      id_col: str = "image_id",
+                      caption: str = "caption",
+                      phash: str = "phash",
+                      content: str = "bytes",
+                      x: str = "lng",
+                      y: str = "lat") -> DataFrame:
+    """The flagship composed curation a 100 TB training-data run
+    executes: region filter -> caption filter -> EXACT content dedup
+    -> CROSSMODAL (caption+image) near-dup dedup -> optional EMBEDDING
+    near-dup dedup, one representative per final cluster.
+
+    curate_images dedups by phash alone; this composes every dedup
+    modality the engine owns, in cheapest-first cascade order (see
+    _multimodal_cluster). Returns (id_col, caption, n_regions,
+    cluster_size) with cluster_size = total surviving images folded
+    into the representative across all stages.
+
+    `content` names the raw-bytes column: its md5 is computed INSIDE
+    the first narrow projection (map-side at the scan), so the pixel
+    payload never shuffles anywhere in the pipeline. NULL content
+    hashes to the row's own id (a NULL-bytes row is a singleton, not
+    a mega-group of all NULLs).
+
+    `max_bucket` / `drop_observation` thread to the crossmodal band
+    join; `embed_max_bucket` / `embed_drop_observation` to the
+    embedding bucket join — one pipeline call exposes every stage's
+    drop counts (filled eagerly at build; zeros when unarmed)."""
+    cols = [
+        F.col(id_col), F.col(caption), F.col(phash), F.col(y), F.col(x),
+        F.coalesce(F.md5(F.col(content)), F.col(id_col)).alias("_content"),
+    ]
+    keep = [id_col, caption, phash, "_content"]
+    if embedding is not None:
+        cols.append(F.col(embedding))
+        keep.append(embedding)
+    narrow = images.select(*cols)
+    if how == "auto":
+        import pickle
+
+        from .frame import BROADCAST_LIMIT_BYTES
+
+        how = (
+            "broadcast"
+            if len(pickle.dumps(layer)) <= BROADCAST_LIMIT_BYTES
+            else "partitioned"
+        )
+    ok = _survivors_multimodal(
+        narrow, layer, min_caption_tokens, how, keep, id_col, caption, x, y
+    )
+    if materialize:
+        ok = ok.localCheckpoint()
+    return _multimodal_cluster(
+        ok, max_hamming, n_bands, hot_threshold, max_bucket,
+        drop_observation, embedding, embed_threshold, embed_n_bits,
+        embed_n_probe, embed_refine, embed_bit_exact, embed_max_bucket,
+        embed_drop_observation, materialize, id_col, caption, phash,
+    )
+
+
+def curate_multimodal_checkpointed(images: DataFrame, layer: PolygonLayer,
+                                   root: str, job_id: str = "curate_mm",
+                                   min_caption_tokens: int = 2,
+                                   max_hamming: int = 8,
+                                   n_bands: int = 4,
+                                   hot_threshold: int | None = 4096,
+                                   max_bucket: int | None = None,
+                                   drop_observation=None,
+                                   embedding: str | None = None,
+                                   embed_threshold: float = 0.95,
+                                   embed_n_bits: int | None = None,
+                                   embed_n_probe: int = 1,
+                                   embed_refine: str = "kernel",
+                                   embed_bit_exact: bool = False,
+                                   embed_max_bucket="auto",
+                                   embed_drop_observation=None,
+                                   res: int = 4,
+                                   keys_per_batch: int = 8,
+                                   max_batches: int | None = None,
+                                   id_col: str = "image_id",
+                                   caption: str = "caption",
+                                   phash: str = "phash",
+                                   content: str = "bytes",
+                                   x: str = "lng",
+                                   y: str = "lat"):
+    """Durable, resumable curate_multimodal — same two-stage shape as
+    curate_images_checkpointed: the row-local survivor stage (narrow
+    projection incl. the map-side content hash -> broadcast PIP ->
+    n_regions -> caption filter) checkpoints per spatial cell; the
+    global dedup cascade (exact -> crossmodal -> optional embedding)
+    runs once stage 1 completes, over the much smaller survivor set
+    read back from the checkpoint.
+
+    Returns (n_keys_processed, curated DataFrame | None): None while
+    stage 1 is incomplete (call again with the same root/job_id to
+    resume; `max_batches` simulates a kill for tests). Matches
+    curate_multimodal() exactly when complete. Drop observations are
+    only filled on the completing invocation (see
+    curate_images_checkpointed)."""
+    from .checkpoint import CheckpointJob
+    from .operators.tile_ops import assign_tiles
+
+    spark = images.sparkSession
+    cols = [
+        F.col(id_col), F.col(caption), F.col(phash), F.col(y), F.col(x),
+        F.coalesce(F.md5(F.col(content)), F.col(id_col)).alias("_content"),
+    ]
+    keep = [id_col, caption, phash, "_content", "cell"]
+    if embedding is not None:
+        cols.append(F.col(embedding))
+        keep.append(embedding)
+    narrow = assign_tiles(images.select(*cols), res=res, y=y, x=x)
+    job = CheckpointJob(spark, job_id, root)
+
+    def survivors(batch: DataFrame) -> DataFrame:
+        return _survivors_multimodal(
+            batch, layer, min_caption_tokens, "broadcast", keep,
+            id_col, caption, x, y,
+        )
+
+    done = job.run(narrow, "cell", survivors,
+                   keys_per_batch=keys_per_batch, max_batches=max_batches)
+    if job.remaining_keys:
+        return done, None
+    try:
+        ok = job.output().drop("cell")
+    except AnalysisException:
+        # zero survivors everywhere: empty frame with the right schema
+        ok = spark.createDataFrame(
+            [], survivors(narrow.limit(0)).schema
+        ).drop("cell")
+    return done, _multimodal_cluster(
+        ok, max_hamming, n_bands, hot_threshold, max_bucket,
+        drop_observation, embedding, embed_threshold, embed_n_bits,
+        embed_n_probe, embed_refine, embed_bit_exact, embed_max_bucket,
+        embed_drop_observation, True, id_col, caption, phash,
+    )
+
+
+# -- incremental curation (new batch vs kept corpus) ----------------------
+
+def curate_images_against(new_images: DataFrame, corpus: DataFrame,
+                          layer: PolygonLayer,
+                          min_caption_tokens: int = 2,
+                          max_hamming: int = 8,
+                          how: str = "broadcast",
+                          n_bands: int = 4,
+                          materialize: bool = True,
+                          hot_threshold: int = 4096,
+                          max_bucket: int | None = None,
+                          drop_observation=None,
+                          id_col: str = "image_id",
+                          caption: str = "caption",
+                          phash: str = "phash",
+                          x: str = "lng",
+                          y: str = "lat") -> DataFrame:
+    """Incremental curation — the form every ONGOING ingest runs:
+    curate only the NEW batch against the already-kept corpus, never
+    re-clustering the corpus itself.
+
+      1. region + caption filter the new batch (same row-local stage
+         as curate_images; cost scales with |batch|);
+      2. drop every new survivor that near-dups ANYTHING in the kept
+         corpus (phash_neardup_against band join — new-vs-corpus,
+         two-sided tiling, cost |batch| x collision rate, never
+         |corpus|^2 — then one broadcast-friendly anti join on the
+         matched new ids);
+      3. dedup the REMAINDER internally (phash_components over the
+         fresh survivors only) and keep one representative per new
+         cluster.
+
+    Returns (id_col, caption, n_regions, cluster_size) for the kept
+    NEW representatives; cluster_size counts fresh batch members only
+    (corpus members are already represented in the corpus). `corpus`
+    needs only (id_col, phash) columns.
+
+    `max_bucket` / `drop_observation` thread to the new-vs-corpus
+    band join (corpus-side drops observed, the phash_neardup_against
+    contract)."""
+    narrow = new_images.select(id_col, caption, phash, y, x)
+    keep = [id_col, caption, phash]
+    if how == "auto":
+        import pickle
+
+        from .frame import BROADCAST_LIMIT_BYTES
+
+        how = (
+            "broadcast"
+            if len(pickle.dumps(layer)) <= BROADCAST_LIMIT_BYTES
+            else "partitioned"
+        )
+    ok = _survivors_multimodal(
+        narrow, layer, min_caption_tokens, how, keep, id_col, caption, x, y
+    )
+    if materialize:
+        # ok feeds the against-join, the anti join, the internal
+        # components AND the representative rejoin
+        ok = ok.localCheckpoint()
+    from .operators.dedup import phash_neardup_against
+
+    matches = phash_neardup_against(
+        ok, corpus.select(id_col, phash), max_hamming=max_hamming,
+        id_col=id_col, phash=phash, n_bands=n_bands,
+        max_bucket=max_bucket, hot_threshold=hot_threshold,
+        drop_observation=drop_observation,
+    )
+    fresh = ok.join(
+        matches.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+    )
+    if materialize:
+        fresh = fresh.localCheckpoint(eager=False)
+    comp = phash_components(
+        fresh, id_col=id_col, phash=phash, max_hamming=max_hamming,
+        n_bands=n_bands, hot_threshold=hot_threshold, max_bucket=max_bucket,
+    )
+    return _keep_representatives(fresh, comp, id_col, caption)
+
+
+def curate_images_against_checkpointed(new_images: DataFrame,
+                                       corpus: DataFrame,
+                                       layer: PolygonLayer,
+                                       root: str,
+                                       job_id: str = "curate_against",
+                                       min_caption_tokens: int = 2,
+                                       max_hamming: int = 8,
+                                       n_bands: int = 4,
+                                       hot_threshold: int = 4096,
+                                       max_bucket: int | None = None,
+                                       drop_observation=None,
+                                       res: int = 4,
+                                       keys_per_batch: int = 8,
+                                       max_batches: int | None = None,
+                                       id_col: str = "image_id",
+                                       caption: str = "caption",
+                                       phash: str = "phash",
+                                       x: str = "lng",
+                                       y: str = "lat"):
+    """Durable, resumable curate_images_against: the survivor stage
+    (the per-row dominant cost) checkpoints per spatial cell exactly
+    like curate_images_checkpointed; the corpus anti-join + internal
+    dedup run once stage 1 completes. Returns (n_keys_processed,
+    DataFrame | None); matches curate_images_against() when complete."""
+    from .checkpoint import CheckpointJob
+    from .operators.dedup import phash_neardup_against
+    from .operators.tile_ops import assign_tiles
+
+    spark = new_images.sparkSession
+    narrow = assign_tiles(
+        new_images.select(id_col, caption, phash, y, x), res=res, y=y, x=x
+    )
+    keep = [id_col, caption, phash, "cell"]
+    job = CheckpointJob(spark, job_id, root)
+
+    def survivors(batch: DataFrame) -> DataFrame:
+        return _survivors_multimodal(
+            batch, layer, min_caption_tokens, "broadcast", keep,
+            id_col, caption, x, y,
+        )
+
+    done = job.run(narrow, "cell", survivors,
+                   keys_per_batch=keys_per_batch, max_batches=max_batches)
+    if job.remaining_keys:
+        return done, None
+    try:
+        ok = job.output().drop("cell")
+    except AnalysisException:
+        ok = spark.createDataFrame(
+            [], survivors(narrow.limit(0)).schema
+        ).drop("cell")
+    ok = ok.localCheckpoint(eager=False)
+    matches = phash_neardup_against(
+        ok, corpus.select(id_col, phash), max_hamming=max_hamming,
+        id_col=id_col, phash=phash, n_bands=n_bands,
+        max_bucket=max_bucket, hot_threshold=hot_threshold,
+        drop_observation=drop_observation,
+    )
+    fresh = ok.join(
+        matches.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+    ).localCheckpoint(eager=False)
+    comp = phash_components(
+        fresh, id_col=id_col, phash=phash, max_hamming=max_hamming,
+        n_bands=n_bands, hot_threshold=hot_threshold, max_bucket=max_bucket,
+    )
+    return done, _keep_representatives(fresh, comp, id_col, caption)

@@ -2550,6 +2550,211 @@ from range(60) t(i), (values ('raw'), ('png'), ('bmp'), ('gif'), ('tiff'), ('web
 REGISTRY["codec_matrix"] = (q_codec_matrix, _codec_matrix_oracle)
 
 
+# -- composed multimodal curation (round 7) -------------------------------
+
+def q_curate_multimodal(spark, sf_dir):
+    """The flagship composed curation: region filter -> caption filter
+    -> EXACT content collapse -> CROSSMODAL (caption+phash) near-dup
+    collapse -> EMBEDDING near-dup collapse, one representative per
+    final cluster with the accumulated cluster size
+    (pipelines.curate_multimodal). Closed-form corpus making every
+    stage's answer exact:
+      * content = 'blob ' || (i % 450): md5 groups span captions, so
+        the exact stage does work the later stages cannot absorb;
+      * caption = 'cap ' || (i % 61), phash = (i%61)*2654435761 ^
+        (i div 61): within-caption phashes differ in <= 5 low bits ->
+        pairwise Hamming <= 5 <= 8 (CLIQUES, so crossmodal clusters
+        are exactly the caption groups) and band recall is guaranteed
+        (diffs confined to the low 16-bit band);
+      * embedding = 64-dim two-hot (3.0 at i%59, 4.0 at (7*(i%59)+3)%64):
+        norm exactly 5.0, same-group cosine exactly 1.0, cross-group
+        <= 0.96 < the 0.99 threshold -> embed clusters are exactly the
+        i%59 groups among crossmodal reps, with zero float fuzz.
+    The oracle recomputes all three collapses as window group-bys (no
+    recursion needed — every stage's graph is a clique by
+    construction), so the hash compare gates the full cascade and the
+    size accounting exactly."""
+    from ..pipelines import curate_multimodal
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 1000)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    corpus = (
+        imgs.withColumn("_i", i)
+        .withColumn("caption", F.expr("concat('cap ', cast(_i % 61 as string))"))
+        .withColumn(
+            "phash", F.expr("cast((_i % 61) * 2654435761 as long) ^ (_i div 61)")
+        )
+        .withColumn("content", F.expr("concat('blob ', cast(_i % 450 as string))"))
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(sequence(0, 63), d -> cast(case "
+                "when d = cast(_i % 59 as int) then 3.0 "
+                "when d = cast((7 * (_i % 59) + 3) % 64 as int) then 4.0 "
+                "else 0.0 end as double))"
+            ),
+        )
+        .drop("_i")
+    )
+    return curate_multimodal(
+        corpus, entry_layer(), max_hamming=8, n_bands=4,
+        embedding="embedding", embed_threshold=0.99, embed_n_bits=4,
+        embed_n_probe=1, embed_refine="expr", embed_bit_exact=True,
+        content="content",
+    )
+
+
+def _curate_multimodal_oracle():
+    return f"""
+with imgs as ({_arith_imgs_cte(1000)}),
+m as (
+  select i, image_id,
+         'cap ' || cast(i % 61 as varchar) as caption,
+         xor((i % 61) * 2654435761, i // 61) as cph,
+         'blob ' || cast(i % 450 as varchar) as content,
+         i % 59 as ge, lat, lng
+  from imgs
+),
+pts as (select i as point_id, lng, lat from m),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+{_pip_chain()}
+, nreg as (
+  select point_id as i, count(*) as n_regions from poly_rel
+  where relcode > 0 group by 1
+),
+ok as (
+  select m.i, m.image_id, m.caption, m.cph, m.content, m.ge, n.n_regions
+  from m join nreg n on n.i = m.i
+  where len(string_split(m.caption, ' ')) >= 2
+),
+ex as (
+  select *, min(i) over (partition by content) as rep_i,
+         count(*) over (partition by content) as n_exact
+  from ok
+),
+s1 as (select * from ex where i = rep_i),
+cm as (
+  select *, min(i) over (partition by caption) as cm_i,
+         cast(sum(n_exact) over (partition by caption) as bigint) as csize
+  from s1
+),
+s2 as (select * from cm where i = cm_i),
+em as (
+  select *, min(i) over (partition by ge) as em_i,
+         cast(sum(csize) over (partition by ge) as bigint) as cluster_size
+  from s2
+)
+select image_id, caption, n_regions, cluster_size
+from em where i = em_i
+"""
+
+
+REGISTRY["curate_multimodal"] = (q_curate_multimodal, _curate_multimodal_oracle)
+
+
+# -- incremental curation vs a kept corpus (round 7) ----------------------
+
+def q_curate_against(spark, sf_dir):
+    """Incremental curation (pipelines.curate_images_against): region
+    + caption filter the NEW batch, drop new survivors near-dupping
+    the KEPT corpus, dedup the remainder internally, one
+    representative per new cluster. Corpus split by closed-form phash
+    group g = i % 97 (phash = g*2654435761 ^ (i div 97)): corpus keeps
+    g < 40, the new batch carries g >= 30 — groups 30-39 exercise the
+    corpus-match drop, groups 40-96 the internal dedup. max_hamming=7
+    because the corpus's minimum CROSS-group Hamming distance is
+    exactly 8 (verified over all 4,656 group pairs) while within-group
+    distances are <= 4: at 7 the answer is exactly the within-group
+    cliques, recall is band-guaranteed (within-group diffs live in the
+    low 16-bit band), and no accidental cross-group pair can depend on
+    un-guaranteed band recall. The oracle still computes components by
+    full reachability (recursive CTE), not group-by, so the gate does
+    not lean on the clique reasoning."""
+    from ..pipelines import curate_images_against
+    from ..synth import images_df_arith
+
+    imgs = images_df_arith(spark, 1000)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    tagged = imgs.withColumn("_i", i).withColumn(
+        "phash", F.expr("cast((_i % 97) * 2654435761 as long) ^ (_i div 97)")
+    )
+    new = tagged.filter(F.col("_i") % 97 >= 30).drop("_i")
+    corpus = tagged.filter(F.col("_i") % 97 < 40).drop("_i")
+    return curate_images_against(
+        new, corpus, entry_layer(), max_hamming=7, n_bands=4
+    )
+
+
+def _curate_against_oracle():
+    return f"""
+with recursive imgs as ({_arith_imgs_cte(1000)}),
+m as (
+  select i, image_id, 'image ' || cast(i as varchar) as caption,
+         xor((i % 97) * 2654435761, i // 97) as cph, lat, lng
+  from imgs
+),
+newi as (select * from m where i % 97 >= 30),
+corp as (select * from m where i % 97 < 40),
+pts as (select i as point_id, lng, lat from newi),
+seg as (
+  select * from (values {layer_segments_values()})
+  as t(polygon_id, part_id, sx, sy, ex, ey)
+),
+{_pip_chain()}
+, nreg as (
+  select point_id as i, count(*) as n_regions from poly_rel
+  where relcode > 0 group by 1
+),
+ok as (
+  select n.i, n.image_id, n.caption, n.cph, r.n_regions
+  from newi n join nreg r on r.i = n.i
+  where len(string_split(n.caption, ' ')) >= 2
+),
+fresh as (
+  select * from ok
+  where not exists (
+    select 1 from corp c where bit_count(xor(ok.cph, c.cph)) <= 7
+  )
+),
+ph as (select distinct cph from fresh),
+near as (
+  select a.cph as src, b.cph as dst
+  from ph a join ph b on a.cph < b.cph
+  where bit_count(xor(a.cph, b.cph)) <= 7
+),
+und as (select src, dst from near union select dst, src from near),
+reach as (
+  select cph as node, cph as r from ph
+  union
+  select reach.node, e.dst from reach join und e on e.src = reach.r
+),
+comp as (select node, min(r) as label from reach group by node),
+rep as (
+  select c.label, min(f.image_id) as component
+  from fresh f join comp c on f.cph = c.node
+  group by c.label
+),
+sizes as (
+  select r.component, count(*) as cluster_size
+  from fresh f join comp c on f.cph = c.node join rep r on r.label = c.label
+  group by 1
+)
+select f.image_id, f.caption, f.n_regions, s.cluster_size
+from fresh f
+join comp c on f.cph = c.node
+join rep r on r.label = c.label
+join sizes s on s.component = r.component
+where f.image_id = r.component
+"""
+
+
+REGISTRY["curate_against"] = (q_curate_against, _curate_against_oracle)
+
+
 # -- defensive registry order (round 7) -----------------------------------
 # The round-6 driver correctness record held exactly 50 rows for a
 # 51-entry registry: codec_matrix — registered last — had no row,

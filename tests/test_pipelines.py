@@ -181,3 +181,205 @@ def test_curate_checkpointed_threads_drop_observation(spark, tmp_path):
     assert curated is not None
     assert curated.count() == 30
     assert obs.get == {"dropped_buckets": 1, "dropped_rows": 30}
+
+
+# -- round 7: composed multimodal curation --------------------------------
+
+def _mm_corpus(spark, n):
+    """The closed-form multimodal corpus (see q_curate_multimodal):
+    exact groups span captions, crossmodal groups are within-caption
+    cliques, embed groups are exact-cosine-1.0 two-hot vectors."""
+    from segment_rtree_spark.synth import images_df_arith
+
+    imgs = images_df_arith(spark, n)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    return (
+        imgs.withColumn("_i", i)
+        .withColumn("caption", F.expr("concat('cap ', cast(_i % 61 as string))"))
+        .withColumn(
+            "phash", F.expr("cast((_i % 61) * 2654435761 as long) ^ (_i div 61)")
+        )
+        .withColumn("content", F.expr("concat('blob ', cast(_i % 450 as string))"))
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(sequence(0, 63), d -> cast(case "
+                "when d = cast(_i % 59 as int) then 3.0 "
+                "when d = cast((7 * (_i % 59) + 3) % 64 as int) then 4.0 "
+                "else 0.0 end as double))"
+            ),
+        )
+        .drop("_i")
+    )
+
+
+def test_curate_multimodal_checkpointed_kill_resume(spark, tmp_path):
+    """Killed-and-resumed multimodal curation must equal the one-shot
+    pipeline exactly, embedding stage included."""
+    from segment_rtree_spark.pipelines import (
+        curate_multimodal,
+        curate_multimodal_checkpointed,
+    )
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+
+    imgs = _mm_corpus(spark, 400).cache()
+    layer = entry_layer()
+    root = str(tmp_path / "mm_ckpt")
+    kw = dict(
+        max_hamming=8, n_bands=4, embedding="embedding",
+        embed_threshold=0.99, embed_n_bits=4, embed_n_probe=1,
+        embed_refine="expr", embed_bit_exact=True, content="content",
+    )
+
+    done1, final1 = curate_multimodal_checkpointed(
+        imgs, layer, root, keys_per_batch=4, max_batches=1, **kw
+    )
+    assert final1 is None and done1 == 4
+
+    done2, final2 = curate_multimodal_checkpointed(
+        imgs, layer, root, keys_per_batch=4, **kw
+    )
+    assert final2 is not None
+
+    oneshot = curate_multimodal(imgs, layer, **kw).toPandas()
+    got = final2.toPandas()
+    cols = ["image_id", "caption", "n_regions", "cluster_size"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = oneshot[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    imgs.unpersist()
+
+
+def test_curate_multimodal_drop_observations_per_stage(spark):
+    """One curate_multimodal call exposes BOTH the crossmodal band
+    join's and the embedding bucket join's drop counts, each through
+    its own Observation — armed caps report exact counts, unarmed
+    defaults fill zeros eagerly."""
+    from pyspark.sql import Observation
+
+    from segment_rtree_spark.pipelines import curate_multimodal
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import HOT_CELL_LAT, HOT_CELL_LNG
+
+    n = 40
+    vec = [1.0] * 8
+    rows = [
+        (f"img{i:03d}", "two tokens", (i << 32) | 0x0F0F0F0F,
+         f"blob {i}", vec, HOT_CELL_LNG, HOT_CELL_LAT)
+        for i in range(n)
+    ]
+    imgs = spark.createDataFrame(
+        rows,
+        "image_id string, caption string, phash long, content string, "
+        "embedding array<double>, lng double, lat double",
+    )
+    layer = entry_layer()
+    obs_cm = Observation("mm_crossmodal_drops")
+    obs_em = Observation("mm_embed_drops")
+    got = curate_multimodal(
+        imgs, layer, max_hamming=1, n_bands=2,
+        max_bucket=10, drop_observation=obs_cm, content="content",
+        embedding="embedding", embed_threshold=0.99, embed_n_bits=2,
+        embed_max_bucket=10, embed_drop_observation=obs_em,
+    ).collect()
+    # identical captions fold one fingerprint into every band key; all
+    # 40 distinct (caption, phash) nodes share the band-0 low-32
+    # bucket (> cap 10) -> dropped whole; band-1 buckets are
+    # singletons -> no pairs, 40 crossmodal singletons. All 40
+    # identical embeddings land in ONE LSH bucket (> cap 10) ->
+    # dropped -> no embed pairs either. Both drops visible in-band.
+    assert obs_cm.get == {"dropped_buckets": 1, "dropped_rows": 40}
+    assert obs_em.get == {"dropped_buckets": 1, "dropped_rows": 40}
+    assert len(got) == n and all(r["cluster_size"] == 1 for r in got)
+
+    # unarmed: both observations fill zeros at build
+    o1, o2 = Observation("mm_cm0"), Observation("mm_em0")
+    curate_multimodal(
+        imgs, layer, max_hamming=1, n_bands=2, drop_observation=o1,
+        content="content",
+        embedding="embedding", embed_threshold=0.99, embed_n_bits=2,
+        embed_max_bucket=None, embed_drop_observation=o2,
+    )
+    assert o1.get == {"dropped_buckets": 0, "dropped_rows": 0}
+    assert o2.get == {"dropped_buckets": 0, "dropped_rows": 0}
+
+
+def test_curate_against_restriction_of_full_curate(spark):
+    """Cross-consistency: on a clique corpus whose kept-corpus ids
+    precede the new batch's, incremental curation equals the full
+    curation restricted to new-only clusters (the pair-level property
+    the *_against family already proves, lifted to the pipeline)."""
+    from segment_rtree_spark.pipelines import curate_images, curate_images_against
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import images_df_arith
+
+    layer = entry_layer()
+    imgs = images_df_arith(spark, 600)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    # pure hamming-0 cliques: phash determined by the group alone
+    tagged = imgs.withColumn("_i", i).withColumn(
+        "phash", F.expr("cast((_i % 13) * 2654435761 as long)")
+    )
+    old = tagged.filter(F.col("_i") < 300).drop("_i").cache()
+    new = tagged.filter(F.col("_i") >= 300).drop("_i").cache()
+    both = tagged.drop("_i").cache()
+
+    kept = curate_images(old, layer, max_hamming=1, n_bands=2)
+    # the kept corpus carries (id, phash) — rejoin reps to their phash
+    corpus = kept.select("image_id").join(old.select("image_id", "phash"),
+                                          "image_id")
+    got = curate_images_against(
+        new, corpus, layer, max_hamming=1, n_bands=2
+    ).toPandas()
+
+    full = curate_images(both, layer, max_hamming=1, n_bands=2).toPandas()
+    new_ids = {r["image_id"] for r in new.select("image_id").collect()}
+    # full-curation reps that are NEW ids = clusters with no old
+    # survivor (old ids sort first); their sizes count new members only
+    expect = full[full["image_id"].isin(new_ids)]
+    cols = ["image_id", "caption", "n_regions", "cluster_size"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = expect[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    for df in (old, new, both):
+        df.unpersist()
+
+
+def test_curate_against_checkpointed_kill_resume(spark, tmp_path):
+    """Killed-and-resumed incremental curation equals the one-shot
+    curate_images_against exactly."""
+    from segment_rtree_spark.pipelines import (
+        curate_images_against,
+        curate_images_against_checkpointed,
+    )
+    from segment_rtree_spark.plans.entry_queries import entry_layer
+    from segment_rtree_spark.synth import images_df_arith
+
+    layer = entry_layer()
+    imgs = images_df_arith(spark, 500)
+    i = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    tagged = imgs.withColumn("_i", i).withColumn(
+        "phash", F.expr("cast((_i % 97) * 2654435761 as long) ^ (_i div 97)")
+    )
+    new = tagged.filter(F.col("_i") % 97 >= 30).drop("_i").cache()
+    corpus = tagged.filter(F.col("_i") % 97 < 40).drop("_i").cache()
+    root = str(tmp_path / "against_ckpt")
+    kw = dict(max_hamming=7, n_bands=4)
+
+    done1, final1 = curate_images_against_checkpointed(
+        new, corpus, layer, root, keys_per_batch=4, max_batches=1, **kw
+    )
+    assert final1 is None and done1 == 4
+
+    done2, final2 = curate_images_against_checkpointed(
+        new, corpus, layer, root, keys_per_batch=4, **kw
+    )
+    assert final2 is not None
+
+    oneshot = curate_images_against(new, corpus, layer, **kw).toPandas()
+    got = final2.toPandas()
+    cols = ["image_id", "caption", "n_regions", "cluster_size"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = oneshot[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    new.unpersist(); corpus.unpersist()
