@@ -621,7 +621,16 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 buf = pdf["bytes"].iloc[r]
                 fmt = pdf["fmt"].iloc[r]
                 wv, hv = pdf["w"].iloc[r], pdf["h"].iloc[r]
-                sp = pdf["phash"].iloc[r] if has_ph else None
+                # phash arrives as (coalesced long, null flag), never a
+                # raw nullable long: Arrow->pandas widens a long column
+                # WITH nulls to float64, silently rounding any stored
+                # hash beyond 2^53 — a partially-phashed corpus would
+                # flag spurious PhashMismatch on every large hash
+                sp = (
+                    None
+                    if not has_ph or pdf["_phash_null"].iloc[r]
+                    else int(pdf["phash"].iloc[r])
+                )
                 if buf is None:
                     code, detail = IMG_ERR_NULL_PAYLOAD, "bytes is NULL"
                 elif fmt is None or pd.isna(wv) or pd.isna(hv):
@@ -631,8 +640,7 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 else:
                     try:
                         code, detail = classify(
-                            bytes(buf), str(fmt), int(wv), int(hv),
-                            None if sp is None or pd.isna(sp) else int(sp),
+                            bytes(buf), str(fmt), int(wv), int(hv), sp,
                         )
                     except Exception as e:  # contract: errors are DATA
                         code, detail = IMG_ERR_INTERNAL, str(e)[:80]
@@ -648,9 +656,14 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 }
             )
 
-    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    cols = [F.col(c) for c in ("image_id", "bytes", "fmt", "w", "h")]
     if check_phash:
-        cols.append("phash")
+        # split nullable long -> (coalesced long, flag) BEFORE the
+        # kernel boundary: see the Arrow float64-widening note there
+        cols += [
+            F.coalesce(F.col("phash"), F.lit(0)).alias("phash"),
+            F.col("phash").isNull().alias("_phash_null"),
+        ]
     src = images.select(*cols).withColumn("pre", pre)
     decided_err = src.filter(F.col("pre").isNotNull()).select(
         F.col("image_id").cast("string").alias("image_id"),

@@ -271,3 +271,84 @@ def test_resize_reencodes_webp(spark):
     # nearest-neighbor: every output pixel exists in the source
     src = {tuple(c) for c in px.reshape(-1, 3)}
     assert all(tuple(c) in src for c in got.reshape(-1, 3))
+
+
+# -- round 7: VP8X-extended container taxonomy ----------------------------
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    """RIFF chunk with the even-size padding rule (RFC 9649 §2.2)."""
+    return fourcc + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def _riff(*chunks: bytes) -> bytes:
+    payload = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _vp8x(w: int, h: int, alpha=False, anim=False) -> bytes:
+    """VP8X extended-format header (RFC 9649 §2.5): flags byte is
+    Rsv(2) I L E X A R — L = alpha hint, A = animation."""
+    flags = (0x10 if alpha else 0) | (0x02 if anim else 0)
+    dims = struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+    return _chunk(b"VP8X", bytes([flags, 0, 0, 0]) + dims)
+
+
+def test_vp8x_extended_taxonomy(spark):
+    """Seal the webp branch the way round 6 sealed jpeg's: every
+    VP8X-extended layout a real web corpus ships classifies
+    CodecUnavailable (valid file, codec gap) — never CorruptStream —
+    while VP8X wrapping plain VP8L still DECODES (the skip loop
+    honors odd-size ALPH padding), and a VP8X whose canvas disagrees
+    with the table metadata cannot smuggle an allocation."""
+    from segment_rtree_spark.imageio import phash64
+    from segment_rtree_spark.operators.images import validate_images
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(10, 13, 3)).astype(np.uint8)
+    plain = encode_webp(px)
+    vp8l_body = plain[20 : 20 + struct.unpack_from("<I", plain, 16)[0]]
+    assert plain[12:16] == b"VP8L"
+
+    # ALPH body with an ODD length exercises the chunk-padding rule
+    alph = _chunk(b"ALPH", b"\x00" * 7)
+    lossy = _chunk(b"VP8 ", b"\x9d\x01\x2a" + b"\x00" * 9)
+    anmf = _chunk(b"ANMF", b"\x00" * 16 + _chunk(b"VP8L", vp8l_body))
+    fixtures = {
+        # animated: VP8X(A) + ANIM params + ANMF frame (real layout)
+        "anim_x": _riff(
+            _vp8x(13, 10, anim=True), _chunk(b"ANIM", b"\x00" * 6), anmf
+        ),
+        # alpha-extended lossy: VP8X(L) + ALPH + VP8 — the single most
+        # common extended layout in a web corpus
+        "alpha_lossy": _riff(_vp8x(13, 10, alpha=True), alph, lossy),
+        # bare lossy inside VP8X (no alpha)
+        "lossy_x": _riff(_vp8x(13, 10), lossy),
+    }
+    for name, buf in fixtures.items():
+        with pytest.raises(NotImplementedError):
+            decode_webp(buf)
+
+    # VP8X + (spec-discouraged) ALPH + VP8L: the VP8L stream decodes —
+    # unknown/irrelevant chunks skip cleanly, odd-size padding honored
+    ext_lossless = _riff(
+        _vp8x(13, 10, alpha=True), alph, _chunk(b"VP8L", vp8l_body)
+    )
+    assert (decode_webp(ext_lossless) == px).all()
+
+    # through the gated operator: CodecUnavailable for all three
+    # extended layouts, ok for extended-lossless, DimensionMismatch
+    # (pre-allocation, from the VP8L header vs metadata) when the
+    # table lies about dims — never CorruptStream anywhere
+    rows = [(k, v, "webp", 13, 10, None) for k, v in fixtures.items()]
+    rows.append(("ext_lossless", ext_lossless, "webp", 13, 10, phash64(px)))
+    rows.append(("dim_lie", ext_lossless, "webp", 14, 10, None))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int, phash long"
+    )
+    got = {r["image_id"]: r for r in validate_images(df, check_phash=True).collect()}
+    for name in fixtures:
+        assert got[name]["err_code"] == "CodecUnavailable", got[name]
+    assert got["ext_lossless"]["ok"] and got["ext_lossless"]["err_code"] is None
+    assert got["dim_lie"]["err_code"] == "DimensionMismatch", got["dim_lie"]
