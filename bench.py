@@ -191,6 +191,115 @@ def bench_queries(spark, sf_dir, only=None, force_fixtures=False):
             imgs.sample(0.2, seed=3), layer, k=2, keep=["image_id"]
         ).count()
 
+    def q_crossmodal_neardup():
+        # the round-6 caption-folded band join over the full 300k
+        # corpus, armed defaults: synth captions are unique (zero
+        # work), so group them ~10 images/caption via a hash modulus —
+        # the join then has real bucket crowds to band, tile and verify
+        from segment_rtree_spark.operators.dedup import crossmodal_neardup_pairs
+
+        grouped = imgs.withColumn(
+            "caption",
+            F.expr("concat('cap ', pmod(xxhash64(image_id), 30000))"),
+        )
+        return crossmodal_neardup_pairs(grouped, max_hamming=8).count()
+
+    def _codec_rows(n_per_fmt):
+        # the full gated codec stack, synthesized on executors: raw /
+        # png / jpeg baseline / jpeg PROGRESSIVE / bmp / gif / tiff /
+        # webp (VP8L), gradient content so every stream decodes clean
+        import pandas as pd
+
+        fmts = ["raw", "png", "jpeg", "jpeg_prog", "bmp", "gif", "tiff", "webp"]
+
+        def kernel(batches):
+            import numpy as np
+
+            from segment_rtree_spark.imageio import (
+                encode_bmp,
+                encode_gif,
+                encode_png,
+                encode_raw,
+                encode_tiff,
+                encode_webp,
+            )
+            from segment_rtree_spark.jpegio import encode_jpeg
+
+            enc = {
+                "raw": encode_raw, "png": encode_png,
+                "jpeg": lambda p: encode_jpeg(p, 90),
+                "jpeg_prog": lambda p: encode_jpeg(p, 90, progressive=True),
+                "bmp": encode_bmp, "gif": encode_gif,
+                "tiff": encode_tiff, "webp": encode_webp,
+            }
+            for pdf in batches:
+                ids, bufs, ws, hs, fs = [], [], [], [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    fmt = fmts[i % len(fmts)]
+                    h = 8 + i % 24
+                    w = 8 + (i * 7) % 24
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [yy * 255 // max(1, h - 1), xx * 255 // max(1, w - 1),
+                         (yy + xx) * 255 // max(1, h + w - 2)], axis=-1
+                    ).astype(np.uint8)
+                    if fmt == "gif":  # palette codec: <= 64 colors
+                        px = (px >> 6) << 6
+                    ids.append(f"cx{i}")
+                    bufs.append(enc[fmt](px))
+                    ws.append(w)
+                    hs.append(h)
+                    # jpeg_prog is still fmt='jpeg' at the table level
+                    fs.append("jpeg" if fmt == "jpeg_prog" else fmt)
+                yield pd.DataFrame(
+                    {"image_id": ids, "bytes": bufs, "w": ws, "h": hs, "fmt": fs}
+                )
+
+        return (
+            spark.range(n_per_fmt * len(fmts))
+            .repartition(32)
+            .mapInPandas(
+                kernel, "image_id string, bytes binary, w int, h int, fmt string"
+            )
+        )
+
+    if want("validate_codecs"):
+        codec_imgs = _codec_rows(1000).cache()
+        codec_imgs.count()  # encode once, outside the timings
+
+    def q_validate_codecs():
+        # the validator over ALL seven real formats (jpeg rows split
+        # baseline/progressive): prices the complete decode stack the
+        # correctness gate exercises — raw stays Catalyst-tier, every
+        # compressed row routes through its codec
+        from segment_rtree_spark.operators.images import validate_images
+
+        return validate_images(codec_imgs).count()
+
+    def q_curate_multimodal():
+        # the composed flagship a 100 TB training-data run executes:
+        # region filter -> caption filter -> exact content collapse ->
+        # crossmodal (caption+phash) near-dup -> embedding near-dup.
+        # Captions grouped ~10/caption (synth captions are unique);
+        # 16-dim hash embeddings so the embed stage has real buckets
+        from segment_rtree_spark.pipelines import curate_multimodal
+
+        corpus = imgs.withColumn(
+            "caption",
+            F.expr("concat('cap ', pmod(xxhash64(image_id), 30000))"),
+        ).withColumn(
+            "embedding",
+            F.expr(
+                "transform(sequence(0, 15), d -> cast(pmod("
+                "xxhash64(image_id, d), 1000) as double) / 500.0 - 1.0)"
+            ),
+        )
+        return curate_multimodal(
+            corpus, layer, max_hamming=8, n_bands=4,
+            embedding="embedding", embed_threshold=0.95,
+        ).count()
+
     registry = {
         "pip_broadcast": q_pip_broadcast,
         "pip_partitioned": q_pip_partitioned,
@@ -205,6 +314,11 @@ def bench_queries(spark, sf_dir, only=None, force_fixtures=False):
         "knn_boundary": q_knn_boundary,
         "phash_incremental": q_phash_incremental,
         "validate_mixed": q_validate_mixed,
+        # appended round 7 (standing rule: append, never reorder, so
+        # the 13-query totals stay comparable across rounds)
+        "crossmodal_neardup": q_crossmodal_neardup,
+        "validate_codecs": q_validate_codecs,
+        "curate_multimodal": q_curate_multimodal,
     }
     if only is not None:
         unknown = set(only) - set(registry)
