@@ -886,10 +886,21 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    if und.isEmpty():
+    n_edges = und.count()  # same one job isEmpty would cost
+    if n_edges == 0:
         # all-isolated (the common case for discriminating thresholds
         # on realistic corpora): skip the loop AND the rejoin
         return nodes.withColumn("label", F.col("node"))
+    # Right-size the edge frame's partitioning to the EDGE count: the
+    # checkpoint inherits the upstream join's partition count (32+ on
+    # the bench session), and every loop stage then schedules that many
+    # near-empty tasks PER ITERATION. coalesce is narrow (no shuffle);
+    # the re-checkpoint materializes the small copy once. At cluster
+    # scale p grows with the edges, so wide graphs keep their
+    # parallelism — this only trims scheduler latency on small ones.
+    p = max(1, min(und.rdd.getNumPartitions(), 1 + n_edges // 200_000))
+    if p < und.rdd.getNumPartitions():
+        und = und.coalesce(p).localCheckpoint()
     # Iterate ONLY over edge-touched nodes: in a realistic corpus most
     # items are unique (isolated), and materializing the full node set
     # every round would dominate. Isolated nodes are their own label

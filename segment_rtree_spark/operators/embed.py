@@ -532,9 +532,15 @@ def embedding_neardup_pairs(
             for s in range(0, len(qids), step):
                 e = min(len(qids), s + step)
                 S = (Q[s:e] @ T.T) / (qn[s:e, None] * tn)
-                qi, ti = np.nonzero(
-                    (S >= threshold) & (qids[s:e, None] < tids[None, :])
-                )
+                # score mask FIRST, id order only at surviving cells:
+                # string ids make the broadcast id matrix object-dtype
+                # (b^2 interpreted compares per bucket — measured +7 s
+                # over the whole 146k corpus); above-threshold hits
+                # number ~0 per bucket, so comparing there is free
+                qi, ti = np.nonzero(S >= threshold)
+                if len(qi):
+                    keep = qids[s:e][qi] < tids[ti]
+                    qi, ti = qi[keep], ti[keep]
                 outs.append(
                     pd.DataFrame(
                         {"id_a": qids[s:e][qi], "id_b": tids[ti], "score": S[qi, ti]}
