@@ -82,6 +82,11 @@ JOB_ANN = ("synth 1M x 64-dim vectors -> ann_topk(k=5, kernel refine): "
            "bucket — a third shuffle/memory shape (narrow exchange on "
            "bucket key, dense per-bucket O(b^2) compute + top-k heap) "
            "vs the PIP broadcast and the dedup wide band join")
+JOB_CURATE = ("scan parquet -> curate_multimodal: broadcast PIP -> "
+              "caption filter -> exact-collapse window -> crossmodal "
+              "caption+phash band join -> 16-dim embedding bucket join "
+              "— the composed flagship, mixing all three elementary "
+              "shuffle shapes in one lineage")
 
 
 def main():
@@ -156,7 +161,8 @@ def main():
             )
         eff = round(median(p["efficiency"] for p in pairs), 3)
         summary = {
-            "job": {"dedup": JOB_DEDUP, "ann": JOB_ANN}.get(job, JOB),
+            "job": {"dedup": JOB_DEDUP, "ann": JOB_ANN,
+                    "curate": JOB_CURATE}.get(job, JOB),
             "parallelism": {"N": CORES_N, "4N": CORES_4N},
             "n_images": pairs[0]["local4N"]["n_images"],
             "pairs": pairs,
@@ -170,7 +176,7 @@ def main():
     # scaling.json holds the PIP record at top level plus one entry per
     # alternate job profile — a dedup/ann run must not clobber the PIP
     # record and vice versa
-    ALT_KEYS = {"dedup": "dedup_job", "ann": "ann_job"}
+    ALT_KEYS = {"dedup": "dedup_job", "ann": "ann_job", "curate": "curate_job"}
     if out.endswith("scaling.json"):
         existing = {}
         if os.path.exists(out):

@@ -96,6 +96,30 @@ def main():
             n_pairs = ann_topk(
                 vecs, k=5, target_bucket=256, refine="kernel"
             ).count()
+        elif job == "curate":
+            # the composed-flagship profile: broadcast PIP -> caption
+            # filter -> exact-collapse window -> crossmodal band join
+            # -> embedding bucket join, all in one lineage — the
+            # pipeline a real curation run schedules, mixing all three
+            # elementary shapes (broadcast, window shuffle, band join)
+            from pyspark.sql import functions as F
+
+            from segment_rtree_spark.pipelines import curate_multimodal
+
+            corpus = spark.read.parquet(path).withColumn(
+                "caption",
+                F.expr("concat('cap ', pmod(xxhash64(image_id), 30000))"),
+            ).withColumn(
+                "embedding",
+                F.expr(
+                    "transform(sequence(0, 15), d -> cast(pmod("
+                    "xxhash64(image_id, d), 1000) as double) / 500.0 - 1.0)"
+                ),
+            )
+            n_pairs = curate_multimodal(
+                corpus, layer, max_hamming=8, n_bands=4,
+                embedding="embedding", embed_threshold=0.95,
+            ).count()
         elif job == "dedup":
             # the band-join profile: explode -> shuffle on (band, bkey)
             # -> sizing pass -> tiled self-join -> exact Hamming filter.
