@@ -868,7 +868,8 @@ def lsh_components(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
 
 
 def label_propagate(nodes: DataFrame, edges: DataFrame,
-                    max_iter: int = 50) -> DataFrame:
+                    max_iter: int = 50,
+                    driver_edges: int = 200_000) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
     nodes(node) + edges(src, dst) [treated as undirected] ->
@@ -880,7 +881,19 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
     wall clock; at cluster scale it also halves the scheduler round
     trips. Every frame localCheckpoints so lineage stays flat across
     rounds (on a cluster: rdd checkpoint to durable storage). Shared
-    by lsh_components (docs) and phash_components (images)."""
+    by lsh_components (docs) and phash_components (images).
+
+    Edge sets at or under `driver_edges` run union-find ON THE DRIVER
+    instead: each distributed iteration costs 3 shuffles of scheduler
+    latency (measured 1.7-2.9 s PER ITERATION on a ~100-edge graph at
+    local[32]) while path-halving union-find on 200k collected edges
+    is ~0.1 s and the result rebroadcasts as one map-side join. This
+    is a BOUNDED collect — the count is already in hand, the transfer
+    caps at 2*driver_edges id pairs (~tens of MB), and discriminating
+    dedup thresholds on realistic corpora produce edge sets orders of
+    magnitude below the node count, so the common case IS tiny. Wide
+    graphs (> driver_edges) take the distributed loop unchanged;
+    driver_edges=0 forces it (the tests pin loop==driver equality)."""
     from pyspark.sql import Observation
 
     und = edges.select("src", "dst").union(
@@ -891,6 +904,39 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
         # all-isolated (the common case for discriminating thresholds
         # on realistic corpora): skip the loop AND the rejoin
         return nodes.withColumn("label", F.col("node"))
+    if n_edges <= 2 * driver_edges:  # und carries both directions
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in und.collect():
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        comp_min: dict = {}
+        for x in parent:
+            r = find(x)
+            if r not in comp_min or x < comp_min[r]:
+                comp_min[r] = x
+        ntype = und.schema["src"].dataType
+        mapping = nodes.sparkSession.createDataFrame(
+            [(x, comp_min[find(x)]) for x in parent],
+            StructType([StructField("node", ntype),
+                        StructField("label", ntype)]),
+        )
+        return nodes.join(F.broadcast(mapping), "node", "left").select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
     # Right-size the edge frame's partitioning to the EDGE count: the
     # checkpoint inherits the upstream join's partition count (32+ on
     # the bench session), and every loop stage then schedules that many

@@ -324,6 +324,56 @@ def _probed(v: DataFrame, n_bits: int, n_probe: int) -> DataFrame:
     )
 
 
+def _probed_self(v: DataFrame, n_bits: int, n_probe: int) -> DataFrame:
+    """Probe explosion for the SELF-pairs join. For radius 1 the flip
+    set halves by symmetry: a pair whose buckets differ in bit i has
+    that bit SET on exactly one side, so only rows with bit i set
+    probe across flip e_i (the clear side is reached, never probes)
+    and every cross-bucket candidate still meets exactly once — the
+    exploded frame shrinks from (n_bits+1)*N rows to (n_bits/2+1)*N
+    expected, which is the probe side's exchange, Arrow transfer and
+    kernel-conversion volume. Requires the downstream emit to
+    canonicalize pair order (min id first): which side is Q is now
+    decided by bucket bits, not id order. Radius 2 keeps the full
+    two-sided explosion (a 2-bit-apart pair can split its set bits
+    across the sides, so one-siding would miss it); radius 0 has
+    nothing to halve.
+
+    The output carries an `_own` flag (probe bucket == home bucket).
+    Downstream MUST dedupe own-bucket meetings with the classic
+    id-order filter (they occur in both directions) and emit probe
+    meetings unconditionally (each occurs exactly once) — relying on
+    distinct() instead is WRONG for the BLAS kernel path: the two
+    directions of an own-bucket meeting score the same pair in
+    different chunk layouts, and a one-ulp reassociation difference
+    defeats the distinct (caught by a real duplicate at threshold
+    0.3749... vs ...46 in test_ann_refine_kernel_matches_expr).
+    Two-sided fallbacks mark every row `_own` so the id-order filter
+    reduces to the classic dedup."""
+    if n_probe != 1:
+        return _probed(v, n_bits, n_probe).withColumn("_own", F.lit(True))
+    flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_bits)])
+    own = F.filter(
+        flips,
+        lambda f: (f == F.lit(0)) | (F.col("bucket").bitwiseAND(f) != F.lit(0)),
+    )
+    probe = F.explode(
+        F.transform(
+            own,
+            lambda f: F.struct(
+                F.col("bucket").bitwiseXOR(f).alias("b"),
+                (f == F.lit(0)).alias("o"),
+            ),
+        )
+    )
+    return (
+        v.withColumn("_p", probe)
+        .withColumn("bucket", F.col("_p.b"))
+        .withColumn("_own", F.col("_p.o"))
+        .drop("_p")
+    )
+
+
 def _bucket_topk_kernel(id_col: str, id_dtype: str, k: int):
     """Per-bucket BLAS refine for ann_topk: one cogrouped kernel per
     bucket computes the FULL query x target cosine matrix with one
@@ -523,6 +573,7 @@ def embedding_neardup_pairs(
             Q = np.stack([np.asarray(x, np.float64) for x in qpdf["v"]])
             T = np.stack([np.asarray(x, np.float64) for x in tpdf["v"]])
             qids = qpdf[id_col].to_numpy()
+            qown = qpdf["_own"].to_numpy(bool)
             tids = tpdf[id_col].to_numpy()
             qn = np.linalg.norm(Q, axis=1)
             tn = np.linalg.norm(T, axis=1)[None, :]
@@ -532,18 +583,32 @@ def embedding_neardup_pairs(
             for s in range(0, len(qids), step):
                 e = min(len(qids), s + step)
                 S = (Q[s:e] @ T.T) / (qn[s:e, None] * tn)
-                # score mask FIRST, id order only at surviving cells:
+                # score mask FIRST, ids only at surviving cells:
                 # string ids make the broadcast id matrix object-dtype
                 # (b^2 interpreted compares per bucket — measured +7 s
                 # over the whole 146k corpus); above-threshold hits
-                # number ~0 per bucket, so comparing there is free
+                # number ~0 per bucket, so touching ids there is free.
+                # Own-bucket meetings occur in BOTH directions: keep
+                # qid < tid there (exactly one survives — relying on
+                # distinct() instead fails when the two directions'
+                # BLAS chunk layouts differ by an ulp). A probe
+                # meeting occurs exactly once with bucket-bit-decided
+                # sides, so it is kept unconditionally and the pair
+                # order CANONICALIZED (min id first) at emit.
                 qi, ti = np.nonzero(S >= threshold)
                 if len(qi):
-                    keep = qids[s:e][qi] < tids[ti]
+                    qsel, tsel = qids[s:e][qi], tids[ti]
+                    keep = np.where(qown[s:e][qi], qsel < tsel, qsel != tsel)
                     qi, ti = qi[keep], ti[keep]
+                qsel, tsel = qids[s:e][qi], tids[ti]
+                a_first = qsel < tsel
                 outs.append(
                     pd.DataFrame(
-                        {"id_a": qids[s:e][qi], "id_b": tids[ti], "score": S[qi, ti]}
+                        {
+                            "id_a": np.where(a_first, qsel, tsel),
+                            "id_b": np.where(a_first, tsel, qsel),
+                            "score": S[qi, ti],
+                        }
                     )
                 )
             return pd.concat(outs, ignore_index=True)
@@ -553,7 +618,7 @@ def embedding_neardup_pairs(
         # sharing a lineage is an ambiguous self-join to the analyzer
         t = v.select(*[F.col(c).alias(c) for c in v.columns])
         return (
-            _probed(v, n_bits, n_probe)
+            _probed_self(v, n_bits, n_probe)
             .groupBy("bucket")
             .cogroup(t.groupBy("bucket"))
             .applyInPandas(kernel, schema)
@@ -561,17 +626,28 @@ def embedding_neardup_pairs(
         )
     if refine != "expr":
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
-    a = _probed(v, n_bits, n_probe).alias("a")
+    a = _probed_self(v, n_bits, n_probe).alias("a")
     t = v.alias("b")
     dot = F.expr(_dot_expr("a.v", "b.v"))
     na = F.sqrt(F.expr(_dot_expr("a.v", "a.v")))
     nb = F.sqrt(F.expr(_dot_expr("b.v", "b.v")))
+    # own-bucket meetings dedupe by id order, probe meetings are
+    # unique and keep both orders (the side assignment is bucket-
+    # decided, see _probed_self); least/greatest canonicalizes at
+    # emit. The fold score is side-symmetric at the bit level even
+    # under bit_exact (a_i*b_i == b_i*a_i exactly in IEEE, same
+    # summation order).
     return (
         a.join(t, "bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            F.when(
+                F.col("a._own"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ).otherwise(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
             (dot / (na * nb)).alias("score"),
         )
         .filter(F.col("score") >= threshold)

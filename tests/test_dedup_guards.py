@@ -133,6 +133,14 @@ def test_label_propagate_random_graphs(spark):
             edf = spark.createDataFrame([], "src long, dst long")
         got = {r["node"]: r["label"] for r in label_propagate(ndf, edf).collect()}
         assert got == expected, f"trial {trial}"
+        # driver_edges=0 forces the distributed pointer-doubling loop;
+        # the default takes the driver union-find fast path — both
+        # must agree with the reference exactly
+        loop = {
+            r["node"]: r["label"]
+            for r in label_propagate(ndf, edf, driver_edges=0).collect()
+        }
+        assert loop == expected, f"trial {trial} (distributed loop)"
 
 
 def test_tiled_self_join_matches_plain(spark):

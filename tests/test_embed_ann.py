@@ -187,6 +187,12 @@ def test_ann_refine_kernel_matches_expr(spark):
         emb, threshold=0.35, n_bits=4, refine="kernel"
     ).toPandas()
     assert sorted(zip(ep.id_a, ep.id_b)) == sorted(zip(gp.id_a, gp.id_b)) and len(gp)
+    # no duplicate pairs on either path: own-bucket double meetings
+    # dedupe by id order IN the operator, not via distinct (a one-ulp
+    # BLAS chunk-layout difference between the two directions would
+    # defeat distinct — a real duplicate caught at threshold 0.374904)
+    assert not ep.duplicated(["id_a", "id_b"]).any()
+    assert not gp.duplicated(["id_a", "id_b"]).any()
 
 
 def test_ivf_refine_kernel_matches_expr(spark):
@@ -405,3 +411,53 @@ def test_streaming_embed_matches_batch(spark, tmp_path, caplog):
         hot_arrival, deg, threshold=0.9, n_bits=4, target_bucket=2
     )
     assert not any(r["corpus_id"] >= 10000 for r in bat.collect())
+
+
+def test_neardup_pairs_one_sided_probe_exact_set(spark):
+    """The radius-1 probe explosion is ONE-SIDED (only the bucket-bit-
+    set side probes across each flip, see _probed_self); the candidate
+    predicate must stay exactly {bucket Hamming <= 1} regardless of
+    which side holds the smaller id. Reference: brute-force cosine +
+    bucket Hamming over the same lsh_buckets assignment, checked for
+    both refine paths."""
+    from segment_rtree_spark.operators.embed import (
+        embedding_neardup_pairs,
+        lsh_buckets,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(60, 16))
+    # near-dup twins BOTH directions: twin id above AND below its base
+    # id, so a probing side with the larger id occurs by construction
+    rows, vid = [], 0
+    for b in base:
+        for jitter in (0.0, 0.015):
+            v = b + jitter * rng.normal(size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    ).cache()
+    n_bits = 6
+    buckets = (
+        lsh_buckets(df, n_bits=n_bits, bit_exact=True)
+        .toPandas().set_index("vec_id")["bucket"].to_dict()
+    )
+    V = np.array([r[1] for r in rows])
+    nrm = np.linalg.norm(V, axis=1)
+    S = (V @ V.T) / (nrm[:, None] * nrm[None, :])
+    expected = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if S[i, j] >= 0.99 and bin(buckets[i] ^ buckets[j]).count("1") <= 1:
+                expected.add((i, j))
+    assert expected  # the fixture must actually exercise the probe
+    for kwargs in ({"refine": "kernel"},
+                   {"refine": "expr", "bit_exact": True}):
+        got = embedding_neardup_pairs(
+            df, threshold=0.99, n_bits=n_bits, max_bucket=None, **kwargs
+        ).toPandas()
+        assert set(zip(got.id_a, got.id_b)) == expected, kwargs
+        assert (got.id_a < got.id_b).all()
+        assert not got.duplicated(["id_a", "id_b"]).any()
