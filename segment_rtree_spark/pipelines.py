@@ -281,18 +281,24 @@ def _multimodal_cluster(ok: DataFrame,
     Returns (id_col, caption, n_regions, cluster_size) with
     cluster_size = TOTAL surviving images the representative stands
     for across every stage."""
-    from pyspark.sql import Window
 
     from .operators.dedup import crossmodal_components, label_propagate
 
-    # 1. exact collapse: one shuffle on the content hash
-    w = Window.partitionBy("_content")
-    ex = (
-        ok.withColumn("_exact_rep", F.min(id_col).over(w))
-        .withColumn("n_exact", F.count(F.lit(1)).over(w))
-    )
-    s1 = ex.filter(F.col(id_col) == F.col("_exact_rep")).drop(
-        "_exact_rep", "_content"
+    # 1. exact collapse: one hash-agg on the content hash. min_by on
+    # the whole row (keyed by id) beats the window form: partial
+    # aggregation collapses duplicate content map-side BEFORE the
+    # exchange (a window would shuffle every survivor row, then sort
+    # each partition), so the shuffle carries one row per distinct
+    # hash and there is no sort at all — the difference is most of
+    # the stage's serial fraction in the N-vs-4N scaling profile.
+    rep_cols = [c for c in ok.columns if c != "_content"]
+    s1 = (
+        ok.groupBy("_content")
+        .agg(
+            F.min_by(F.struct(*rep_cols), F.col(id_col)).alias("_rep"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .select("_rep.*", "n_exact")
     )
     if materialize:
         # s1 feeds the crossmodal band join AND the label rejoin —
@@ -306,12 +312,20 @@ def _multimodal_cluster(ok: DataFrame,
         hot_threshold=hot_threshold, max_bucket=max_bucket,
         drop_observation=drop_observation,
     )
-    w2 = Window.partitionBy("component")
+    # component == the cluster's min member id (min-label propagation
+    # contract), so the representative row IS the min_by row: one
+    # partial-agged hash shuffle replaces the join+window+filter form
+    # (a full-width exchange AND a per-partition sort at image
+    # cardinality — the stage-2 serial fraction in the scaling study).
+    rep2 = [c for c in s1.columns if c != "n_exact"]
     s2 = (
         s1.join(comp, id_col)
-        .withColumn("_csize", F.sum("n_exact").over(w2))
-        .filter(F.col(id_col) == F.col("component"))
-        .drop("component", "n_exact")
+        .groupBy("component")
+        .agg(
+            F.min_by(F.struct(*rep2), F.col(id_col)).alias("_rep"),
+            F.sum("n_exact").alias("_csize"),
+        )
+        .select("_rep.*", "_csize")
     )
     if embedding is None:
         return s2.select(
@@ -335,12 +349,16 @@ def _multimodal_cluster(ok: DataFrame,
     comp2 = label_propagate(
         s2.select(F.col(id_col).alias("node")), edges
     )
-    w3 = Window.partitionBy("label")
+    # same agg-instead-of-window trick as stage 2: label == min member
+    # id, so min_by(struct, id) recovers the representative's columns
     return (
         s2.join(comp2, s2[id_col] == comp2["node"])
-        .withColumn("cluster_size", F.sum("_csize").over(w3))
-        .filter(F.col(id_col) == F.col("label"))
-        .select(id_col, caption, "n_regions", "cluster_size")
+        .groupBy("label")
+        .agg(
+            F.min_by(F.struct(caption, "n_regions"), F.col(id_col)).alias("_rep"),
+            F.sum("_csize").alias("cluster_size"),
+        )
+        .select(F.col("label").alias(id_col), "_rep.*", "cluster_size")
     )
 
 

@@ -135,6 +135,15 @@ def main():
             tiled = assign_tiles(spark.read.parquet(path), res=8)
             n_pairs = pip_join_broadcast(tiled, layer, keep=["phash"]).count()
         runs.append(time.time() - t0)
+        # drop this rep's localCheckpoint blocks before the next one:
+        # the curate pipeline checkpoints its survivor/stage frames, and
+        # at local[1] three reps' worth of retained blocks evict each
+        # other out of the one executor's storage pool (measured runs
+        # 156 -> 333 -> 303 s at 1M rows — the degradation is block
+        # churn, not the job). A real cluster run is one submission per
+        # job, so per-rep cleanup is the honest steady state.
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
     wall = min(runs)
     t0 = time.time()
     acc = 0
