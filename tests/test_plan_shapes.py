@@ -255,3 +255,46 @@ def test_crossmodal_fully_jvm_side(spark):
         # corpus-wide shuffles at scale
         n_joins = sum(1 for line in p.splitlines() if "Join" in line)
         assert n_joins == 1, p
+
+
+def test_multimodal_cascade_aggregates_not_windows(spark):
+    """The multimodal collapse stages must be partial-agged hash
+    shuffles, not window+filter rejoins: min_by(struct, id) with
+    map-side partial aggregation at exact/crossmodal/embedding
+    collapse. Exactly ONE Window survives in the whole lineage — the
+    min-label rejoin inside crossmodal_components, which genuinely
+    needs a per-row result (every id gets its component) and a window
+    is its single-shuffle form. A second Window is a regression to
+    the full-width exchange + sort formulation."""
+    from segment_rtree_spark.layer import PolygonLayer
+    from segment_rtree_spark.pipelines import curate_multimodal
+
+    layer = PolygonLayer.from_ring_rows(
+        [(1, 0, [0.0, 40.0, 40.0, 0.0, 0.0], [0.0, 0.0, 20.0, 20.0, 0.0])]
+    )
+    imgs = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("image_id"),
+        F.col("o_orderkey").alias("phash"),
+        F.concat(F.lit("cap one two "), (F.col("o_orderkey") % 13).cast("string")).alias("caption"),
+        (F.col("o_orderkey") % 37).cast("double").alias("lng"),
+        (F.col("o_orderkey") % 17).cast("double").alias("lat"),
+        F.col("o_orderkey").cast("string").cast("binary").alias("bytes"),
+        F.expr(
+            "transform(sequence(0, 7), d -> cast(pmod(o_orderkey + d, 97) as double))"
+        ).alias("embedding"),
+    )
+    # embedding=None: with materialize=False the embed stage would
+    # re-derive s2 (and its Window) once per consumer, making the
+    # count ambiguous; the stage-3 collapse is the same agg shape as
+    # stage 2, so the two-stage plan pins the claim.
+    out = curate_multimodal(imgs, layer, materialize=False)
+    import re
+
+    p = plan_str(out, "simple")
+    n_windows = len(re.findall(r"\bWindow \[", p))
+    assert n_windows == 1, p
+    # map-side partial aggregation of the min_by collapses — the whole
+    # point of the agg formulation (duplicates fold before the exchange)
+    assert "partial_min_by" in p, p
+    # the only Python stage in the cascade is the embed refine kernel
+    assert "BatchEvalPython" not in p, p
