@@ -16,11 +16,14 @@ trip PSNR>=40dB at quality>=90 on smooth content; progressive decode
 since round 6). Round 5 added DECODE for the remaining common crawl
 formats: fmt='png' covers the full external spec (all color types,
 depths 1-16, Adam7), fmt='bmp' (BI_RGB 24/32-bit; round 6 adds
-1/4/8-bit paletted + RLE8) and fmt='gif' (LZW, palettes, interlace,
-animated via _gif_canvas_frames); round 6 adds compressed TIFF
+1/4/8-bit paletted + RLE8; round 7 adds RLE4 and 16/32-bit
+BI_BITFIELDS) and fmt='gif' (LZW, palettes, interlace, animated via
+_gif_canvas_frames); round 6 adds compressed TIFF
 (LZW/Deflate/PackBits + predictor) and fmt='webp' lossless (full
 VP8L decode + a literal-only encoder, webp.py — libwebp-conformance
-tested). Only inter-frame video (mp4/h264) and lossy VP8 stay
+tested); round 7 adds animated webp (ANIM/ANMF compositing,
+webp.webp_canvas_frames). Only inter-frame video (mp4/h264), lossy
+VP8 and CCITT TIFF stay
 stubbed behind NotImplementedError: the Spark-side plumbing (binary
 column + typed metadata, mapInPandas batch shape) is identical, only
 the per-batch codec body differs.
@@ -229,11 +232,12 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
 
 def _decode_bmp(buf: bytes, w: int, h: int) -> np.ndarray:
     """Windows BMP -> uint8[h,w,3]: uncompressed (BI_RGB) 24/32-bit
-    DIBs, paletted 1/4/8-bit DIBs (BGRX color table), and RLE8
-    (BI_RLE8) — bottom-up or top-down, with the 4-byte row padding
-    the format requires. RLE4 and 16-bit BI_BITFIELDS variants raise
-    NotImplementedError (CodecUnavailable tier — valid files this
-    decoder declines)."""
+    DIBs, paletted 1/4/8-bit DIBs (BGRX color table), RLE8 and RLE4
+    (round 7), and 16/32-bit masked pixels (BI_RGB 5-5-5 default or
+    BI_BITFIELDS masks, round 7) — bottom-up or top-down, with the
+    4-byte row padding the format requires. Spec-invalid
+    bpp/compression combos raise NotImplementedError (CodecUnavailable
+    tier)."""
     if buf[:2] != b"BM":
         raise ValueError("missing BMP signature")
     if len(buf) < 54:
@@ -256,9 +260,11 @@ def _decode_bmp(buf: bytes, w: int, h: int) -> np.ndarray:
             idx = _bmp_unpack_indices(buf, data_off, w, h, bpp)
         elif compression == 1 and bpp == 8:
             idx = _bmp_rle8(buf, data_off, w, h)
+        elif compression == 2 and bpp == 4:
+            idx = _bmp_rle4(buf, data_off, w, h)
         else:
-            # RLE4 (compression=2) and exotic combos: VALID files this
-            # decoder declines — CodecUnavailable, not CorruptStream
+            # spec-invalid combos (RLE8 at bpp!=8, RLE4 at bpp!=4):
+            # declined, not treated as corruption
             raise NotImplementedError(
                 f"BMP bpp={bpp} compression={compression} unsupported"
             )
@@ -266,7 +272,15 @@ def _decode_bmp(buf: bytes, w: int, h: int) -> np.ndarray:
             raise ValueError("BMP palette index out of range")
         px = pal[idx]
         return px if top_down else px[::-1]
-    if compression not in (0, 3) or bpp not in (24, 32):
+    if bpp == 16 or (bpp == 32 and compression == 3):
+        if compression not in (0, 3):
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={compression} unsupported"
+            )
+        masks = _bmp_bitfield_masks(buf, compression, bpp)
+        px = _bmp_bitfields(buf, data_off, w, h, bpp, masks)
+        return px if top_down else px[::-1]
+    if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
             f"BMP bpp={bpp} compression={compression} unsupported"
         )
@@ -348,6 +362,99 @@ def _bmp_rle8(buf: bytes, data_off: int, w: int, h: int) -> np.ndarray:
             x += val
             i += val + (val & 1)
     raise ValueError("BMP RLE8 stream missing end-of-data")
+
+
+def _bmp_rle4(buf: bytes, data_off: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE4 -> uint8[h,w] indices in the file's bottom-up row order
+    (caller flips). Encoded runs repeat the value byte's TWO nibbles
+    alternating (high first); escapes 0x00: 0=EOL, 1=EOD, 2=delta —
+    skipped pixels stay index 0 — else absolute mode: `val` nibbles
+    packed two per byte, the byte span padded to a word boundary."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i, n = data_off, len(buf)
+    while i + 1 < n:
+        cnt, val = buf[i], buf[i + 1]
+        i += 2
+        if cnt:  # encoded run of alternating nibbles
+            if x + cnt > w or y >= h:
+                raise ValueError("BMP RLE4 run exceeds row")
+            pair = np.array([val >> 4, val & 0xF], np.uint8)
+            idx[y, x : x + cnt] = np.tile(pair, (cnt + 1) // 2)[:cnt]
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of data
+            return idx
+        elif val == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE4 delta")
+            x += buf[i]
+            y += buf[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE4 delta out of bounds")
+        else:  # absolute mode: val nibbles, word-aligned byte span
+            nb = (val + 1) // 2
+            if x + val > w or y >= h or i + nb > n:
+                raise ValueError("BMP RLE4 absolute run exceeds row")
+            packed = np.frombuffer(buf, np.uint8, count=nb, offset=i)
+            nibbles = np.empty(nb * 2, np.uint8)
+            nibbles[0::2] = packed >> 4
+            nibbles[1::2] = packed & 0xF
+            idx[y, x : x + val] = nibbles[:val]
+            x += val
+            i += (nb + 1) & ~1
+    raise ValueError("BMP RLE4 stream missing end-of-data")
+
+
+def _bmp_bitfield_masks(buf: bytes, compression: int,
+                        bpp: int) -> tuple:
+    """(r, g, b) channel masks for 16/32-bit pixels. BI_BITFIELDS
+    stores three DWORDs at absolute offset 54 — immediately after a
+    40-byte info header, and at the same position INSIDE a V4/V5
+    header (bV4RedMask starts at header byte 40). BI_RGB 16-bit
+    defaults to X1R5G5B5. Masks must be nonzero, contiguous and
+    non-overlapping (CorruptStream otherwise)."""
+    if compression != 3:
+        return 0x7C00, 0x03E0, 0x001F
+    if len(buf) < 66:
+        raise ValueError("truncated BMP bitfield masks")
+    r, g, b = struct.unpack_from("<III", buf, 54)
+    full = (1 << bpp) - 1
+    for m in (r, g, b):
+        if not m or m > full:
+            raise ValueError("BMP bitfield mask out of range")
+        span = m >> ((m & -m).bit_length() - 1)
+        if span & (span + 1):
+            raise ValueError("BMP bitfield mask not contiguous")
+    if r & g or g & b or r & b:
+        raise ValueError("BMP bitfield masks overlap")
+    return r, g, b
+
+
+def _bmp_bitfields(buf: bytes, data_off: int, w: int, h: int, bpp: int,
+                   masks: tuple) -> np.ndarray:
+    """16/32-bit masked pixels -> uint8[h,w,3] in file row order
+    (caller flips bottom-up). Channels rescale max-value -> 255 with
+    rounding — the DirectColorModel conversion javax.imageio applies,
+    so the interop tests compare bit-exact."""
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    if data_off + stride * h > len(buf):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(buf, np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * nbytes]
+    dt = "<u2" if bpp == 16 else "<u4"
+    v = np.ascontiguousarray(rows).reshape(h, w, nbytes).view(dt)[
+        ..., 0].astype(np.uint32)
+    out = np.empty((h, w, 3), np.uint8)
+    for c, mask in enumerate(masks):
+        shift = (mask & -mask).bit_length() - 1
+        top = mask >> shift
+        ch = (v & mask) >> shift
+        out[:, :, c] = ((ch * 255 + top // 2) // top).astype(np.uint8)
+    return out
 
 
 def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:

@@ -200,6 +200,10 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
         with transparency, so frame N needs frames 0..N-1 — unlike
         MJPEG, skipping cannot skip decode), sampled snapshots emit as
         fmt='raw' rows.
+      * fmt='webp' — animated webp (round 7): ANIM/ANMF containers
+        with VP8L frames composite per the container spec (sub-rect
+        placement, alpha-blend vs replace, dispose-to-background);
+        lossy VP8 frames decline as CodecUnavailable.
     Compressed inter-frame codecs (mp4/h264/webm) need libraries this
     container lacks: NotImplementedError, same batch body.
 
@@ -321,6 +325,19 @@ def _decode_frames(buf: bytes, fmt: str, w: int, h: int):
                 f"gif {gw}x{gh} != metadata {w}x{h}"
             )
         _gw, _gh, frames = _gif_canvas_frames(buf)
+        return "raw", [f.tobytes() for f in frames]
+    if fmt == "webp":
+        # animated webp (round 7): ANIM/ANMF VP8L frames composite
+        # onto a persistent canvas exactly like the gif branch
+        # (sub-rects + blending mean frame N needs frames 0..N-1);
+        # webp_canvas_frames guards the canvas allocation against the
+        # table metadata BEFORE sizing anything from the 24-bit VP8X
+        # dim fields. Lossy VP8 frames decline as CodecUnavailable.
+        from ..webp import webp_canvas_frames
+
+        if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+            raise ValueError("missing WEBP signature")
+        _ww, _wh, frames = webp_canvas_frames(buf, expect=(w, h))
         return "raw", [f.tobytes() for f in frames]
     raise NotImplementedError(
         f"video codec for fmt={fmt!r} not available in this environment"
@@ -592,7 +609,7 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 px = decode_image(buf, fmt, w, h)
             except NotImplementedError as e:
                 # a VALID file this engine's decoder doesn't cover
-                # (RLE/paletted BMP, exotic PNG) is a codec gap, not
+                # (lossy VP8 webp, CCITT TIFF) is a codec gap, not
                 # corruption — the taxonomy keeps the two apart so a
                 # curation job can route them differently
                 return IMG_ERR_CODEC_UNAVAILABLE, str(e)[:80]

@@ -498,8 +498,10 @@ def _inv_subtract_green(px: np.ndarray) -> np.ndarray:
     return px
 
 
-def _decode_vp8l(payload: bytes, expect=None) -> np.ndarray:
-    """VP8L chunk payload -> uint8[h,w,3] RGB (alpha stripped).
+def _decode_vp8l(payload: bytes, expect=None, rgba: bool = False) -> np.ndarray:
+    """VP8L chunk payload -> uint8[h,w,3] RGB (alpha stripped), or
+    uint8[h,w,4] RGBA with `rgba=True` (the animation compositor
+    needs the alpha plane for ANMF blending).
 
     `expect=(w, h)` (table metadata) is validated against the header
     dims BEFORE any pixel buffer is sized from them, so a corrupt or
@@ -540,18 +542,59 @@ def _decode_vp8l(payload: bytes, expect=None) -> np.ndarray:
             px = _inv_color_indexing(px, rec[1], rec[2], w)
     if px.shape[1] != w:
         raise ValueError("VP8L decoded width mismatch")
+    if rgba:
+        return px[:, :, [1, 2, 3, 0]].astype(np.uint8)  # ARGB -> RGBA
     return px[:, :, 1:4].astype(np.uint8)  # ARGB -> RGB
 
 
-def decode_webp(buf: bytes, expect=None) -> np.ndarray:
-    """RIFF/WEBP container -> uint8[h,w,3]. VP8L (lossless) decodes;
-    lossy VP8 and animated/extended features decline as
-    NotImplementedError (CodecUnavailable tier). `expect=(w, h)`
-    bounds allocations by the table metadata (checked against the
-    VP8L header before buffers are sized from it)."""
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _blend_over(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Alpha-composite src OVER dst (uint8 RGBA, the container spec's
+    'alpha blending' method), integer math with rounding."""
+    sa = src[:, :, 3].astype(np.uint32)
+    da = dst[:, :, 3].astype(np.uint32)
+    oa = sa * 255 + da * (255 - sa)  # output alpha, x255 scale
+    out = np.zeros_like(dst)
+    out[:, :, 3] = ((oa + 127) // 255).astype(np.uint8)
+    num = (src[:, :, :3].astype(np.uint32) * (sa * 255)[:, :, None]
+           + dst[:, :, :3].astype(np.uint32) * (da * (255 - sa))[:, :, None])
+    nz = oa > 0
+    for c in range(3):
+        ch = out[:, :, c]
+        ch[nz] = ((num[:, :, c][nz] + oa[nz] // 2) // oa[nz]).astype(np.uint8)
+    return out
+
+
+def webp_canvas_frames(buf: bytes, expect=None):
+    """RIFF/WEBP -> (w, h, [uint8[h,w,3] canvas snapshots]) — the
+    animated twin of imageio._gif_canvas_frames (round 7).
+
+    Animated containers (VP8X with the A flag + ANIM + ANMF*)
+    composite each VP8L frame onto a persistent RGBA canvas per the
+    container spec: sub-rect placement at even offsets, alpha-blend
+    vs replace per the ANMF blending bit, dispose-to-background
+    applied AFTER the frame's snapshot. Transparent canvas regions
+    snapshot as black, deterministically. Still containers return one
+    frame. Lossy VP8 frames decline as NotImplementedError; an ANMF
+    whose declared dims disagree with the VP8L header inside it is an
+    INTERNAL inconsistency -> ValueError (CorruptStream), never
+    DimensionMismatch (the table metadata is not at fault).
+
+    `expect=(w, h)` guards the canvas allocation against the table
+    metadata; without it the canvas is capped to the VP8L dimension
+    range (16384) so a hostile VP8X 24-bit dim field cannot force a
+    multi-GB allocation."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("missing WEBP signature")
     pos = 12
+    canvas_wh = None
+    animated = False
+    bg = np.zeros(4, np.uint8)
+    frames = []
+    canvas = None
     saw = []
     while pos + 8 <= len(buf):
         fourcc = buf[pos : pos + 4]
@@ -559,17 +602,102 @@ def decode_webp(buf: bytes, expect=None) -> np.ndarray:
         body = buf[pos + 8 : pos + 8 + size]
         if len(body) < size:
             raise ValueError("truncated WEBP chunk")
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise ValueError("truncated VP8X header")
+            animated = bool(body[0] & 0x02)
+            canvas_wh = (_u24(body, 4) + 1, _u24(body, 7) + 1)
+            if expect is not None and canvas_wh != expect:
+                raise DimensionMismatchError(
+                    f"WEBP canvas {canvas_wh[0]}x{canvas_wh[1]} != "
+                    f"metadata {expect[0]}x{expect[1]}"
+                )
+            if max(canvas_wh) > 1 << 14:
+                raise ValueError("WEBP canvas exceeds VP8L dimension range")
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise ValueError("truncated ANIM chunk")
+            bg = np.array([body[2], body[1], body[0], body[3]],
+                          np.uint8)  # BGRA -> RGBA
+        elif fourcc == b"ANMF":
+            if not animated or canvas_wh is None:
+                raise ValueError("ANMF outside an animated VP8X container")
+            if size < 16:
+                raise ValueError("truncated ANMF chunk")
+            fx = _u24(body, 0) * 2
+            fy = _u24(body, 3) * 2
+            fw = _u24(body, 6) + 1
+            fh = _u24(body, 9) + 1
+            flags = body[15]
+            cw, ch = canvas_wh
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("ANMF frame rect exceeds canvas")
+            if canvas is None:
+                canvas = np.zeros((ch, cw, 4), np.uint8)
+            src = _anmf_frame_rgba(body[16:], fw, fh)
+            rect = canvas[fy : fy + fh, fx : fx + fw]
+            if flags & 0x02:  # blending method 1: do not blend
+                canvas[fy : fy + fh, fx : fx + fw] = src
+            else:
+                canvas[fy : fy + fh, fx : fx + fw] = _blend_over(rect, src)
+            frames.append(canvas[:, :, :3].copy())
+            if flags & 0x01:  # disposal method 1: dispose to background
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif fourcc == b"VP8L":
+            px = _decode_vp8l(body, expect)
+            return px.shape[1], px.shape[0], [px]
+        elif fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 webp unsupported (VP8L lossless only)"
+            )
+        else:
+            saw.append(fourcc)
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if frames:
+        return canvas_wh[0], canvas_wh[1], frames
+    raise ValueError(f"WEBP container without image data (chunks: {saw})")
+
+
+def _anmf_frame_rgba(data: bytes, fw: int, fh: int) -> np.ndarray:
+    """ANMF frame payload ([ALPH] VP8|VP8L) -> uint8[fh,fw,4].
+
+    The VP8L header dims must equal the ANMF-declared dims; a
+    disagreement is container-internal corruption (ValueError), so
+    the DimensionMismatchError the inner decoder raises for
+    metadata-vs-file conflicts is remapped here."""
+    pos = 0
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated ANMF frame chunk")
         if fourcc == b"VP8L":
-            return _decode_vp8l(body, expect)
+            try:
+                return _decode_vp8l(body, (fw, fh), rgba=True)
+            except DimensionMismatchError as e:
+                raise ValueError(
+                    f"ANMF frame dims disagree with VP8L header: {e}"
+                ) from e
         if fourcc == b"VP8 ":
             raise NotImplementedError(
                 "lossy VP8 webp unsupported (VP8L lossless only)"
             )
-        if fourcc == b"ANIM" or fourcc == b"ANMF":
-            raise NotImplementedError("animated webp unsupported")
-        saw.append(fourcc)
-        pos += 8 + size + (size & 1)  # chunks pad to even
-    raise ValueError(f"WEBP container without image data (chunks: {saw})")
+        pos += 8 + size + (size & 1)  # skips ALPH (discouraged w/ VP8L)
+    raise ValueError("ANMF frame without VP8L/VP8 payload")
+
+
+def decode_webp(buf: bytes, expect=None) -> np.ndarray:
+    """RIFF/WEBP container -> uint8[h,w,3]. VP8L (lossless) decodes —
+    including animated VP8L, which returns the FIRST composited
+    canvas frame (round 7; use webp_canvas_frames /
+    sample_video_frames for the full stream, mirroring the GIF
+    contract). Lossy VP8 declines as NotImplementedError
+    (CodecUnavailable tier). `expect=(w, h)` bounds allocations by
+    the table metadata (checked against the VP8L/VP8X header before
+    buffers are sized from it)."""
+    _, _, frames = webp_canvas_frames(buf, expect)
+    return frames[0]
 
 
 # ---------------------------------------------------------------- encode

@@ -220,3 +220,63 @@ def test_truncated_deflate_still_corrupt():
     fx[off + len(strip) - 6 : off + len(strip)] = b"\x00" * 6
     with pytest.raises(ValueError, match="Deflate"):
         decode_image(bytes(fx), "tiff", 8, 8)
+
+def _mutations(buf, seed):
+    rng = np.random.default_rng(seed)
+    cases = []
+    for k in (1, 2, 4, 8, 12) + tuple(len(buf) * i // 8 for i in range(1, 8)):
+        cases.append(buf[:k])
+    for _ in range(160):
+        i = int(rng.integers(0, len(buf)))
+        b = bytearray(buf)
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        cases.append(bytes(b))
+    for _ in range(40):
+        i = int(rng.integers(0, max(1, len(buf) - 4)))
+        b = bytearray(buf)
+        b[i : i + 4] = bytes(rng.integers(0, 256, size=4, dtype=np.uint8))
+        cases.append(bytes(b))
+    return cases
+
+
+def test_round7_decode_surfaces_never_escape():
+    """Same corruption sweep over the round-7 decode paths the
+    encoder-built fixtures above never reach: BI_RLE4 and 16-bit
+    BI_BITFIELDS BMPs, and an animated (ANIM/ANMF VP8L) webp — the
+    RLE escape machine, the mask validator and the ANMF compositor
+    all stay inside the named taxonomy under fire."""
+    from tests.test_imageio_synth import _build_16bit_bmp, _build_rle4_bmp
+    from tests.test_webp import build_anim_webp
+
+    rng = np.random.default_rng(67)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(H, W)).astype(np.uint8)
+    idx[:, : W // 2] = idx[0, 0]
+    px = rng.integers(0, 256, size=(H, W, 3)).astype(np.uint8)
+    fixtures = {
+        "bmp": [
+            _build_rle4_bmp(idx, pal),
+            _build_16bit_bmp(px),
+            _build_16bit_bmp(px, (0xF800, 0x07E0, 0x001F), 3),
+        ],
+        "webp": [
+            build_anim_webp(
+                (W, H),
+                [(0, 0, px, True, False),
+                 (2, 4, px[:8, :6], False, True)],
+                bg=(1, 2, 3, 255),
+            )
+        ],
+    }
+    escaped = []
+    for fmt, bufs in fixtures.items():
+        for j, buf in enumerate(bufs):
+            for c in _mutations(buf, 1000 + j):
+                try:
+                    out = decode_image(c, fmt, W, H)
+                    assert out.dtype == np.uint8
+                except ALLOWED:
+                    pass
+                except Exception as e:  # noqa: BLE001 — the point
+                    escaped.append((fmt, j, type(e).__name__, str(e)[:60]))
+    assert not escaped, escaped

@@ -155,3 +155,27 @@ def test_java_paletted_and_rle8_bmp_decode_in_engine(spark):
                 == _java_decode(jvm, rle)).all()
     else:
         pytest.skip(f"javax bmp writer offers {types}, no BI_RLE8")
+
+def test_java_reads_our_rle4_and_16bit_bmp(spark):
+    """The round-7 BMP tails against a FOREIGN decoder: hand-built
+    BI_RLE4 and 16-bit (BI_RGB 5-5-5 / BI_BITFIELDS 5-6-5) fixtures
+    decode to the same pixels in javax.imageio and in the engine."""
+    from test_imageio_synth import _build_16bit_bmp, _build_rle4_bmp
+
+    jvm = spark.sparkContext._jvm
+    rng = np.random.default_rng(59)
+    h, w = 11, 14
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+    idx[:, :5] = idx[0, 0]  # long runs engage the encoded-run path
+    for td in (False, True):
+        fx = _build_rle4_bmp(idx, pal, top_down=td)
+        ours = decode_image(fx, "bmp", w, h)
+        assert (ours == pal[idx]).all(), td
+        assert (ours == _java_decode(jvm, fx)).all(), td
+
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    for masks, comp in ((None, 0), ((0xF800, 0x07E0, 0x001F), 3)):
+        fx = _build_16bit_bmp(px, masks, comp)
+        assert (decode_image(fx, "bmp", w, h)
+                == _java_decode(jvm, fx)).all(), (masks, comp)

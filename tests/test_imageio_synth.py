@@ -743,8 +743,8 @@ def _build_pal_bmp(idx, pal, bpp, rle=False, top_down=False):
 def test_bmp_paletted_and_rle8():
     """Round-6 codec tails: 1/4/8-bit paletted BMPs (color table,
     MSB-first packing, bottom-up and top-down) and BI_RLE8 (runs,
-    absolute mode, EOL/EOD) decode exactly; RLE4 still declines as
-    CodecUnavailable and structural breakage stays CorruptStream."""
+    absolute mode, EOL/EOD) decode exactly; invalid bpp/compression
+    combos decline and structural breakage stays CorruptStream."""
     import struct
 
     import pytest
@@ -768,11 +768,11 @@ def test_bmp_paletted_and_rle8():
         fx = _build_pal_bmp(idx, pal, 8, rle=True, top_down=td)
         assert (decode_image(fx, "bmp", w, h) == pal[idx]).all(), td
 
-    # RLE4 (compression=2 at bpp=4): valid, declined
+    # RLE8 claimed at bpp=4 (spec-invalid combo): declined
     fx = bytearray(_build_pal_bmp(rng.integers(0, 16, size=(h, w)).astype(
         np.uint8), pal[:16], 4))
-    struct.pack_into("<HI", fx, 28, 4, 2)  # bpp=4, compression=BI_RLE4
-    with pytest.raises(NotImplementedError, match="compression=2"):
+    struct.pack_into("<HI", fx, 28, 4, 1)  # bpp=4, compression=BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression=1"):
         decode_image(bytes(fx), "bmp", w, h)
     # out-of-range palette index -> CorruptStream
     small = _build_pal_bmp(np.full((h, w), 5, np.uint8), pal[:4], 8)
@@ -782,3 +782,172 @@ def test_bmp_paletted_and_rle8():
     fx = _build_pal_bmp(np.zeros((h, w), np.uint8), pal, 8)
     with pytest.raises(ValueError, match="truncated BMP color table"):
         decode_image(fx[:60], "bmp", w, h)
+
+def _rle4_body(idx, top_down=False):
+    """BI_RLE4 stream for idx rows: alternating-nibble encoded runs,
+    absolute spans (word-aligned), EOL per row, final EOD."""
+    out = bytearray()
+    h, w = idx.shape
+    rows = idx if top_down else idx[::-1]
+    for y in range(h):
+        x = 0
+        while x < w:
+            a = int(rows[y, x])
+            b = int(rows[y, x + 1]) if x + 1 < w else a
+            run = 0
+            while (x + run < w and run < 255
+                   and int(rows[y, x + run]) == (a if run % 2 == 0 else b)):
+                run += 1
+            if run >= 3:
+                out += bytes([run, (a << 4) | b])
+                x += run
+            else:
+                span = min(w - x, 254)
+                if span < 3:  # absolute minimum is 3: emit unit runs
+                    for k in range(span):
+                        out += bytes([1, int(rows[y, x + k]) << 4])
+                else:
+                    out += bytes([0, span])
+                    nb = (span + 1) // 2
+                    pk = bytearray(nb)
+                    for k in range(span):
+                        pk[k // 2] |= int(rows[y, x + k]) << (
+                            4 if k % 2 == 0 else 0)
+                    out += pk
+                    if nb % 2:
+                        out += b"\x00"
+                x += span
+        out += b"\x00\x00"  # EOL
+    out[-1:] = b"\x01"  # final EOL -> EOD
+    return bytes(out)
+
+
+def _build_rle4_bmp(idx, pal, top_down=False, body=None):
+    import struct
+
+    h, w = idx.shape
+    ncol = len(pal)
+    quads = np.zeros((ncol, 4), np.uint8)
+    quads[:, :3] = pal[:, ::-1]
+    data = _rle4_body(idx, top_down) if body is None else body
+    data_off = 54 + 4 * ncol
+    hh = -h if top_down else h
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 4, 2,
+                       len(data), 0, 0, ncol, 0)
+    return hdr + quads.tobytes() + data
+
+
+def test_bmp_rle4():
+    """BI_RLE4 (round 7): alternating-nibble encoded runs, absolute
+    mode with word alignment, delta escapes (skipped pixels stay
+    index 0), EOL/EOD, both row orders — plus the CorruptStream
+    taxonomy for structural breakage."""
+    import pytest
+
+    rng = np.random.default_rng(47)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    h, w = 9, 13
+    for trial in range(6):
+        idx = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+        if trial % 2:  # flat spans exercise the encoded-run path
+            idx[:, : w // 2] = idx[0, 0]
+        for td in (False, True):
+            fx = _build_rle4_bmp(idx, pal, top_down=td)
+            assert (decode_image(fx, "bmp", w, h) == pal[idx]).all(), (
+                trial, td)
+    # delta escape: run at origin, delta (+3, +2), run — holes stay 0
+    body = bytes([4, 0x5A]) + b"\x00\x02\x03\x02" + bytes([2, 0x77]) + b"\x00\x01"
+    expect = np.zeros((h, w), np.uint8)
+    expect[h - 1, 0:4] = [5, 10, 5, 10]
+    expect[h - 3, 7:9] = [7, 7]
+    fx = _build_rle4_bmp(expect, pal, body=body)
+    assert (decode_image(fx, "bmp", w, h) == pal[expect]).all()
+    # run exceeding the row -> CorruptStream
+    fx = _build_rle4_bmp(expect, pal, body=bytes([255, 0x11]) + b"\x00\x01")
+    with pytest.raises(ValueError, match="RLE4 run exceeds row"):
+        decode_image(fx, "bmp", w, h)
+    # missing end-of-data -> CorruptStream
+    fx = _build_rle4_bmp(expect, pal, body=bytes([4, 0x5A]))
+    with pytest.raises(ValueError, match="RLE4 stream missing end-of-data"):
+        decode_image(fx, "bmp", w, h)
+
+
+def _build_16bit_bmp(px, masks=None, compression=0, top_down=False):
+    """uint8[h,w,3] -> 16-bit BMP bytes; masks None = BI_RGB 5-5-5,
+    else BI_BITFIELDS with the three DWORD masks after the header."""
+    import struct
+
+    h, w, _ = px.shape
+    use = masks or (0x7C00, 0x03E0, 0x001F)
+    v = np.zeros((h, w), np.uint32)
+    for c, mask in enumerate(use):
+        shift = (mask & -mask).bit_length() - 1
+        top = mask >> shift
+        v |= ((px[:, :, c].astype(np.uint32) * top + 127) // 255) << shift
+    stride = (w * 2 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 2] = v.astype("<u2").view(np.uint8).reshape(h, w * 2)
+    if not top_down:
+        rows = rows[::-1]
+    extra = struct.pack("<III", *use) if compression == 3 else b""
+    data = rows.tobytes()
+    data_off = 54 + len(extra)
+    hh = -h if top_down else h
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 16, compression,
+                       len(data), 0, 0, 0, 0)
+    return hdr + extra + data
+
+
+def _quantize(px, masks):
+    out = np.empty_like(px)
+    for c, mask in enumerate(masks):
+        shift = (mask & -mask).bit_length() - 1
+        top = mask >> shift
+        q = (px[:, :, c].astype(np.uint32) * top + 127) // 255
+        out[:, :, c] = ((q * 255 + top // 2) // top).astype(np.uint8)
+    return out
+
+
+def test_bmp_16bit_and_bitfields():
+    """16-bit BMPs (round 7): BI_RGB default 5-5-5 and BI_BITFIELDS
+    (5-6-5 and 5-5-5 masks), both row orders, channels rescaled
+    max->255; malformed masks are CorruptStream and spec-invalid
+    16-bit compression combos decline."""
+    import struct
+
+    import pytest
+
+    rng = np.random.default_rng(53)
+    h, w = 9, 11
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    m555 = (0x7C00, 0x03E0, 0x001F)
+    m565 = (0xF800, 0x07E0, 0x001F)
+    for masks, comp in ((None, 0), (m555, 3), (m565, 3)):
+        for td in (False, True):
+            fx = _build_16bit_bmp(px, masks, comp, top_down=td)
+            got = decode_image(fx, "bmp", w, h)
+            assert (got == _quantize(px, masks or m555)).all(), (masks, td)
+    # overlapping masks -> CorruptStream
+    fx = bytearray(_build_16bit_bmp(px, m565, 3))
+    struct.pack_into("<III", fx, 54, 0xF800, 0x0FE0, 0x001F)
+    with pytest.raises(ValueError, match="masks overlap"):
+        decode_image(bytes(fx), "bmp", w, h)
+    # zero mask -> CorruptStream
+    struct.pack_into("<III", fx, 54, 0xF800, 0x07E0, 0)
+    with pytest.raises(ValueError, match="mask out of range"):
+        decode_image(bytes(fx), "bmp", w, h)
+    # non-contiguous mask -> CorruptStream
+    struct.pack_into("<III", fx, 54, 0xF800, 0x07E0, 0x0015)
+    with pytest.raises(ValueError, match="not contiguous"):
+        decode_image(bytes(fx), "bmp", w, h)
+    # 16-bit + RLE8 (spec-invalid): declined
+    fx = bytearray(_build_16bit_bmp(px))
+    struct.pack_into("<I", fx, 30, 1)
+    with pytest.raises(NotImplementedError, match="compression=1"):
+        decode_image(bytes(fx), "bmp", w, h)
+    # truncated pixel data -> CorruptStream
+    fx = _build_16bit_bmp(px)
+    with pytest.raises(ValueError, match="truncated BMP pixel data"):
+        decode_image(fx[:-40], "bmp", w, h)

@@ -529,3 +529,43 @@ def test_resize_output_formats(spark):
                 assert (got == want).all()
     with pytest.raises(ValueError, match="resize fmt"):
         resize_images(imgs, 8, 8, fmt="gif")
+
+def test_webp_video_frame_sampling(spark):
+    """fmt='webp' video rows (round 7): animated VP8L webps
+    frame-sample through the same operator as gif, emitting
+    full-canvas raw snapshots; canvas dims are guarded against the
+    table metadata BEFORE allocation."""
+    from segment_rtree_spark.webp import webp_canvas_frames
+    from tests.test_webp import build_anim_webp
+
+    rng = np.random.default_rng(29)
+    W, H = 12, 8
+    frames_spec = [
+        (0, 0, rng.integers(0, 256, size=(H, W, 3)).astype(np.uint8),
+         True, False)
+    ] + [
+        (2 * (k % 4), 2 * (k % 3),
+         rng.integers(0, 256, size=(4, 6, 3)).astype(np.uint8), False, False)
+        for k in range(6)
+    ]
+    buf = build_anim_webp((W, H), frames_spec)
+    pdf = pd.DataFrame(
+        {"video_id": ["w0"], "bytes": [buf], "w": np.int32(W),
+         "h": np.int32(H), "fmt": "webp"}
+    )
+    out = sample_video_frames(spark.createDataFrame(pdf), every_n=3).toPandas()
+    assert out["frame_idx"].tolist() == [0, 3, 6]
+    assert (out["fmt"] == "raw").all()
+    _, _, want = webp_canvas_frames(buf)
+    assert len(want) == 7
+    for _, r in out.iterrows():
+        got = np.frombuffer(bytes(r["bytes"]), np.uint8).reshape(H, W, 3)
+        assert (got == want[int(r["frame_idx"])]).all()
+    # metadata dim lie -> DimensionMismatchError from the kernel
+    from segment_rtree_spark.codec_errors import DimensionMismatchError
+
+    bad = pdf.assign(w=np.int32(W + 2))
+    with pytest.raises(Exception) as ei:
+        sample_video_frames(spark.createDataFrame(bad), every_n=3).collect()
+    assert "DimensionMismatch" in str(ei.value) or isinstance(
+        ei.value, DimensionMismatchError)

@@ -181,15 +181,18 @@ def test_distance_map_matches_libwebp():
         assert ours[n_lit][0] == (n_lit - dist) & 0xFF, f"code {code}"
 
 
-def test_lossy_and_animated_decline_as_codec_unavailable():
+def test_lossy_declines_as_codec_unavailable():
     # handcrafted container markers: no codec needed
     vp8 = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
            + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(NotImplementedError, match="lossy VP8"):
         decode_webp(vp8)
-    anim = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
-            + b"ANIM" + struct.pack("<I", 4) + b"\x00" * 4)
-    with pytest.raises(NotImplementedError, match="animated"):
+    # a bare ANIM chunk with no VP8X/ANMF is a malformed container
+    # (round 7: animated VP8L DECODES, so this is no longer a codec
+    # gap — it is a stream with no image data at all)
+    anim = (b"RIFF" + struct.pack("<I", 18) + b"WEBP"
+            + b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6)
+    with pytest.raises(ValueError, match="without image data"):
         decode_webp(anim)
     # and a REAL lossy stream from the reference encoder
     try:
@@ -314,21 +317,47 @@ def test_vp8x_extended_taxonomy(spark):
     # ALPH body with an ODD length exercises the chunk-padding rule
     alph = _chunk(b"ALPH", b"\x00" * 7)
     lossy = _chunk(b"VP8 ", b"\x9d\x01\x2a" + b"\x00" * 9)
-    anmf = _chunk(b"ANMF", b"\x00" * 16 + _chunk(b"VP8L", vp8l_body))
+
+    def _anmf(fw, fh, payload):
+        # frame at (0,0), duration 40ms, no-blend
+        hdr = (struct.pack("<I", 0)[:3] * 2
+               + struct.pack("<I", fw - 1)[:3] + struct.pack("<I", fh - 1)[:3]
+               + struct.pack("<I", 40)[:3] + bytes([0x02]))
+        return _chunk(b"ANMF", hdr + payload)
+
     fixtures = {
-        # animated: VP8X(A) + ANIM params + ANMF frame (real layout)
-        "anim_x": _riff(
-            _vp8x(13, 10, anim=True), _chunk(b"ANIM", b"\x00" * 6), anmf
-        ),
         # alpha-extended lossy: VP8X(L) + ALPH + VP8 — the single most
         # common extended layout in a web corpus
         "alpha_lossy": _riff(_vp8x(13, 10, alpha=True), alph, lossy),
         # bare lossy inside VP8X (no alpha)
         "lossy_x": _riff(_vp8x(13, 10), lossy),
+        # animated whose frame is LOSSY: still a codec gap
+        "anim_lossy": _riff(
+            _vp8x(13, 10, anim=True), _chunk(b"ANIM", b"\x00" * 6),
+            _anmf(13, 10, lossy),
+        ),
     }
     for name, buf in fixtures.items():
         with pytest.raises(NotImplementedError):
             decode_webp(buf)
+
+    # animated VP8L (round 7): well-formed single-frame animation
+    # DECODES to its first composited canvas
+    anim_ok = _riff(
+        _vp8x(13, 10, anim=True), _chunk(b"ANIM", b"\x00" * 6),
+        _anmf(13, 10, _chunk(b"VP8L", vp8l_body)),
+    )
+    assert (decode_webp(anim_ok) == px).all()
+    # ANMF frame dims disagreeing with the VP8L header inside it is an
+    # INTERNAL container inconsistency: CorruptStream, never a codec
+    # gap and never DimensionMismatch (the table metadata is not at
+    # fault)
+    anim_dims_lie = _riff(
+        _vp8x(13, 10, anim=True), _chunk(b"ANIM", b"\x00" * 6),
+        _anmf(1, 1, _chunk(b"VP8L", vp8l_body)),
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        decode_webp(anim_dims_lie)
 
     # VP8X + (spec-discouraged) ALPH + VP8L: the VP8L stream decodes —
     # unknown/irrelevant chunks skip cleanly, odd-size padding honored
@@ -337,13 +366,18 @@ def test_vp8x_extended_taxonomy(spark):
     )
     assert (decode_webp(ext_lossless) == px).all()
 
-    # through the gated operator: CodecUnavailable for all three
-    # extended layouts, ok for extended-lossless, DimensionMismatch
-    # (pre-allocation, from the VP8L header vs metadata) when the
-    # table lies about dims — never CorruptStream anywhere
+    # through the gated operator: CodecUnavailable for the three
+    # lossy/extended layouts, ok for extended-lossless AND the
+    # well-formed animation (round 7), CorruptStream for the
+    # internally-inconsistent animation, DimensionMismatch
+    # (pre-allocation, from the VP8L/VP8X header vs metadata) when the
+    # table lies about dims
     rows = [(k, v, "webp", 13, 10, None) for k, v in fixtures.items()]
     rows.append(("ext_lossless", ext_lossless, "webp", 13, 10, phash64(px)))
     rows.append(("dim_lie", ext_lossless, "webp", 14, 10, None))
+    rows.append(("anim_ok", anim_ok, "webp", 13, 10, phash64(px)))
+    rows.append(("anim_bad", anim_dims_lie, "webp", 13, 10, None))
+    rows.append(("anim_dim_lie", anim_ok, "webp", 14, 10, None))
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, fmt string, w int, h int, phash long"
     )
@@ -352,3 +386,90 @@ def test_vp8x_extended_taxonomy(spark):
         assert got[name]["err_code"] == "CodecUnavailable", got[name]
     assert got["ext_lossless"]["ok"] and got["ext_lossless"]["err_code"] is None
     assert got["dim_lie"]["err_code"] == "DimensionMismatch", got["dim_lie"]
+    assert got["anim_ok"]["ok"] and got["anim_ok"]["err_code"] is None
+    assert got["anim_bad"]["err_code"] == "CorruptStream", got["anim_bad"]
+    assert got["anim_dim_lie"]["err_code"] == "DimensionMismatch", (
+        got["anim_dim_lie"])
+
+# -- round 7: animated webp (ANIM/ANMF, VP8L frames) ----------------------
+
+def build_anim_webp(canvas_wh, frames_spec, bg=(0, 0, 0, 0)):
+    """Animation fixture: frames_spec = [(x, y, rgb, no_blend,
+    dispose_bg)], frame pixels through the engine's own VP8L encoder
+    (opaque alpha). bg is RGBA."""
+    cw, ch = canvas_wh
+    body = bytearray()
+    body += _vp8x(cw, ch, anim=True)
+    anim = bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", 0)
+    body += _chunk(b"ANIM", anim)
+    for (x, y, px, no_blend, dispose) in frames_spec:
+        fh, fw, _ = px.shape
+        still = encode_webp(px)
+        vp8l = still[20 : 20 + struct.unpack_from("<I", still, 16)[0]]
+        hdr = (struct.pack("<I", x // 2)[:3] + struct.pack("<I", y // 2)[:3]
+               + struct.pack("<I", fw - 1)[:3] + struct.pack("<I", fh - 1)[:3]
+               + struct.pack("<I", 40)[:3]
+               + bytes([(0x02 if no_blend else 0) | (0x01 if dispose else 0)]))
+        body += _chunk(b"ANMF", hdr + _chunk(b"VP8L", vp8l))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+
+
+def test_animated_webp_compositing():
+    """ANIM/ANMF compositing per the container spec: sub-rect
+    placement at even offsets, no-blend replace (== opaque alpha
+    blend), dispose-to-background applied to the NEXT frame, canvas
+    snapshots per frame; frame rects exceeding the canvas are
+    CorruptStream."""
+    from segment_rtree_spark.webp import webp_canvas_frames
+
+    rng = np.random.default_rng(11)
+    cw, ch = 20, 14
+    f0 = rng.integers(0, 256, size=(ch, cw, 3)).astype(np.uint8)
+    f1 = rng.integers(0, 256, size=(6, 8, 3)).astype(np.uint8)
+    f2 = rng.integers(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    buf = build_anim_webp(
+        (cw, ch),
+        [(0, 0, f0, True, False),
+         (4, 2, f1, True, False),     # replace sub-rect
+         (10, 8, f2, False, False)],  # opaque alpha-blend == replace
+        bg=(9, 8, 7, 255),
+    )
+    w, h, frames = webp_canvas_frames(buf)
+    assert (w, h) == (cw, ch) and len(frames) == 3
+    assert (frames[0] == f0).all()
+    exp1 = f0.copy()
+    exp1[2:8, 4:12] = f1
+    assert (frames[1] == exp1).all()
+    exp2 = exp1.copy()
+    exp2[8:12, 10:14] = f2
+    assert (frames[2] == exp2).all()
+    # still-decode of an animation = first composited frame
+    assert (decode_webp(buf, expect=(cw, ch)) == f0).all()
+
+    # dispose-to-background fills the frame rect AFTER its snapshot
+    buf = build_anim_webp(
+        (cw, ch),
+        [(0, 0, f0, True, True), (4, 2, f1, True, False)],
+        bg=(9, 8, 7, 255),
+    )
+    _, _, frames = webp_canvas_frames(buf)
+    assert (frames[0] == f0).all()
+    exp = np.broadcast_to(np.array([9, 8, 7], np.uint8), (ch, cw, 3)).copy()
+    exp[2:8, 4:12] = f1
+    assert (frames[1] == exp).all()
+
+    # still VP8L through the frames API
+    w, h, frames = webp_canvas_frames(encode_webp(f0), expect=(cw, ch))
+    assert len(frames) == 1 and (frames[0] == f0).all()
+
+    # frame rect exceeding the canvas -> CorruptStream
+    bad = build_anim_webp((cw, ch), [(16, 10, f1, True, False)])
+    with pytest.raises(ValueError, match="exceeds canvas"):
+        webp_canvas_frames(bad)
+
+    # canvas disagreeing with table metadata -> pre-allocation guard
+    from segment_rtree_spark.codec_errors import DimensionMismatchError
+
+    good = build_anim_webp((cw, ch), [(0, 0, f0, True, False)])
+    with pytest.raises(DimensionMismatchError):
+        webp_canvas_frames(good, expect=(cw + 1, ch))
