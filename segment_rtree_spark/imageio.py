@@ -22,8 +22,10 @@ _gif_canvas_frames); round 6 adds compressed TIFF
 (LZW/Deflate/PackBits + predictor) and fmt='webp' lossless (full
 VP8L decode + a literal-only encoder, webp.py — libwebp-conformance
 tested); round 7 adds animated webp (ANIM/ANMF compositing,
-webp.webp_canvas_frames). Only inter-frame video (mp4/h264), lossy
-VP8 and CCITT TIFF stay
+webp.webp_canvas_frames) and CCITT fax TIFF (Modified Huffman /
+T.4 Group 3 1D+2D / T.6 Group 4 bilevel strips, ccitt.py, with a G4
+encoder — javax-conformance-tested over every run-length code). Only
+inter-frame video (mp4/h264) and lossy VP8 stay
 stubbed behind NotImplementedError: the Spark-side plumbing (binary
 column + typed metadata, mapInPandas batch shape) is identical, only
 the per-batch codec body differs.
@@ -463,8 +465,10 @@ def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
     stripped); compressions none (1), LZW (5, MSB-first early-change
     variant of the GIF core), Deflate (8 / legacy 32946, stdlib
     zlib) and PackBits (32773), each strip an independent stream,
-    with horizontal-differencing predictor 2 undone per row.
-    Paletted / 16-bit / planar / CCITT variants are valid files this
+    with horizontal-differencing predictor 2 undone per row; CCITT
+    fax compressions (2 = Modified Huffman, 3 = T.4, 4 = T.6) route
+    to the bilevel decoder in ccitt.py.
+    Paletted / 16-bit / planar variants are valid files this
     decoder declines (NotImplementedError -> CodecUnavailable);
     structural breakage raises ValueError (CorruptStream)."""
     if buf[:4] == b"II\x2a\x00":
@@ -511,9 +515,20 @@ def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
     compression = one(259, 1)
     photometric = one(262)
     spp = one(277, 1)
-    bits = tags.get(258, [8])
+    bits = tags.get(258, [1])  # TIFF default BitsPerSample = 1
     planar = one(284, 1)
     predictor = one(317, 1)
+    if compression in (2, 3, 4):
+        # CCITT fax strips: bilevel only (that IS the codec's domain)
+        if planar != 1 or bits != [1] or spp != 1 or predictor != 1 or \
+                photometric not in (0, 1):
+            raise NotImplementedError(
+                f"TIFF CCITT compression={compression} with "
+                f"photometric={photometric} spp={spp} bits={bits} "
+                f"planar={planar} predictor={predictor} unsupported "
+                "(1-bit single-sample bilevel only)"
+            )
+        return _tiff_ccitt(buf, tags, one, w, h, compression, photometric)
     if compression not in (1, 5, 8, 32773, 32946) or planar != 1 or \
             any(b != 8 for b in bits) or predictor not in (1, 2) or \
             photometric not in (0, 1, 2) or spp not in (1, 3, 4):
@@ -521,7 +536,7 @@ def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
             f"TIFF compression={compression} photometric={photometric} "
             f"spp={spp} bits={bits} planar={planar} predictor={predictor} "
             "unsupported (8-bit chunky gray/RGB, compression "
-            "none/LZW/Deflate/PackBits only)"
+            "none/LZW/Deflate/PackBits/CCITT only)"
         )
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -569,6 +584,51 @@ def _decode_tiff(buf: bytes, w: int, h: int) -> np.ndarray:
             px = 255 - px
         return np.repeat(px, 3, axis=2)
     return px[:, :, :3]  # RGBA: strip alpha
+
+
+def _tiff_ccitt(buf, tags, one, w, h, compression, photometric):
+    """CCITT-compressed bilevel TIFF strips -> uint8[h,w,3].
+
+    Compression 2 (Modified Huffman), 3 (T.4 Group 3, T4Options bit 0
+    selects 2D), 4 (T.6 Group 4). Each strip restarts the coder per
+    the TIFF independent-strip contract; FillOrder 2 (LSB-first
+    bytes) honored. Output allocation is pinned by the already-
+    validated metadata dims; the row decoder carries its own
+    no-advance budget, so a hostile stream can neither spin nor
+    inflate (same posture as the LZW/Deflate caps above)."""
+    from .ccitt import decode_ccitt_strip
+
+    t4opt = one(292, 0)
+    t6opt = one(293, 0)
+    fill_order = one(266, 1)
+    if (compression == 3 and t4opt & 2) or (compression == 4 and t6opt & 2):
+        raise NotImplementedError("CCITT uncompressed mode unsupported")
+    if fill_order not in (1, 2):
+        raise ValueError(f"bad TIFF FillOrder {fill_order}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    rps = one(278, h)
+    if rps <= 0 or len(offsets) != -(-h // rps):
+        raise ValueError("TIFF strip count does not cover the image")
+    parts = []
+    for k, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(buf):
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rps, h - k * rps)
+        parts.append(
+            decode_ccitt_strip(
+                buf[o : o + c], w, n_rows, compression,
+                t4_2d=bool(t4opt & 1), fill_order=fill_order,
+            )
+        )
+    black = np.concatenate(parts)
+    # photometric 0 (MinIsWhite, the fax norm): white runs image as
+    # 255; photometric 1 inverts the visual mapping
+    gray = np.where(black, 0, 255) if photometric == 0 else \
+        np.where(black, 255, 0)
+    return np.repeat(gray.astype(np.uint8)[:, :, None], 3, axis=2)
 
 
 def _tiff_lzw(data: bytes, limit: int | None = None) -> bytes:

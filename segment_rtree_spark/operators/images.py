@@ -609,7 +609,7 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
                 px = decode_image(buf, fmt, w, h)
             except NotImplementedError as e:
                 # a VALID file this engine's decoder doesn't cover
-                # (lossy VP8 webp, CCITT TIFF) is a codec gap, not
+                # (lossy VP8 webp, planar/16-bit TIFF) is a codec gap, not
                 # corruption — the taxonomy keeps the two apart so a
                 # curation job can route them differently
                 return IMG_ERR_CODEC_UNAVAILABLE, str(e)[:80]

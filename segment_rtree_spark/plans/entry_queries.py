@@ -2483,10 +2483,13 @@ def q_codec_matrix(spark, sf_dir):
     """Driver visibility for the format suite: synthesize 60
     palette-friendly images (deterministic 8-color pattern), round-trip
     each through every LOSSLESS codec the engine both writes and reads
-    — raw, png, bmp, gif, tiff, webp (VP8L, round 6) — and emit
+    — raw, png, bmp, gif, tiff, webp (VP8L, round 6), plus CCITT G4
+    fax TIFF over the bilevel projection of the same pattern (round
+    7: T.6 is a bilevel codec, so its lane round-trips the
+    black/white thresholded image) — and emit
     (img_i, fmt, lossless_ok) for
     bit-exact survivors. The oracle is the EXPECTED-healthy matrix
-    (range(60) x 6 formats, all true), so the hash compare fails iff
+    (range(60) x 7 formats, all true), so the hash compare fails iff
     any encode->decode pair drops a single pixel anywhere in the
     matrix. External-encoder interop (javax.imageio both directions),
     filter/interlace/color-type coverage and the error taxonomy live
@@ -2499,6 +2502,7 @@ def q_codec_matrix(spark, sf_dir):
     def kernel(batches):
         import numpy as np_
 
+        from ..ccitt import encode_tiff_g4 as _eg4
         from ..imageio import (
             decode_image as _dec,
             encode_bmp as _ebmp,
@@ -2511,7 +2515,7 @@ def q_codec_matrix(spark, sf_dir):
 
         encoders = {
             "raw": _eraw, "png": _epng, "bmp": _ebmp, "gif": _egif,
-            "tiff": _etif, "webp": _ewebp,
+            "tiff": _etif, "webp": _ewebp, "tiff_g4": _eg4,
         }
         for pdf in batches:
             ids, fmts, oks = [], [], []
@@ -2524,11 +2528,16 @@ def q_codec_matrix(spark, sf_dir):
                      255 - np_.arange(8) * 29], axis=-1
                 ).astype(np_.uint8)
                 px = pal[(yy * 3 + xx * 5 + int(i)) % 8]
+                bw = np_.repeat(
+                    ((((yy * 3 + xx * 5 + int(i)) % 8) < 4) * 255)
+                    .astype(np_.uint8)[:, :, None], 3, axis=2,
+                )
                 for fmt, enc in encoders.items():
-                    out = _dec(enc(px), fmt, w, h)
+                    src = bw if fmt == "tiff_g4" else px
+                    out = _dec(enc(src), "tiff" if fmt == "tiff_g4" else fmt, w, h)
                     ids.append(int(i))
                     fmts.append(fmt)
-                    oks.append(bool((out == px).all()))
+                    oks.append(bool((out == src).all()))
             yield pd_.DataFrame(
                 {"img_i": ids, "fmt": fmts, "lossless_ok": oks}
             )
@@ -2543,7 +2552,7 @@ def q_codec_matrix(spark, sf_dir):
 def _codec_matrix_oracle():
     return """
 select i as img_i, fmt, true as lossless_ok
-from range(60) t(i), (values ('raw'), ('png'), ('bmp'), ('gif'), ('tiff'), ('webp')) f(fmt)
+from range(60) t(i), (values ('raw'), ('png'), ('bmp'), ('gif'), ('tiff'), ('webp'), ('tiff_g4')) f(fmt)
 """
 
 

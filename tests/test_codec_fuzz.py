@@ -239,6 +239,40 @@ def _mutations(buf, seed):
     return cases
 
 
+def test_ccitt_corruption_never_escapes():
+    """The round-7 CCITT fax paths under the same fire: G4 (T.6),
+    T.4 1D with fill bits, and Modified Huffman framings all stay
+    inside the named taxonomy — truncations and flips either decode
+    to SOME well-typed bilevel image (fax has no checksum) or raise
+    a data error; allocation stays pinned to the metadata dims."""
+    from segment_rtree_spark.ccitt import encode_ccitt_g4
+    from tests.test_ccitt import _mask_runs, _pack, _runs_bits, _tiff
+
+    rng = np.random.default_rng(53)
+    mask = rng.random((H, W)) < 0.45
+    t4bits = ""
+    mhbytes = b""
+    for y in range(H):
+        t4bits += "000000000001" + _runs_bits(_mask_runs(mask[y]))
+        mhbytes += _pack(_runs_bits(_mask_runs(mask[y])))
+    fixtures = [
+        _tiff([encode_ccitt_g4(mask)], W, H, 4),
+        _tiff([_pack(t4bits)], W, H, 3, extra=[(292, 4, 1, 0)]),
+        _tiff([mhbytes], W, H, 2),
+    ]
+    escaped = []
+    for j, buf in enumerate(fixtures):
+        for c in _mutations(buf, 4000 + j):
+            try:
+                out = decode_image(c, "tiff", W, H)
+                assert out.dtype == np.uint8
+            except ALLOWED:
+                pass
+            except Exception as e:  # noqa: BLE001 — the point
+                escaped.append((j, type(e).__name__, str(e)[:60]))
+    assert not escaped, escaped
+
+
 def test_round7_decode_surfaces_never_escape():
     """Same corruption sweep over the round-7 decode paths the
     encoder-built fixtures above never reach: BI_RLE4 and 16-bit

@@ -179,3 +179,130 @@ def test_java_reads_our_rle4_and_16bit_bmp(spark):
         fx = _build_16bit_bmp(px, masks, comp)
         assert (decode_image(fx, "bmp", w, h)
                 == _java_decode(jvm, fx)).all(), (masks, comp)
+
+
+def _to_binary_buffered(jvm, mask):
+    """bool black mask -> TYPE_BYTE_BINARY BufferedImage."""
+    h, w = mask.shape
+    bi = jvm.java.awt.image.BufferedImage(w, h, 12)  # TYPE_BYTE_BINARY
+    for y in range(h):
+        for x in range(w):
+            bi.setRGB(x, y, 0 if mask[y, x] else 0xFFFFFF)
+    return bi
+
+
+def test_java_ccitt_decodes_in_engine_and_back(spark):
+    """The round-7 CCITT fax tails against a FOREIGN codec, both
+    directions: javax's 'CCITT RLE' (compression 2, Modified
+    Huffman), 'CCITT T.4' (compression 3, which javax writes in 2D
+    mode) and 'CCITT T.6' (compression 4) streams decode bit-exactly
+    in the engine; and the engine's own G4 writer decodes bit-exactly
+    in javax.imageio."""
+    from segment_rtree_spark.ccitt import encode_tiff_g4
+
+    jvm = spark.sparkContext._jvm
+    rng = np.random.default_rng(61)
+    h, w = 19, 43
+    masks = {
+        "noise": rng.random((h, w)) < 0.4,
+        "allwhite": np.zeros((h, w), bool),
+        "allblack": np.ones((h, w), bool),
+        "stripes": np.tile(np.arange(w) % 7 < 3, (h, 1)),
+    }
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    types = list(it.next().getDefaultWriteParam().getCompressionTypes())
+    ccitt = [t for t in types if t.startswith("CCITT")]
+    assert len(ccitt) == 3, f"javax tiff writer offered only {types}"
+    for name, mask in masks.items():
+        px = np.repeat(
+            np.where(mask, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+        bi = _to_binary_buffered(jvm, mask)
+        for ct in ccitt:
+            buf = _java_encode(jvm, bi, "tiff", compression_type=ct)
+            assert (decode_image(buf, "tiff", w, h) == px).all(), (name, ct)
+        ours = encode_tiff_g4(px)
+        assert (_java_decode(jvm, ours) == px).all(), name
+
+
+_GEN_CCITT_JAVA = r"""
+import java.awt.image.BufferedImage;
+import java.io.File;
+import java.io.FileOutputStream;
+import java.io.ByteArrayOutputStream;
+import java.util.Iterator;
+import javax.imageio.*;
+import javax.imageio.stream.MemoryCacheImageOutputStream;
+
+public class GenCcittRuns {
+    static byte[] enc(BufferedImage bi, String type) throws Exception {
+        Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("tiff");
+        ImageWriter w = it.next();
+        ImageWriteParam p = w.getDefaultWriteParam();
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+        p.setCompressionType(type);
+        ByteArrayOutputStream bos = new ByteArrayOutputStream();
+        MemoryCacheImageOutputStream mc = new MemoryCacheImageOutputStream(bos);
+        w.setOutput(mc);
+        w.write(null, new IIOImage(bi, null, null), p);
+        mc.flush();
+        w.dispose();
+        return bos.toByteArray();
+    }
+    public static void main(String[] args) throws Exception {
+        int w = 2700, h = 2601;
+        String[][] types = {{"CCITT RLE","rle"},{"CCITT T.4","t4"},{"CCITT T.6","t6"}};
+        for (String pat : new String[]{"white", "black"}) {
+            BufferedImage bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY);
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++) {
+                    boolean blackpx = pat.equals("white")
+                        ? x >= y                      // row y: y white then black
+                        : (x >= 1 && x < 1 + y);      // row y: 1 white, y black
+                    bi.setRGB(x, y, blackpx ? 0 : 0xFFFFFF);
+                }
+            for (String[] t : types)
+                try (FileOutputStream f = new FileOutputStream(
+                        new File(args[0], pat + "_" + t[1] + ".tiff"))) {
+                    f.write(enc(bi, t[0]));
+                }
+        }
+    }
+}
+"""
+
+
+def test_java_ccitt_exhaustive_run_length_conformance(tmp_path):
+    """Every T.4 run-length code word, conformance-checked against
+    javax's CCITT encoder: a 2700x2601 image whose row y is [y white,
+    then black] exercises white runs 0..2600 (every terminating,
+    makeup and shared extended-makeup code), and its inverse
+    exercises every black code — under all three compressions (MH
+    byte-aligned rows, T.4 2D framing with strip restarts, T.6).
+    One wrong table entry anywhere shifts a row and fails the exact
+    compare. (The VP8L distance-map discipline, applied to fax.)"""
+    import os
+    import subprocess
+
+    java_home = os.environ.get("JAVA_HOME")
+    if not java_home or not os.path.exists(f"{java_home}/bin/javac"):
+        pytest.skip("no JDK for the standalone fixture generator")
+    src = tmp_path / "GenCcittRuns.java"
+    src.write_text(_GEN_CCITT_JAVA)
+    subprocess.run(
+        [f"{java_home}/bin/javac", str(src)], check=True, cwd=tmp_path
+    )
+    subprocess.run(
+        [f"{java_home}/bin/java", "GenCcittRuns", str(tmp_path)],
+        check=True, cwd=tmp_path,
+    )
+    w, h = 2700, 2601
+    x, y = np.arange(w)[None, :], np.arange(h)[:, None]
+    for pat, mask in (("white", x >= y), ("black", (x >= 1) & (x < 1 + y))):
+        px = np.repeat(
+            np.where(mask, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+        for typ in ("rle", "t4", "t6"):
+            buf = (tmp_path / f"{pat}_{typ}.tiff").read_bytes()
+            got = decode_image(buf, "tiff", w, h)
+            assert np.array_equal(got, px), (pat, typ)
