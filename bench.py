@@ -207,14 +207,17 @@ def bench_queries(spark, sf_dir, only=None, force_fixtures=False):
     def _codec_rows(n_per_fmt):
         # the full gated codec stack, synthesized on executors: raw /
         # png / jpeg baseline / jpeg PROGRESSIVE / bmp / gif / tiff /
-        # webp (VP8L), gradient content so every stream decodes clean
+        # webp (VP8L) / CCITT G4 fax tiff (r7, bilevel content),
+        # gradient content so every stream decodes clean
         import pandas as pd
 
-        fmts = ["raw", "png", "jpeg", "jpeg_prog", "bmp", "gif", "tiff", "webp"]
+        fmts = ["raw", "png", "jpeg", "jpeg_prog", "bmp", "gif", "tiff",
+                "webp", "tiff_g4"]
 
         def kernel(batches):
             import numpy as np
 
+            from segment_rtree_spark.ccitt import encode_tiff_g4
             from segment_rtree_spark.imageio import (
                 encode_bmp,
                 encode_gif,
@@ -231,6 +234,7 @@ def bench_queries(spark, sf_dir, only=None, force_fixtures=False):
                 "jpeg_prog": lambda p: encode_jpeg(p, 90, progressive=True),
                 "bmp": encode_bmp, "gif": encode_gif,
                 "tiff": encode_tiff, "webp": encode_webp,
+                "tiff_g4": encode_tiff_g4,
             }
             for pdf in batches:
                 ids, bufs, ws, hs, fs = [], [], [], [], []
@@ -246,12 +250,19 @@ def bench_queries(spark, sf_dir, only=None, force_fixtures=False):
                     ).astype(np.uint8)
                     if fmt == "gif":  # palette codec: <= 64 colors
                         px = (px >> 6) << 6
+                    elif fmt == "tiff_g4":  # fax codec: bilevel
+                        px = np.repeat(
+                            ((px[:, :, :1] >= 128) * 255).astype(np.uint8),
+                            3, axis=2,
+                        )
                     ids.append(f"cx{i}")
                     bufs.append(enc[fmt](px))
                     ws.append(w)
                     hs.append(h)
-                    # jpeg_prog is still fmt='jpeg' at the table level
-                    fs.append("jpeg" if fmt == "jpeg_prog" else fmt)
+                    # jpeg_prog / tiff_g4 are fmt='jpeg' / 'tiff' at
+                    # the table level
+                    fs.append({"jpeg_prog": "jpeg", "tiff_g4": "tiff"}
+                              .get(fmt, fmt))
                 yield pd.DataFrame(
                     {"image_id": ids, "bytes": bufs, "w": ws, "h": hs, "fmt": fs}
                 )
