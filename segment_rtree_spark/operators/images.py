@@ -696,9 +696,14 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
         # raw rows with the right length are fully valid — reshape
         # cannot fail and nothing else is checked: pure Catalyst verdict.
         # compressed-format rows that passed the signature prefilter
-        # still need a stream decode to rule on CorruptStream / dims
+        # still need a stream decode to rule on CorruptStream / dims.
+        # This list must be exactly the non-raw formats the UnknownFormat
+        # prefilter admits: a format admitted there but missing here is
+        # silently DROPPED from the output (clean webp rows vanished
+        # between rounds 6 and 7 exactly this way — caught by the
+        # row-conservation test, now asserted for every format)
         needs_kernel = F.col("pre").isNull() & F.col("fmt").isin(
-            "png", "jpeg", "bmp", "gif", "tiff"
+            "png", "jpeg", "bmp", "gif", "tiff", "webp"
         )
         decided_ok = src.filter(
             F.col("pre").isNull() & (F.col("fmt") == "raw")
