@@ -311,6 +311,57 @@ def bench_queries(spark, sf_dir, only=None, force_fixtures=False):
             embedding="embedding", embed_threshold=0.95,
         ).count()
 
+    def _audio_rows(n):
+        # synthesized-on-executor WAV clips (2048-sample bilevel-energy
+        # content, i16 mono, every 5th row headerless pcm) — built once
+        # and cached outside the timings, like the jpeg/codec fixtures
+        import pandas as pd
+
+        def kernel(batches):
+            import numpy as np
+
+            from segment_rtree_spark.audioio import encode_wav
+
+            for pdf in batches:
+                out = {k: [] for k in ("audio_id", "bytes", "sr",
+                                       "n_samples", "channels", "fmt")}
+                for i in pdf["id"]:
+                    i = int(i)
+                    amps = np.where(
+                        (np.arange(64) * 2654435761 + i) % 7 < 3, 9000, 150
+                    )
+                    signs = np.where(np.arange(64) % 2 == 0, 1, -1)
+                    x = np.repeat(amps * signs, 32).astype(np.int32)[:, None]
+                    pcm = i % 5 == 0
+                    out["audio_id"].append(f"au{i}")
+                    out["bytes"].append(
+                        x.astype("<i2").tobytes() if pcm
+                        else encode_wav(x, 16000, "i16")
+                    )
+                    out["sr"].append(16000)
+                    out["n_samples"].append(2048)
+                    out["channels"].append(1)
+                    out["fmt"].append("pcm" if pcm else "wav")
+                yield pd.DataFrame(out)
+
+        return spark.range(n).repartition(32).mapInPandas(
+            kernel,
+            "audio_id string, bytes binary, sr int, n_samples int, "
+            "channels int, fmt string",
+        )
+
+    if want("audio_features"):
+        audio_clips = _audio_rows(max(20000, N_IMAGES // 5)).cache()
+        audio_clips.count()  # encode once, outside the timings
+
+    def q_audio_features():
+        # the audio leg of the multimodal surface (round 7): WAV/PCM
+        # decode + exact integer stats + 64-bit energy fingerprint
+        # per clip, the column audio_neardup_pairs bands on
+        from segment_rtree_spark.operators.audio import audio_features
+
+        return audio_features(audio_clips).count()
+
     registry = {
         "pip_broadcast": q_pip_broadcast,
         "pip_partitioned": q_pip_partitioned,
@@ -330,6 +381,7 @@ def bench_queries(spark, sf_dir, only=None, force_fixtures=False):
         "crossmodal_neardup": q_crossmodal_neardup,
         "validate_codecs": q_validate_codecs,
         "curate_multimodal": q_curate_multimodal,
+        "audio_features": q_audio_features,
     }
     if only is not None:
         unknown = set(only) - set(registry)

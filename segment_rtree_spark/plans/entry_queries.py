@@ -2764,6 +2764,184 @@ where f.image_id = r.component
 REGISTRY["curate_against"] = (q_curate_against, _curate_against_oracle)
 
 
+# -- audio suite (round 7): the audio leg of the multimodal surface -------
+
+def _audio_arith_corpus(spark, n):
+    """Deterministic WAV/PCM clip table whose every feature is
+    closed-form from the row index i (the audio analog of
+    images_df_arith — same discipline as the crossmodal /
+    curate_multimodal corpora):
+
+      * 64 constant-amplitude windows of wlen = 32 + i%29 samples;
+        window j is LOUD (A_hi = (12000 + i%100) * scale) iff bit
+        (63-j) of the 62-bit pattern P(i) is set, else quiet
+        (A_lo = (200 + i%50) * scale), with alternating sign per
+        window -> the energy fingerprint recovers EXACTLY P(i), peak
+        = A_hi, energy = wlen * (popcount * A_hi^2 + (64-popcount) *
+        A_lo^2), zcross = 63;
+      * P(i) = ((base(i%25) | 1) XOR one flipped bit in 1..60):
+        within a 25-group Hamming <= 2, so near-dup pairs are
+        brute-force recomputable;
+      * codec lane cycles i%3: PCM 16/24/32-bit (scale 1/16/256 —
+        amplitudes exact in every width); i%15==0 rows ship as
+        headerless fmt='pcm'; channels = 1 + i%2 (stereo fills
+        channel 1 with silence; features are channel-0).
+    """
+    import pandas as pd_
+
+    def kernel(batches):
+        import numpy as np_
+
+        from ..audioio import encode_wav
+
+        for pdf in batches:
+            out = {k: [] for k in ("audio_id", "bytes", "sr", "n_samples",
+                                   "channels", "fmt")}
+            for i in pdf["id"]:
+                i = int(i)
+                g = i % 25
+                hi = (g * 2654435761) % 2147483648
+                lo = ((g + 7) * 97003969) % 2147483648
+                p = ((hi * 2147483648 + lo) | 1) ^ (1 << (1 + (i * 7) % 60))
+                wlen = 32 + i % 29
+                scale = (1, 16, 256)[i % 3]
+                ahi = (12000 + i % 100) * scale
+                alo = (200 + i % 50) * scale
+                sr = 8000 + (i % 3) * 4100
+                ch = 1 + i % 2
+                amps = np_.array(
+                    [ahi if (p >> (63 - j)) & 1 else alo for j in range(64)],
+                    np_.int64,
+                )
+                signs = np_.where(np_.arange(64) % 2 == 0, 1, -1)
+                x = np_.repeat(amps * signs, wlen).astype(np_.int32)[:, None]
+                if ch == 2:
+                    x = np_.concatenate([x, np_.zeros_like(x)], axis=1)
+                if i % 15 == 0:  # headerless lane (i%15==0 => i16 scale)
+                    fmt, buf = "pcm", x.astype("<i2").tobytes()
+                else:
+                    fmt = "wav"
+                    buf = encode_wav(x, sr, ("i16", "i24", "i32")[i % 3])
+                out["audio_id"].append(f"au{i:04d}")
+                out["bytes"].append(buf)
+                out["sr"].append(sr)
+                out["n_samples"].append(64 * wlen)
+                out["channels"].append(ch)
+                out["fmt"].append(fmt)
+            yield pd_.DataFrame(out)
+
+    return spark.range(n).repartition(8).mapInPandas(
+        kernel,
+        "audio_id string, bytes binary, sr int, n_samples int, "
+        "channels int, fmt string",
+    )
+
+
+def q_audio_suite(spark, sf_dir):
+    """The audio leg of the multimodal surface in one union-tagged
+    frame, every value closed-form (see _audio_arith_corpus):
+    part='stats' — audio_features really DECODES the WAV/PCM streams
+    (three PCM widths, mono+stereo, container and headerless lanes)
+    and must recover the constructed exact integers, fingerprint
+    included; part='pair' — audio_neardup_pairs (the shared banded
+    core configured on the afp column, max_hamming=2 < n_bands=4 so
+    recall is guaranteed) must equal the brute-force O(n^2) Hamming
+    join; part='val' — validate_audio over a tampered copy
+    (n_samples+1 on wav rows: DimensionMismatch decided at the
+    header, code AND detail string) plus the clean rows, the
+    validate_hostile discipline extended to audio."""
+    from ..operators.audio import (
+        audio_features,
+        audio_neardup_pairs,
+        validate_audio,
+    )
+
+    corpus = _audio_arith_corpus(spark, 400)
+    nulls = lambda *cols: [F.lit(None).cast(t).alias(c) for c, t in cols]  # noqa: E731
+    stats = audio_features(corpus).select(
+        F.lit("stats").alias("part"),
+        F.col("audio_id"),
+        *nulls(("id_a", "string"), ("id_b", "string")),
+        F.col("duration_ms"), F.col("peak"), F.col("energy"),
+        F.col("zcross"), F.col("afp"),
+        *nulls(("hamming", "int"), ("ok", "int"),
+               ("err_code", "string"), ("err_detail", "string")),
+    )
+    pairs = audio_neardup_pairs(corpus, max_hamming=2, n_bands=4).select(
+        F.lit("pair").alias("part"),
+        F.lit(None).cast("string").alias("audio_id"),
+        F.col("id_a"), F.col("id_b"),
+        *nulls(("duration_ms", "long"), ("peak", "long"),
+               ("energy", "long"), ("zcross", "long"), ("afp", "long")),
+        F.col("hamming"),
+        *nulls(("ok", "int"), ("err_code", "string"),
+               ("err_detail", "string")),
+    )
+    i = F.regexp_extract("audio_id", r"(\d+)", 1).cast("long")
+    tampered = corpus.withColumn(
+        "n_samples",
+        F.when((i % 4 == 1) & (i % 15 != 0), F.col("n_samples") + 1)
+        .otherwise(F.col("n_samples")),
+    )
+    val = validate_audio(tampered).select(
+        F.lit("val").alias("part"),
+        F.col("audio_id"),
+        *nulls(("id_a", "string"), ("id_b", "string"),
+               ("duration_ms", "long"), ("peak", "long"),
+               ("energy", "long"), ("zcross", "long"), ("afp", "long"),
+               ("hamming", "int")),
+        F.col("ok").cast("int").alias("ok"),
+        F.col("err_code"), F.col("err_detail"),
+    )
+    return stats.unionByName(pairs).unionByName(val)
+
+
+def _audio_suite_oracle():
+    lane = "(case when i%3=0 then 1 when i%3=1 then 16 else 256 end)"
+    return f"""
+with pat as (
+  select i,
+    xor((((i % 25) * 2654435761) % 2147483648) * 2147483648
+        + (((i % 25 + 7) * 97003969) % 2147483648) | 1,
+        cast(1 as bigint) << cast(1 + (i * 7) % 60 as integer)) as p,
+    32 + i % 29 as wlen,
+    (12000 + i % 100) * {lane} as ahi,
+    (200 + i % 50) * {lane} as alo,
+    8000 + (i % 3) * 4100 as sr
+  from range(400) t(i)
+)
+select 'stats' as part, printf('au%04d', i) as audio_id,
+  cast(null as varchar) as id_a, cast(null as varchar) as id_b,
+  (wlen * 64 * 1000) // sr as duration_ms,
+  ahi as peak,
+  wlen * (bit_count(p) * ahi * ahi + (64 - bit_count(p)) * alo * alo)
+    as energy,
+  cast(63 as bigint) as zcross, p as afp,
+  cast(null as int) as hamming, cast(null as int) as ok,
+  cast(null as varchar) as err_code, cast(null as varchar) as err_detail
+from pat
+union all
+select 'pair', cast(null as varchar),
+  printf('au%04d', a.i), printf('au%04d', b.i),
+  null, null, null, null, null,
+  cast(bit_count(xor(a.p, b.p)) as int), null, null, null
+from pat a join pat b on a.i < b.i and bit_count(xor(a.p, b.p)) <= 2
+union all
+select 'val', printf('au%04d', i), null, null, null, null, null, null,
+  null, null,
+  cast(not (i % 4 = 1 and i % 15 <> 0) as int) as ok,
+  case when i % 4 = 1 and i % 15 <> 0 then 'DimensionMismatch' end
+    as err_code,
+  case when i % 4 = 1 and i % 15 <> 0 then
+    'WAV data holds ' || (wlen * 64) ||
+    ' frames != metadata n_samples=' || (wlen * 64 + 1) end as err_detail
+from pat
+"""
+
+
+REGISTRY["audio_suite"] = (q_audio_suite, _audio_suite_oracle)
+
+
 # -- defensive registry order (round 7) -----------------------------------
 # The round-6 driver correctness record held exactly 50 rows for a
 # 51-entry registry: codec_matrix — registered last — had no row,

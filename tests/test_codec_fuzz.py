@@ -273,6 +273,39 @@ def test_ccitt_corruption_never_escapes():
     assert not escaped, escaped
 
 
+def test_audio_corruption_never_escapes():
+    """The audio decoder under the same fire as the image stack:
+    WAV containers across every supported codec lane (PCM widths,
+    IEEE float, G.711) plus the headerless pcm lane — truncations,
+    bit flips and stomps decode or raise from the named set, and
+    header dims are pinned to the metadata before any buffer math."""
+    from segment_rtree_spark.audioio import decode_audio, encode_wav
+    from segment_rtree_spark.codec_errors import DimensionMismatchError as _DM
+
+    rng = np.random.default_rng(71)
+    x = rng.integers(-30000, 30000, size=(200, 2)).astype(np.int32)
+    fixtures = [
+        ("wav", encode_wav(x, 8000, "i16"), 200, 2),
+        ("wav", encode_wav(x * 128, 8000, "i24"), 200, 2),
+        ("wav", encode_wav((x / 32768).astype(np.float32), 8000, "f32"),
+         200, 2),
+        ("wav", encode_wav(x[:, :1], 8000, "mulaw"), 200, 1),
+        ("wav", encode_wav(x[:, :1], 8000, "alaw"), 200, 1),
+        ("pcm", x.astype("<i2").tobytes(), 200, 2),
+    ]
+    escaped = []
+    for j, (fmt, buf, n, ch) in enumerate(fixtures):
+        for c in _mutations(bytes(buf), 7000 + j):
+            try:
+                out = decode_audio(c, fmt, 8000, n, ch)
+                assert out.dtype in (np.int32, np.float32)
+            except (_DM,) + ALLOWED:
+                pass
+            except Exception as e:  # noqa: BLE001 — the point
+                escaped.append((j, type(e).__name__, str(e)[:60]))
+    assert not escaped, escaped
+
+
 def test_round7_decode_surfaces_never_escape():
     """Same corruption sweep over the round-7 decode paths the
     encoder-built fixtures above never reach: BI_RLE4 and 16-bit
