@@ -34,6 +34,7 @@ log = logging.getLogger(__name__)
 __all__ = [
     "streaming_neardup_matches",
     "streaming_crossmodal_matches",
+    "streaming_audio_matches",
     "streaming_text_matches",
     "streaming_embed_matches",
     "streaming_ingest_pass_through",
@@ -184,6 +185,45 @@ def streaming_crossmodal_matches(
         caption=caption,
         n_bands=n_bands,
         max_bucket=max_bucket,
+    )
+
+
+def streaming_audio_matches(
+    stream_audio: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    n_windows: int = 64,
+    max_bucket: int | str | None = "auto",
+    warn_drops: bool = True,
+) -> DataFrame:
+    """(new_id, corpus_id, hamming) append stream of audio near-dups
+    vs a kept corpus — the fifth ingest-filter modality (round 7).
+
+    Both sides carry full audio rows (audio_id, bytes, sr, n_samples,
+    channels, fmt); the energy fingerprint is computed IN the stream
+    (audio_features' mapInPandas kernel runs per micro-batch — Arrow
+    kernels are stream-safe) and on the static corpus once at build.
+    From there it IS streaming_neardup_matches configured on the afp
+    column: stateless stream-static band join, corpus-side 'auto'
+    skew cap, append mode. Identical rows to
+    phash_neardup_against(features, features) over the same arrivals
+    (asserted stream==batch in tests)."""
+    from ..operators.audio import audio_features
+
+    feats = audio_features(corpus, n_windows).select("audio_id", "afp")
+    stream_feats = audio_features(stream_audio, n_windows).select(
+        "audio_id", "afp"
+    )
+    return streaming_neardup_matches(
+        stream_feats,
+        feats,
+        max_hamming=max_hamming,
+        id_col="audio_id",
+        phash="afp",
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+        warn_drops=warn_drops,
     )
 
 

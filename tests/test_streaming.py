@@ -669,3 +669,74 @@ def test_streaming_crossmodal_warn_counts_folded_buckets(spark, caplog):
                          logger="segment_rtree_spark.streaming.ingest_stream"):
         streaming_crossmodal_matches(stream, corpus(50), max_hamming=8)
     assert not [r for r in caplog.records if "skew cap" in r.getMessage()]
+
+
+def test_streaming_audio_matches_batch(spark, tmp_path):
+    """Audio ingest filter (fifth modality) == batch near-dup over the
+    same arrivals: the energy fingerprint is computed inside the
+    stream's micro-batches (Arrow kernel, stream-safe), then the
+    stateless stream-static band join drains to exactly the batch
+    pair set."""
+    import time
+
+    import numpy as np
+
+    from segment_rtree_spark.audioio import encode_wav
+    from segment_rtree_spark.operators.audio import audio_features
+    from segment_rtree_spark.operators.dedup import phash_neardup_against
+    from segment_rtree_spark.streaming.ingest_stream import (
+        streaming_audio_matches,
+    )
+
+    rng = np.random.default_rng(31)
+    wlen = 16
+    rows = []
+    base = rng.integers(0, 2, size=64).astype(np.int64)
+    for i in range(60):
+        bits = base.copy()
+        for b in rng.choice(64, size=i % 3, replace=False):
+            bits[b] ^= 1
+        amps = np.where(bits, 8000, 120)
+        signs = np.where(np.arange(64) % 2 == 0, 1, -1)
+        x = np.repeat(amps * signs, wlen).astype(np.int32)[:, None]
+        rows.append((f"au{i:02d}", bytearray(encode_wav(x, 8000, "i16")),
+                     8000, 64 * wlen, 1, "wav"))
+    schema = ("audio_id string, bytes binary, sr int, n_samples int, "
+              "channels int, fmt string")
+    full = spark.createDataFrame(rows, schema)
+    corpus = full.filter("substring(audio_id, 3) % 2 = 0").cache()
+    arrivals = full.filter("substring(audio_id, 3) % 2 = 1")
+
+    src = str(tmp_path / "audio_arrivals")
+    arrivals.filter("substring(audio_id, 3) % 4 = 1").coalesce(1) \
+        .write.parquet(src)
+    time.sleep(1.1)
+    arrivals.filter("substring(audio_id, 3) % 4 = 3").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_audio_matches(stream, corpus, max_hamming=2)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("audio_matches")
+        .option("checkpointLocation", str(tmp_path / "ackpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in spark.sql("select * from audio_matches").collect()
+    }
+    want = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in phash_neardup_against(
+            audio_features(arrivals).select("audio_id", "afp"),
+            audio_features(corpus).select("audio_id", "afp"),
+            max_hamming=2, id_col="audio_id", phash="afp",
+        ).collect()
+    }
+    assert got == want and got
