@@ -145,8 +145,9 @@ def test_validate_images_prefilter_pushed(spark):
     df = validate_images(images_df_arith(spark, 50))
     p = plan_str(df)
     # the decode kernel's input branch is gated on the compressed
-    # stream formats; raw never crosses to Python
-    assert "AND fmt" in p and "IN (png,jpeg,bmp,gif,tiff))" in p
+    # stream formats (ALL of them — webp's absence here was the r7
+    # row-drop bug); raw never crosses to Python
+    assert "AND fmt" in p and "IN (png,jpeg,bmp,gif,tiff,webp))" in p
     # ... and the raw-valid verdict branch is a pure Catalyst filter
     assert "= raw)))" in p
     # prefilter verdicts (NULLs / formats / raw length / signature) are
