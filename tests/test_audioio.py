@@ -194,6 +194,7 @@ def test_validate_audio_row_conservation(spark):
         ("c_wav_i16", encode_wav(x, 8000, "i16"), 8000, 128, 1, "wav"),
         ("c_wav_i24", encode_wav(x * 9, 8000, "i24"), 8000, 128, 1, "wav"),
         ("c_wav_mulaw", encode_wav(x, 8000, "mulaw"), 8000, 128, 1, "wav"),
+        ("c_wav_ima", encode_wav(x, 8000, "ima"), 8000, 128, 1, "wav"),
         ("c_wav_f32", encode_wav((x / 32768).astype(np.float32), 8000, "f32"),
          8000, 128, 1, "wav"),
         ("c_pcm", x.astype("<i2").tobytes(), 8000, 128, 1, "pcm"),
@@ -284,3 +285,71 @@ def test_sample_audio_clips_roundtrip(spark):
         assert c["t0"] == t0 and c["t0_ms"] == t0 * 1000 // 16000
         back = decode_audio(bytes(c["bytes"]), "wav", 16000, 100, 2)
         assert np.array_equal(back, x[t0 : t0 + 100])
+
+
+def test_ima_core_matches_audioop_both_directions():
+    """The IMA-ADPCM core against CPython's independent audioop C
+    implementation: (1) any nibble stream expands to identical
+    samples from state (0,0); (2) audioop-ENCODED streams decode in
+    our core to exactly audioop's own reconstruction."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from segment_rtree_spark.audioio import _ima_core_decode
+
+    rng = np.random.default_rng(17)
+    nib = rng.integers(0, 16, size=(1, 500)).astype(np.uint8)
+    packed = bytes(
+        (int(nib[0, 2 * i]) << 4) | int(nib[0, 2 * i + 1])
+        for i in range(250)
+    )  # audioop packs HIGH nibble first
+    ref = np.frombuffer(
+        audioop.adpcm2lin(packed, 2, None)[0], "<i2"
+    ).astype(np.int32)
+    ours = _ima_core_decode(
+        nib, np.zeros(1, np.int32), np.zeros(1, np.int32)
+    )[0]
+    assert np.array_equal(ours, ref)
+
+    x = np.cumsum(rng.integers(-2000, 2000, size=800)).clip(
+        -32000, 32000
+    ).astype(np.int16)
+    enc = audioop.lin2adpcm(x.tobytes(), 2, None)[0]
+    ref2 = np.frombuffer(
+        audioop.adpcm2lin(enc, 2, None)[0], "<i2"
+    ).astype(np.int32)
+    b = np.frombuffer(enc, np.uint8)
+    nib2 = np.stack([b >> 4, b & 0xF], axis=-1).reshape(1, -1)
+    ours2 = _ima_core_decode(
+        nib2, np.zeros(1, np.int32), np.zeros(1, np.int32)
+    )[0]
+    assert np.array_equal(ours2, ref2)
+
+
+def test_ima_container_roundtrip_and_guards():
+    rng = np.random.default_rng(19)
+    for ch in (1, 2):
+        v = np.cumsum(
+            rng.integers(-1500, 1500, size=(3000, ch)), axis=0
+        ).clip(-32000, 32000).astype(np.int32)
+        buf = encode_wav(v, 16000, "ima")
+        back = decode_audio(buf, "wav", 16000, 3000, ch)
+        assert back.shape == (3000, ch)
+        # ADPCM is lossy: bounded tracking error, deterministic
+        assert np.abs(back - v).max() < 4096
+        assert np.array_equal(back, decode_audio(buf, "wav", 16000, 3000, ch))
+        # metadata must land inside the last block (fact-chunk truth)
+        with pytest.raises(DimensionMismatchError):
+            decode_audio(buf, "wav", 16000, 200, ch)
+    # corrupt block header index -> CorruptStream tier
+    buf = encode_wav(
+        np.zeros((2100, 1), np.int32), 8000, "ima"
+    )
+    b = bytearray(buf)
+    data_at = buf.index(b"data") + 8
+    b[data_at + 2] = 99  # step index > 88
+    with pytest.raises(ValueError, match="header"):
+        decode_audio(bytes(b), "wav", 8000, 2100, 1)

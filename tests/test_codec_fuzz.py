@@ -291,6 +291,7 @@ def test_audio_corruption_never_escapes():
          200, 2),
         ("wav", encode_wav(x[:, :1], 8000, "mulaw"), 200, 1),
         ("wav", encode_wav(x[:, :1], 8000, "alaw"), 200, 1),
+        ("wav", encode_wav(x, 8000, "ima"), 200, 2),
         ("pcm", x.astype("<i2").tobytes(), 200, 2),
     ]
     escaped = []
