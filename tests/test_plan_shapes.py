@@ -299,3 +299,36 @@ def test_multimodal_cascade_aggregates_not_windows(spark):
     assert "partial_min_by" in p, p
     # the only Python stage in the cascade is the embed refine kernel
     assert "BatchEvalPython" not in p, p
+
+
+def test_audio_features_single_pass_no_exchange(spark, tmp_path):
+    """audio_features over a parquet-backed audio table is one Arrow
+    kernel pass: zero shuffles for 10^12 clips (metadata rides
+    THROUGH the kernel — a join-back for duration/sr would put an
+    Exchange here)."""
+    from segment_rtree_spark.operators.audio import audio_features
+    from segment_rtree_spark.plans.entry_queries import _audio_arith_corpus
+
+    path = str(tmp_path / "audio.parquet")
+    _audio_arith_corpus(spark, 20).write.parquet(path)
+    df = audio_features(spark.read.parquet(path))
+    p = plan_str(df)
+    assert "Exchange" not in p  # no shuffle anywhere in the feature pass
+    assert "MapInPandas" in p or "PythonMapInArrow" in p  # the one kernel
+
+
+def test_validate_audio_two_tier_shape(spark):
+    """The audio validator mirrors the image validator's plan: the
+    kernel branch is filtered to fmt='wav' rows only, the pcm-valid
+    branch is a pure Catalyst filter, and every prefilter verdict is
+    a CASE expression — a clean pcm corpus never crosses to Python."""
+    from segment_rtree_spark.operators.audio import validate_audio
+    from segment_rtree_spark.plans.entry_queries import _audio_arith_corpus
+
+    df = validate_audio(_audio_arith_corpus(spark, 20))
+    p = plan_str(df)
+    assert "= wav))" in p  # kernel branch gated on the container lane
+    assert "= pcm)))" in p  # pcm-valid verdict: pure Catalyst filter
+    for code in ("NullPayload", "CodecUnavailable", "TruncatedPayload",
+                 "BadSignature", "UnknownFormat"):
+        assert code in p
