@@ -392,6 +392,36 @@ def decode_audio(
     return flat.reshape(n_samples, channels)
 
 
+def decode_audio_norm16(
+    buf: bytes, fmt: str, sr: int, n_samples: int, channels: int
+) -> np.ndarray:
+    """decode_audio + normalization of every codec to 16-BIT SCALE
+    (int32 container): deep PCM shifts down (24-bit >> 8, 32-bit >>
+    16), 8-bit PCM shifts up, IEEE float quantizes via rint, and
+    i16/G.711/IMA pass through (already 16-bit scale).
+
+    This is the ANALYTICS decode: features computed on it are
+    scale-invariant across containers, peak is bounded by 32768, and
+    the int64 energy accumulator is exact to ~8.6e9 samples (50+
+    hours at 48 kHz) — whereas native-scale 32-bit PCM energy
+    overflows int64 at TWO full-scale samples, i.e. is unstorable in
+    a long no matter how it is computed. validate_audio keeps the
+    raw decode_audio (validity is scale-independent)."""
+    x = decode_audio(buf, fmt, sr, n_samples, channels)
+    if x.dtype == np.float32:
+        return np.clip(
+            np.rint(x.astype(np.float64) * 32767), -32768, 32767
+        ).astype(np.int32)
+    if fmt == "pcm":
+        return x  # headerless lane is i16 by definition
+    hdr = parse_wav(buf)
+    if hdr["tag"] == WAVE_PCM and hdr["bits"] > 16:
+        return x >> (hdr["bits"] - 16)
+    if hdr["tag"] == WAVE_PCM and hdr["bits"] == 8:
+        return x << 8
+    return x
+
+
 def encode_wav(
     samples: np.ndarray, sr: int, codec: str = "i16"
 ) -> bytes:

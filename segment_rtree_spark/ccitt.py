@@ -203,9 +203,6 @@ class _Bits:
         self.pos += e & 15
         return e >> 4
 
-    def at_eol(self) -> bool:
-        return self.pos + 12 <= self.n and int(self.win[self.pos]) >> 1 == 1
-
     def expect_eol(self) -> None:
         """Consume fill zeros + one EOL (000000000001)."""
         start = self.pos
@@ -235,11 +232,18 @@ class _Bits:
 
 def _decode_1d_row(bits: _Bits, w: int):
     """One MH-coded row -> changing-element positions (transitions
-    alternate white->black, black->white, starting from white)."""
+    alternate white->black, black->white, starting from white). The
+    code budget bounds hostile streams that alternate zero-length
+    runs at one position forever (the same non-advance posture as
+    the 2D loop)."""
     changes = []
     pos = 0
     black = False
+    budget = 2 * w + 64
     while pos < w:
+        budget -= 1
+        if budget < 0:
+            raise ValueError("CCITT 1D row does not advance")
         r = bits.full_run(black, w - pos)
         pos += r
         changes.append(pos)
@@ -292,7 +296,8 @@ def _row_pixels(changes, w: int) -> np.ndarray:
     """Transitions -> bool[w] black mask (row starts white)."""
     if not changes:
         return np.zeros(w, bool)
-    d = np.zeros(w + 1, np.int16)
+    d = np.zeros(w + 1, np.int32)  # int32: a budget-bounded row can
+    # still stack ~2w coincident transitions, past int16 at w > 16k
     ch = np.minimum(np.asarray(changes, np.int64), w)
     np.add.at(d, ch[0::2], 1)
     np.add.at(d, ch[1::2], -1)

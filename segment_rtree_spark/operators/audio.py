@@ -203,13 +203,24 @@ def audio_features(audio: DataFrame, n_windows: int = 64) -> DataFrame:
     re-joining the table afterwards — a join-back would be an extra
     exchange of the full (id, metadata) projection at 10^12 rows,
     the exact shape the crossmodal carried-column verify replaced.
+
+    Features are computed on the 16-BIT-NORMALIZED signal
+    (audioio.decode_audio_norm16): scale-invariant across container
+    widths — a clip has the same peak/energy/zcross/afp whether it
+    shipped as 16/24/32-bit PCM, float, G.711 or ADPCM — and the
+    int64 energy accumulator is exact to ~8.6e9 samples (native
+    32-bit-scale energy is unstorable in a long at all).
     peak/energy/zcross are channel-0 integer stats
     (audioio.audio_stats_exact); afp is the 64-bit energy
     fingerprint (audioio.audio_fingerprint64), the banding column
-    for audio_neardup_pairs. IEEE-float WAV quantizes to 16-bit
-    (rint, deterministic) so the integer contract holds for every
-    codec."""
-    from ..audioio import audio_fingerprint64, audio_stats_exact, decode_audio
+    for audio_neardup_pairs. Clips shorter than n_windows cannot
+    fingerprint: they emit afp = NULL (a data outcome, not a stage
+    failure) and near-dup skips them."""
+    from ..audioio import (
+        audio_fingerprint64,
+        audio_stats_exact,
+        decode_audio_norm16,
+    )
 
     schema = ("audio_id string, sr int, n_samples int, duration_ms long, "
               "peak long, energy long, zcross long, afp long")
@@ -222,17 +233,11 @@ def audio_features(audio: DataFrame, n_windows: int = 64) -> DataFrame:
             for r in range(len(pdf)):
                 sr = int(pdf["sr"].iloc[r])
                 n = int(pdf["n_samples"].iloc[r])
-                x = decode_audio(
+                x = decode_audio_norm16(
                     bytes(pdf["bytes"].iloc[r]),
                     str(pdf["fmt"].iloc[r]),
                     sr, n, int(pdf["channels"].iloc[r]),
                 )
-                if x.dtype != np.int32:
-                    # IEEE-float WAV: quantize to 16-bit for the
-                    # integer feature contract (deterministic)
-                    x = np.clip(
-                        np.rint(x.astype(np.float64) * 32767), -32768, 32767
-                    ).astype(np.int32)
                 st = audio_stats_exact(x)
                 out["audio_id"].append(str(pdf["audio_id"].iloc[r]))
                 out["sr"].append(sr)
@@ -241,7 +246,10 @@ def audio_features(audio: DataFrame, n_windows: int = 64) -> DataFrame:
                 out["peak"].append(st["peak"])
                 out["energy"].append(st["energy"])
                 out["zcross"].append(st["zcross"])
-                out["afp"].append(audio_fingerprint64(x, n_windows))
+                out["afp"].append(
+                    audio_fingerprint64(x, n_windows)
+                    if n >= n_windows else None
+                )
             yield pd.DataFrame(out)
 
     return audio.select(
@@ -265,7 +273,8 @@ def audio_neardup_pairs(
     tiling, armed caps with drop observability) unchanged."""
     from .dedup import phash_neardup_pairs
 
-    feats = audio_features(audio, n_windows).select("audio_id", "afp")
+    feats = audio_features(audio, n_windows).select("audio_id", "afp") \
+        .filter(F.col("afp").isNotNull())  # sub-n_windows clips: no fp
     return phash_neardup_pairs(
         feats, max_hamming=max_hamming, id_col="audio_id", phash="afp",
         n_bands=n_bands, hot_threshold=hot_threshold,
@@ -281,9 +290,13 @@ def sample_audio_clips(
     deterministic evenly-spaced offsets, re-emitted as standalone
     16-bit WAV rows (audio_id, clip_idx, t0 = exact sample offset,
     t0_ms, bytes, sr, n_samples, channels, fmt='wav') the rest of
-    the audio suite decodes. Clips shorter than clip_samples emit
-    nothing (same posture as frame sampling past EOF)."""
-    from ..audioio import decode_audio, encode_wav
+    the audio suite decodes. Sources decode through the 16-bit
+    NORMALIZED path (deep PCM shifts down rather than saturating at
+    +-32767 — re-encoding native 24/32-bit values into an i16
+    container would square-wave anything above -48 dBFS). Clips
+    shorter than clip_samples emit nothing (same posture as frame
+    sampling past EOF)."""
+    from ..audioio import decode_audio_norm16, encode_wav
 
     schema = ("audio_id string, clip_idx int, t0 long, t0_ms long, "
               "bytes binary, sr int, n_samples int, channels int, "
@@ -300,18 +313,14 @@ def sample_audio_clips(
                 ch = int(pdf["channels"].iloc[r])
                 if n < clip_samples:
                     continue
-                x = decode_audio(
+                x = decode_audio_norm16(
                     bytes(pdf["bytes"].iloc[r]), str(pdf["fmt"].iloc[r]),
                     sr, n, ch,
                 )
-                if x.dtype != np.int32:
-                    x = np.clip(
-                        np.rint(x.astype(np.float64) * 32767), -32768, 32767
-                    ).astype(np.int32)
                 span = n - clip_samples
                 for k in range(n_clips):
                     t0 = span * k // max(1, n_clips - 1) if n_clips > 1 else 0
-                    w = np.clip(x[t0 : t0 + clip_samples], -32768, 32767)
+                    w = x[t0 : t0 + clip_samples]
                     out["audio_id"].append(str(pdf["audio_id"].iloc[r]))
                     out["clip_idx"].append(k)
                     out["t0"].append(t0)

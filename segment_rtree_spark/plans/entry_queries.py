@@ -2782,9 +2782,12 @@ def _audio_arith_corpus(spark, n):
       * P(i) = ((base(i%25) | 1) XOR one flipped bit in 1..60):
         within a 25-group Hamming <= 2, so near-dup pairs are
         brute-force recomputable;
-      * codec lane cycles i%3: PCM 16/24/32-bit (scale 1/16/256 —
-        amplitudes exact in every width); i%15==0 rows ship as
-        headerless fmt='pcm'; channels = 1 + i%2 (stereo fills
+      * codec lane cycles i%3: PCM 16/24/32-bit at native scales
+        1/256/65536, so the operator's 16-bit NORMALIZATION (deep
+        PCM >> (bits-16)) recovers the SAME base amplitudes in every
+        lane — peak/energy/afp are lane-independent closed forms,
+        which is itself the scale-invariance gate; i%15==0 rows ship
+        as headerless fmt='pcm'; channels = 1 + i%2 (stereo fills
         channel 1 with silence; features are channel-0).
     """
     import pandas as pd_
@@ -2804,7 +2807,7 @@ def _audio_arith_corpus(spark, n):
                 lo = ((g + 7) * 97003969) % 2147483648
                 p = ((hi * 2147483648 + lo) | 1) ^ (1 << (1 + (i * 7) % 60))
                 wlen = 32 + i % 29
-                scale = (1, 16, 256)[i % 3]
+                scale = (1, 256, 65536)[i % 3]
                 ahi = (12000 + i % 100) * scale
                 alo = (200 + i % 50) * scale
                 sr = 8000 + (i % 3) * 4100
@@ -2897,7 +2900,9 @@ def q_audio_suite(spark, sf_dir):
 
 
 def _audio_suite_oracle():
-    lane = "(case when i%3=0 then 1 when i%3=1 then 16 else 256 end)"
+    # peak/energy/afp are LANE-INDEPENDENT: the operator normalizes
+    # every PCM width back to 16-bit scale, recovering the base
+    # amplitudes below whatever container the row shipped in
     return f"""
 with pat as (
   select i,
@@ -2905,8 +2910,8 @@ with pat as (
         + (((i % 25 + 7) * 97003969) % 2147483648) | 1,
         cast(1 as bigint) << cast(1 + (i * 7) % 60 as integer)) as p,
     32 + i % 29 as wlen,
-    (12000 + i % 100) * {lane} as ahi,
-    (200 + i % 50) * {lane} as alo,
+    12000 + i % 100 as ahi,
+    200 + i % 50 as alo,
     8000 + (i % 3) * 4100 as sr
   from range(400) t(i)
 )

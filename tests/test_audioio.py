@@ -353,3 +353,69 @@ def test_ima_container_roundtrip_and_guards():
     b[data_at + 2] = 99  # step index > 88
     with pytest.raises(ValueError, match="header"):
         decode_audio(bytes(b), "wav", 8000, 2100, 1)
+
+
+def test_norm16_scale_invariance_across_widths():
+    """decode_audio_norm16 recovers the SAME 16-bit-scale signal from
+    every integer container width — the contract audio_features'
+    lane-independent oracle rides on."""
+    from segment_rtree_spark.audioio import decode_audio_norm16
+
+    x = _sig(500, 1, 21, amp=32000)
+    base = decode_audio_norm16(encode_wav(x, 8000, "i16"), "wav", 8000, 500, 1)
+    assert np.array_equal(base, x)
+    for codec, scale in (("i24", 256), ("i32", 65536)):
+        got = decode_audio_norm16(
+            encode_wav(x * scale, 8000, codec), "wav", 8000, 500, 1
+        )
+        assert np.array_equal(got, x), codec
+    got8 = decode_audio_norm16(
+        encode_wav(x >> 8, 8000, "u8"), "wav", 8000, 500, 1
+    )
+    assert np.array_equal(got8, (x >> 8) << 8)
+
+
+def test_features_and_clips_survive_full_scale_deep_pcm(spark):
+    """The review-pass regressions: (1) a long full-scale 32-bit PCM
+    clip must produce features (native-scale energy would overflow
+    int64 and kill the kernel); (2) sample_audio_clips must emit the
+    normalized signal, not +-32767 saturation; (3) a sub-64-sample
+    clip emits afp=NULL and near-dup skips it without failing."""
+    from segment_rtree_spark.operators.audio import (
+        audio_features,
+        audio_neardup_pairs,
+        sample_audio_clips,
+    )
+
+    x16 = _sig(5000, 1, 22, amp=32000)
+    rows = [
+        ("deep", encode_wav(x16 * 65536, 8000, "i32"), 8000, 5000, 1, "wav"),
+        ("base", encode_wav(x16, 8000, "i16"), 8000, 5000, 1, "wav"),
+        ("short", encode_wav(x16[:40], 8000, "i16"), 8000, 40, 1, "wav"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b), sr, n, ch, f) for i, b, sr, n, ch, f in rows],
+        "audio_id string, bytes binary, sr int, n_samples int, "
+        "channels int, fmt string",
+    )
+    feats = {r["audio_id"]: r for r in audio_features(df).collect()}
+    assert len(feats) == 3
+    # scale invariance end-to-end: 32-bit row == 16-bit row
+    for c in ("peak", "energy", "zcross", "afp"):
+        assert feats["deep"][c] == feats["base"][c], c
+    assert feats["short"]["afp"] is None  # data outcome, not a crash
+    assert feats["short"]["peak"] == int(np.abs(x16[:40]).max())
+    # near-dup: deep and base are identical signals -> one pair at 0
+    got = audio_neardup_pairs(df, max_hamming=2).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in got} == {
+        ("base", "deep", 0)
+    }
+    # clip sampling from the 32-bit row returns the normalized window
+    clips = {
+        c["clip_idx"]: c
+        for c in sample_audio_clips(
+            df.filter("audio_id = 'deep'"), clip_samples=64, n_clips=2
+        ).collect()
+    }
+    w0 = decode_audio(bytes(clips[0]["bytes"]), "wav", 8000, 64, 1)
+    assert np.array_equal(w0, x16[:64])  # faithful, not saturated

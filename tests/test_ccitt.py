@@ -276,3 +276,13 @@ def test_validate_images_classifies_g4(spark):
     assert len(rows) == 1 and rows[0]["ok"] and rows[0]["err_code"] is None
     # and the decode surface agrees with the direct kernel
     assert phash64(decode_image(buf, "tiff", 16, 16)) == phash64(px)
+
+
+def test_1d_zero_run_flood_rejected():
+    """Hostile MH stream alternating zero-length runs at one position
+    (white-0 / black-0 forever): the 1D row budget must reject it
+    instead of spinning or overflowing the transition accumulator."""
+    z = (_WHITE_ENC[0] + _BLACK_ENC[0]) * 4000
+    buf = _tiff([_pack(z)], 24, 4, 2)
+    with pytest.raises(ValueError, match="advance"):
+        decode_image(buf, "tiff", 24, 4)
