@@ -347,6 +347,17 @@ def decode_audio(
     the image table's fmt='raw'). Header fields must MATCH the table
     metadata (DimensionMismatchError otherwise) before any
     sample math, mirroring decode_image's dim-guard contract."""
+    return _decode_audio_hdr(buf, fmt, sr, n_samples, channels)[0]
+
+
+def _decode_audio_hdr(
+    buf: bytes, fmt: str, sr: int, n_samples: int, channels: int
+) -> tuple:
+    """decode_audio plus the parsed WAV header: (samples, hdr) with
+    hdr=None for the headerless pcm lane. Internal — lets the
+    normalized analytics decode reuse the container walk instead of
+    re-parsing the RIFF chunks per row (the hot audio_features /
+    sample_audio_clips path)."""
     if sr <= 0 or n_samples <= 0 or channels <= 0:
         raise DimensionMismatchError(
             f"sr={sr} n_samples={n_samples} channels={channels} "
@@ -359,7 +370,7 @@ def decode_audio(
                 f"pcm payload {len(buf)} bytes != {want} expected"
             )
         flat = np.frombuffer(buf, "<i2").astype(np.int32)
-        return flat.reshape(n_samples, channels)
+        return flat.reshape(n_samples, channels), None
     if fmt != "wav":
         raise NotImplementedError(f"audio fmt={fmt} unsupported")
     hdr = parse_wav(buf)
@@ -376,7 +387,7 @@ def decode_audio(
         raw = buf[hdr["data_off"] : hdr["data_off"] + hdr["data_len"]]
         return _ima_decode_blocks(
             raw, channels, hdr["block_align"], n_samples
-        )
+        ), hdr
     unit = (1 if tag in (WAVE_MULAW, WAVE_ALAW) else bits // 8) * channels
     if unit == 0:
         raise ValueError("WAV zero-width sample format")
@@ -389,7 +400,7 @@ def decode_audio(
     flat = _lin_decode(raw[: got * unit], tag, bits)
     if flat.size != n_samples * channels:
         raise ValueError("WAV sample count mismatch after decode")
-    return flat.reshape(n_samples, channels)
+    return flat.reshape(n_samples, channels), hdr
 
 
 def decode_audio_norm16(
@@ -406,15 +417,19 @@ def decode_audio_norm16(
     hours at 48 kHz) — whereas native-scale 32-bit PCM energy
     overflows int64 at TWO full-scale samples, i.e. is unstorable in
     a long no matter how it is computed. validate_audio keeps the
-    raw decode_audio (validity is scale-independent)."""
-    x = decode_audio(buf, fmt, sr, n_samples, channels)
+    raw decode_audio (validity is scale-independent).
+
+    The container is walked ONCE (_decode_audio_hdr hands the parsed
+    header back alongside the samples) — the earlier form re-ran
+    parse_wav per row just to read tag/bits for the scale shift,
+    doubling the RIFF chunk walk in the hot analytics kernels."""
+    x, hdr = _decode_audio_hdr(buf, fmt, sr, n_samples, channels)
     if x.dtype == np.float32:
         return np.clip(
             np.rint(x.astype(np.float64) * 32767), -32768, 32767
         ).astype(np.int32)
     if fmt == "pcm":
         return x  # headerless lane is i16 by definition
-    hdr = parse_wav(buf)
     if hdr["tag"] == WAVE_PCM and hdr["bits"] > 16:
         return x >> (hdr["bits"] - 16)
     if hdr["tag"] == WAVE_PCM and hdr["bits"] == 8:

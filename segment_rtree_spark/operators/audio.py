@@ -230,16 +230,23 @@ def audio_features(audio: DataFrame, n_windows: int = 64) -> DataFrame:
             out = {k: [] for k in ("audio_id", "sr", "n_samples",
                                    "duration_ms", "peak", "energy",
                                    "zcross", "afp")}
+            # column-wise extraction once per batch: per-row .iloc is
+            # a pandas positional lookup per FIELD per row (6 per
+            # clip), pure interpreter overhead in the hot loop
+            ids = pdf["audio_id"].to_numpy()
+            bufs = pdf["bytes"].to_numpy()
+            fmts = pdf["fmt"].to_numpy()
+            srs = pdf["sr"].to_numpy()
+            ns = pdf["n_samples"].to_numpy()
+            chs = pdf["channels"].to_numpy()
             for r in range(len(pdf)):
-                sr = int(pdf["sr"].iloc[r])
-                n = int(pdf["n_samples"].iloc[r])
+                sr = int(srs[r])
+                n = int(ns[r])
                 x = decode_audio_norm16(
-                    bytes(pdf["bytes"].iloc[r]),
-                    str(pdf["fmt"].iloc[r]),
-                    sr, n, int(pdf["channels"].iloc[r]),
+                    bytes(bufs[r]), str(fmts[r]), sr, n, int(chs[r])
                 )
                 st = audio_stats_exact(x)
-                out["audio_id"].append(str(pdf["audio_id"].iloc[r]))
+                out["audio_id"].append(str(ids[r]))
                 out["sr"].append(sr)
                 out["n_samples"].append(n)
                 out["duration_ms"].append(n * 1000 // sr)
