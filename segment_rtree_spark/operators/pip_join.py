@@ -40,6 +40,7 @@ from ..tiles import cell_of_sql
 
 __all__ = [
     "pip_join_broadcast",
+    "pip_count_broadcast",
     "pip_join_partitioned",
     "pip_join_partitioned_rings",
     "cover_from_rings",
@@ -80,6 +81,49 @@ def pip_join_broadcast(
             out = pdf.iloc[qi][keep].reset_index(drop=True)
             out["polygon_id"] = pid
             out["relation"] = RELATION_NAMES[rel]
+            yield out
+
+    return points.mapInPandas(kernel, schema)
+
+
+def pip_count_broadcast(
+    points: DataFrame,
+    layer: PolygonLayer,
+    x: str = "lng",
+    y: str = "lat",
+    keep: Sequence[str] | None = None,
+) -> DataFrame:
+    """Aggregated broadcast PIP: one output row per input point with
+    >= 1 interior/boundary hit, carrying n_regions = the hit count —
+    counted INSIDE the kernel (np.bincount over the hit stream), so
+    the per-point containment aggregate costs ZERO shuffle.
+
+    Equivalent to pip_join_broadcast(...).groupBy(id).agg(first(keep),
+    count(*)) when point rows are unique per id (the curation-pipeline
+    contract): the only thing that groupBy collapses is the multi-
+    polygon fan-out the kernel itself produced, and the kernel knows
+    those counts before ever emitting rows. The payload columns ride
+    through the kernel once instead of through a corpus-wide exchange
+    — at 10^12 rows this deletes the survivor stage's only shuffle."""
+    keep = list(keep) if keep is not None else list(points.columns)
+    by_name = {f.name: f.dataType.simpleString() for f in points.schema.fields}
+    schema = ", ".join([f"{c} {by_name[c]}" for c in keep] + ["n_regions long"])
+    spark = points.sparkSession
+    blayer = spark.sparkContext.broadcast(layer)
+    points = points.select(*dict.fromkeys([*keep, x, y]))
+
+    def kernel(batches):
+        lyr = blayer.value
+        for pdf in batches:
+            px = pdf[x].to_numpy(dtype=np.float64)
+            py = pdf[y].to_numpy(dtype=np.float64)
+            qi, _pid, _rel = lyr.pip(px, py)
+            if len(qi) == 0:
+                continue
+            counts = np.bincount(qi, minlength=len(pdf))
+            sel = np.flatnonzero(counts)
+            out = pdf.iloc[sel][keep].reset_index(drop=True)
+            out["n_regions"] = counts[sel].astype(np.int64)
             yield out
 
     return points.mapInPandas(kernel, schema)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .layer import PolygonLayer
 from .operators.dedup import phash_components
-from .operators.pip_join import pip_join_broadcast
+from .operators.pip_join import pip_count_broadcast
 
 __all__ = [
     "curate_images",
@@ -85,30 +85,17 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
             if len(pickle.dumps(layer)) <= BROADCAST_LIMIT_BYTES
             else "partitioned"
         )
-    # caption+phash ride THROUGH the PIP kernel (keep=), so the
-    # survivor set is ONE groupBy on the hit stream — no join of the
-    # point table back against its own aggregated hits (two shuffles +
-    # a join became one shuffle; lat/lng are dead after the PIP and
-    # are dropped here)
+    # caption+phash ride THROUGH the PIP kernel (keep=), and on the
+    # broadcast path the containment count is computed in-kernel
+    # (pip_count_broadcast), so the survivor stage shuffles NOTHING —
+    # lat/lng are dead after the PIP and are dropped here. The
+    # survivor set feeds three consumers (clustering, the size agg,
+    # and the final representative join); without materialization
+    # each one would re-execute the PIP join. localCheckpoint runs it
+    # once (on a cluster: .checkpoint() against the durable dir).
     keep = [id_col, caption, phash]
-    if how == "broadcast":
-        hits = pip_join_broadcast(narrow, layer, x=x, y=y, keep=keep)
-    else:
-        from .operators.pip_join import pip_join
-
-        hits = pip_join(narrow, layer, how=how, x=x, y=y, keep=keep)
-    # The survivor set feeds three consumers (clustering, the size agg,
-    # and the final representative join); without materialization each
-    # one would re-execute the PIP join. localCheckpoint runs it once
-    # (on a cluster: .checkpoint() against the durable checkpoint dir).
-    ok = (
-        hits.groupBy(id_col)
-        .agg(
-            F.first(caption).alias(caption),
-            F.first(phash).alias(phash),
-            F.count(F.lit(1)).alias("n_regions"),
-        )
-        .filter(F.size(F.split(F.col(caption), " ")) >= min_caption_tokens)
+    ok = _survivors_multimodal(
+        narrow, layer, min_caption_tokens, how, keep, id_col, caption, x, y
     )
     if materialize:
         # (materialize=False keeps the full lineage — used by the plan
@@ -125,19 +112,22 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
 
 def _keep_representatives(ok: DataFrame, comp: DataFrame,
                           id_col: str, caption: str) -> DataFrame:
-    """One representative per cluster with its cluster_size, in a
-    single shuffle on the component key (window count) — the
-    groupBy-sizes-then-rejoin formulation computed the component
-    labelling twice (once for the representative join, once under the
-    size aggregate; exchange reuse does not always cover both)."""
-    from pyspark.sql import Window
+    """One representative per cluster with its cluster_size.
 
-    w = Window.partitionBy("component")
-    return (
-        ok.join(comp, id_col)
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
-        .filter(F.col(id_col) == F.col("component"))
-        .select(id_col, caption, "n_regions", "cluster_size")
+    component == the cluster's MIN member id (the label-propagation
+    contract), so the representative rows are exactly the ok rows
+    whose id appears as a component value: aggregate comp to
+    (component, cluster_size) — a partial-agged hash shuffle of the
+    NARROW label frame — and inner-join it onto ok keyed by id. The
+    earlier window formulation joined ok against comp at full image
+    cardinality AND re-shuffled the joined (wide) stream a second
+    time to sort each component partition for the window count; this
+    shape shuffles the wide survivor rows once and never sorts."""
+    reps = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    ).withColumnRenamed("component", id_col)
+    return ok.join(reps, id_col).select(
+        id_col, caption, "n_regions", "cluster_size"
     )
 
 
@@ -195,21 +185,12 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
     job = CheckpointJob(spark, job_id, root)
 
     def survivors(batch: DataFrame) -> DataFrame:
-        # same one-shuffle shape as curate_images: payload rides the
-        # kernel, survivors aggregate the hit stream (cell kept — it is
-        # the checkpoint partition key)
-        hits = pip_join_broadcast(
-            batch, layer, x=x, y=y, keep=[id_col, caption, phash, "cell"]
-        )
-        return (
-            hits.groupBy(id_col)
-            .agg(
-                F.first(caption).alias(caption),
-                F.first(phash).alias(phash),
-                F.first("cell").alias("cell"),
-                F.count(F.lit(1)).alias("n_regions"),
-            )
-            .filter(F.size(F.split(F.col(caption), " ")) >= min_caption_tokens)
+        # same zero-shuffle shape as curate_images: payload rides the
+        # kernel and the containment count is computed in-kernel (cell
+        # kept — it is the checkpoint partition key)
+        return _survivors_multimodal(
+            batch, layer, min_caption_tokens, "broadcast",
+            [id_col, caption, phash, "cell"], id_col, caption, x, y,
         )
 
     done = job.run(narrow, "cell", survivors,
@@ -367,22 +348,26 @@ def _survivors_multimodal(narrow: DataFrame, layer: PolygonLayer,
                           keep: list, id_col: str, caption: str,
                           x: str, y: str) -> DataFrame:
     """Region filter + per-image aggregate + caption filter — the
-    row-local stage every curation form shares. `keep` columns ride
-    the PIP kernel so the survivor set is one groupBy on the hit
-    stream (see curate_images)."""
+    row-local stage every curation form shares.
+
+    Broadcast path: the containment count is computed INSIDE the PIP
+    kernel (pip_count_broadcast — np.bincount over the hit stream),
+    so the survivor stage has ZERO shuffle; image ids are unique per
+    row (the curation contract), so this equals the groupBy-on-hits
+    form exactly. Partitioned path: the hits fan out across cell
+    tasks, so the per-image aggregate still needs its one groupBy."""
     if how == "broadcast":
-        hits = pip_join_broadcast(narrow, layer, x=x, y=y, keep=keep)
+        surv = pip_count_broadcast(narrow, layer, x=x, y=y, keep=keep)
     else:
         from .operators.pip_join import pip_join
 
         hits = pip_join(narrow, layer, how=how, x=x, y=y, keep=keep)
-    aggs = [
-        F.first(c).alias(c) for c in keep if c != id_col
-    ] + [F.count(F.lit(1)).alias("n_regions")]
-    return (
-        hits.groupBy(id_col)
-        .agg(*aggs)
-        .filter(F.size(F.split(F.col(caption), " ")) >= min_caption_tokens)
+        aggs = [
+            F.first(c).alias(c) for c in keep if c != id_col
+        ] + [F.count(F.lit(1)).alias("n_regions")]
+        surv = hits.groupBy(id_col).agg(*aggs)
+    return surv.filter(
+        F.size(F.split(F.col(caption), " ")) >= min_caption_tokens
     )
 
 
