@@ -33,6 +33,7 @@ __all__ = [
     "lsh_star_edges",
     "lsh_components",
     "label_propagate",
+    "label_map",
     "phash_components",
     "simhash64",
     "simhash_neardup_pairs",
@@ -42,6 +43,7 @@ __all__ = [
     "crossmodal_neardup_pairs",
     "crossmodal_neardup_against",
     "crossmodal_components",
+    "crossmodal_group_labels",
 ]
 
 # (a, b) parameters for the k minhash permutations h_i = (a*h + b) % P
@@ -867,33 +869,36 @@ def lsh_components(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
     )
 
 
-def label_propagate(nodes: DataFrame, edges: DataFrame,
-                    max_iter: int = 50,
-                    driver_edges: int = 200_000) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+def label_map(edges: DataFrame,
+              max_iter: int = 50,
+              driver_edges: int = 200_000) -> tuple:
+    """Sparse connected-components labels over edges(src, dst)
+    [undirected]: (mapping, broadcastable) where mapping is a
+    (node, label) DataFrame covering ONLY edge-touched nodes (label =
+    min reachable node id), or None when there are no edges. Every
+    node absent from the mapping is its own label by definition.
 
-    nodes(node) + edges(src, dst) [treated as undirected] ->
-    (node, label) with label = min node id reachable. Each iteration
-    is ONE Spark job: the convergence test rides the checkpoint action
-    as an Observation metric (sum of changed-label flags) instead of a
-    separate anti-join job — at small-to-mid scale the loop is job-
-    latency-bound, so halving the actions per round halves the loop's
-    wall clock; at cluster scale it also halves the scheduler round
-    trips. Every frame localCheckpoints so lineage stays flat across
-    rounds (on a cluster: rdd checkpoint to durable storage). Shared
-    by lsh_components (docs) and phash_components (images).
+    Callers fold the mapping onto any frame keyed by node with a LEFT
+    join + coalesce(label, node) — at the CALLER's cardinality, and
+    map-side when `broadcastable` (the driver union-find fast path).
+    This is the core label_propagate shares with phash_components /
+    crossmodal_components / the multimodal cascade: those operators
+    used to materialize a per-node component frame and shuffle-join
+    their row tables against it; folding the sparse mapping directly
+    deletes that node-cardinality join (in a realistic corpus the
+    edge-touched set is orders of magnitude smaller than the corpus).
 
-    Edge sets at or under `driver_edges` run union-find ON THE DRIVER
-    instead: each distributed iteration costs 3 shuffles of scheduler
-    latency (measured 1.7-2.9 s PER ITERATION on a ~100-edge graph at
+    Edge sets at or under `driver_edges` run union-find ON THE DRIVER:
+    each distributed iteration costs 3 shuffles of scheduler latency
+    (measured 1.7-2.9 s PER ITERATION on a ~100-edge graph at
     local[32]) while path-halving union-find on 200k collected edges
-    is ~0.1 s and the result rebroadcasts as one map-side join. This
-    is a BOUNDED collect — the count is already in hand, the transfer
-    caps at 2*driver_edges id pairs (~tens of MB), and discriminating
-    dedup thresholds on realistic corpora produce edge sets orders of
-    magnitude below the node count, so the common case IS tiny. Wide
-    graphs (> driver_edges) take the distributed loop unchanged;
-    driver_edges=0 forces it (the tests pin loop==driver equality)."""
+    is ~0.1 s and the result rebroadcasts map-side. This is a BOUNDED
+    collect — the count is already in hand and the transfer caps at
+    2*driver_edges id pairs. Wide graphs (> driver_edges) take the
+    distributed loop (pointer-doubled min-label propagation, one job
+    per round with the convergence test riding the checkpoint action
+    as an Observation); driver_edges=0 forces it (tests pin
+    loop==driver equality)."""
     from pyspark.sql import Observation
 
     und = edges.select("src", "dst").union(
@@ -902,8 +907,8 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
     n_edges = und.count()  # same one job isEmpty would cost
     if n_edges == 0:
         # all-isolated (the common case for discriminating thresholds
-        # on realistic corpora): skip the loop AND the rejoin
-        return nodes.withColumn("label", F.col("node"))
+        # on realistic corpora): no mapping, skip the fold entirely
+        return None, True
     if n_edges <= 2 * driver_edges:  # und carries both directions
         from pyspark.sql.types import StructField, StructType
 
@@ -929,14 +934,12 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
             if r not in comp_min or x < comp_min[r]:
                 comp_min[r] = x
         ntype = und.schema["src"].dataType
-        mapping = nodes.sparkSession.createDataFrame(
+        mapping = edges.sparkSession.createDataFrame(
             [(x, comp_min[find(x)]) for x in parent],
             StructType([StructField("node", ntype),
                         StructField("label", ntype)]),
         )
-        return nodes.join(F.broadcast(mapping), "node", "left").select(
-            "node", F.coalesce("label", F.col("node")).alias("label")
-        )
+        return mapping, True
     # Right-size the edge frame's partitioning to the EDGE count: the
     # checkpoint inherits the upstream join's partition count (32+ on
     # the bench session), and every loop stage then schedules that many
@@ -1003,7 +1006,42 @@ def label_propagate(nodes: DataFrame, edges: DataFrame,
             f"label_propagate did not converge within max_iter={max_iter}; "
             "raise max_iter (labels would be incorrect, not approximate)"
         )
-    return nodes.join(labels, "node", "left").select(
+    # labels covers exactly the edge-touched nodes (the loop iterated
+    # only over them); isolated nodes fold to themselves at the caller
+    return labels, False
+
+
+def _fold_labels(df: DataFrame, key, mapping, broadcastable: bool,
+                 out: str = "label"):
+    """Left-join the sparse label mapping onto `df` keyed by column
+    expression `key` (built from df's columns), coalescing absent
+    nodes to their own key — the shared fold every label_map consumer
+    runs, at the CALLER's cardinality and map-side when the mapping
+    is driver-sized. mapping=None (no edges) short-circuits to
+    out := key with no join at all."""
+    if mapping is None:
+        return df.withColumn(out, key)
+    m = F.broadcast(mapping) if broadcastable else mapping
+    return df.join(m, key == m["node"], "left").select(
+        *[df[c] for c in df.columns],
+        F.coalesce(m["label"], key).alias(out),
+    )
+
+
+def label_propagate(nodes: DataFrame, edges: DataFrame,
+                    max_iter: int = 50,
+                    driver_edges: int = 200_000) -> DataFrame:
+    """Connected components by min-label propagation: nodes(node) +
+    edges(src, dst) [undirected] -> (node, label) with label = the min
+    node id reachable. A thin rejoin over label_map (see there for the
+    driver fast path / distributed loop trade): the sparse mapping
+    folds onto the node list with one left join — map-side when the
+    mapping is driver-sized."""
+    mapping, bc = label_map(edges, max_iter, driver_edges)
+    if mapping is None:
+        return nodes.withColumn("label", F.col("node"))
+    m = F.broadcast(mapping) if bc else mapping
+    return nodes.join(m, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("label")
     )
 
@@ -1058,9 +1096,7 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
         drop_observation=drop_observation,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = label_propagate(
-        distinct_ph.select(F.col("ph").alias("node")), edges, max_iter
-    )
+    mapping, bc = label_map(edges, max_iter)
     # rep_join picks the representative-assignment physical shape:
     #   'window' (default): one shuffle on the cluster label, min via
     #     window — fewest stages, but a giant cluster's rows all pass
@@ -1075,7 +1111,15 @@ def phash_components(images: DataFrame, id_col: str = "image_id",
     #     keep the window default, whose per-task rows are bounded by
     #     the LARGEST cluster instead. The labelled frame checkpoints
     #     because both the agg and the rejoin consume it.
-    labelled = ph.join(comp, ph["ph"] == comp["node"]).select(id_col, "label")
+    # The hash->label fold left-joins the SPARSE edge-touched mapping
+    # at image cardinality (coalesce to the hash itself for untouched
+    # nodes) — the earlier form materialized a per-distinct-hash
+    # component frame via label_propagate and shuffle-joined the
+    # image rows against it; the sparse fold is map-side whenever the
+    # edge set fit the driver union-find path.
+    labelled = _fold_labels(
+        ph, F.col("ph"), mapping, bc
+    ).select(id_col, "label")
     if rep_join == "broadcast":
         labelled = labelled.localCheckpoint(eager=False)
         mins = labelled.groupBy("label").agg(F.min(id_col).alias("component"))
@@ -1406,6 +1450,66 @@ def crossmodal_neardup_against(new_images: DataFrame, corpus: DataFrame,
     )
 
 
+def crossmodal_group_labels(images: DataFrame, id_col: str = "image_id",
+                            phash: str = "phash", caption: str = "caption",
+                            max_hamming: int = 8, max_iter: int = 50,
+                            n_bands: int = 4,
+                            hot_threshold: int | None = 4096,
+                            max_bucket: int | None = None,
+                            drop_observation=None,
+                            out: str = "_xlabel") -> DataFrame:
+    """images + one GROUP-KEY column `out` identifying each row's
+    joint caption+image near-dup cluster — the same partition of rows
+    crossmodal_components labels, minus the representative-id
+    materialization: `out` is a struct group key (solo = own id for
+    NULL-caption/phash singleton rows, lab = the min reachable node
+    key otherwise), valid for aggregation but NOT an image id.
+
+    This is the collapse primitive the composed curation needs: its
+    next step is a groupBy + min_by that recovers the representative
+    row anyway, so materializing (image_id, component) first — a
+    window at image cardinality plus a corpus-wide rejoin inside
+    crossmodal_components — would compute a per-row answer only to
+    immediately re-aggregate it. The sparse label fold (label_map)
+    attaches the cluster key map-side whenever the edge set fit the
+    driver union-find path, so the whole crossmodal collapse costs
+    one distinct, one band join, and the caller's one groupBy."""
+    nonnull = F.col(phash).isNotNull() & F.col(caption).isNotNull()
+    nodes = (
+        images.filter(nonnull)
+        .select(F.col(caption).alias("cap"), F.col(phash).alias("ph"))
+        .distinct()
+        .select(
+            F.concat_ws("|", "cap", F.col("ph").cast("string")).alias("nid"),
+            "cap", "ph",
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = crossmodal_neardup_pairs(
+        nodes, max_hamming=max_hamming, id_col="nid", phash="ph",
+        caption="cap", n_bands=n_bands, hot_threshold=hot_threshold,
+        max_bucket=max_bucket, drop_observation=drop_observation,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    mapping, bc = label_map(edges, max_iter)
+    nid = F.when(
+        nonnull, F.concat_ws("|", F.col(caption), F.col(phash).cast("string"))
+    )
+    lab = _fold_labels(
+        images.withColumn("_nid", nid), F.col("_nid"), mapping, bc, out="_lab"
+    )
+    return lab.withColumn(
+        out,
+        F.struct(
+            # NULL cap/ph rows are singletons: their own id is the key
+            # (lab stays NULL there — a NULL _nid matches nothing and
+            # coalesces to NULL, which is exactly the empty slot)
+            F.when(F.col("_nid").isNull(), F.col(id_col)).alias("solo"),
+            F.col("_lab").alias("lab"),
+        ),
+    ).drop("_nid", "_lab")
+
+
 def crossmodal_components(images: DataFrame, id_col: str = "image_id",
                           phash: str = "phash", caption: str = "caption",
                           max_hamming: int = 8, max_iter: int = 50,
@@ -1458,15 +1562,15 @@ def crossmodal_components(images: DataFrame, id_col: str = "image_id",
         max_bucket=max_bucket, drop_observation=drop_observation,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = label_propagate(nodes.select(F.col("nid").alias("node")), edges,
-                           max_iter)
-    labelled = (
+    mapping, bc = label_map(edges, max_iter)
+    # sparse fold at row cardinality (see phash_components): untouched
+    # node keys coalesce to themselves, no per-node component frame
+    labelled = _fold_labels(
         rows.withColumn(
             "nid", F.concat_ws("|", "cap", F.col("ph").cast("string"))
-        )
-        .join(comp, F.col("nid") == F.col("node"))
-        .select(id_col, "label")
-    )
+        ),
+        F.col("nid"), mapping, bc,
+    ).select(id_col, "label")
     if rep_join == "broadcast":
         labelled = labelled.localCheckpoint(eager=False)
         mins = labelled.groupBy("label").agg(F.min(id_col).alias("component"))

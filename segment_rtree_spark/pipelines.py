@@ -263,7 +263,11 @@ def _multimodal_cluster(ok: DataFrame,
     cluster_size = TOTAL surviving images the representative stands
     for across every stage."""
 
-    from .operators.dedup import crossmodal_components, label_propagate
+    from .operators.dedup import (
+        _fold_labels,
+        crossmodal_group_labels,
+        label_map,
+    )
 
     # 1. exact collapse: one hash-agg on the content hash. min_by on
     # the whole row (keyed by id) beats the window form: partial
@@ -282,26 +286,28 @@ def _multimodal_cluster(ok: DataFrame,
         .select("_rep.*", "n_exact")
     )
     if materialize:
-        # s1 feeds the crossmodal band join AND the label rejoin —
-        # without the checkpoint the window shuffle re-runs per consumer
+        # s1 feeds the crossmodal band join AND the label fold —
+        # without the checkpoint the collapse re-runs per consumer
         s1 = s1.localCheckpoint(eager=False)
 
-    # 2. crossmodal collapse over exact representatives
-    comp = crossmodal_components(
+    # 2. crossmodal collapse over exact representatives: the cluster
+    # GROUP KEY folds onto s1 map-side (crossmodal_group_labels —
+    # sparse label fold, no per-row component frame) and one
+    # partial-agged min_by recovers the representative row. The
+    # earlier form materialized crossmodal_components' (id,
+    # component) — a window at image cardinality — and shuffle-joined
+    # s1 against it before the same groupBy; grouping by the label
+    # key directly deletes the window AND the join (the output never
+    # exposes the component id, only the representative row).
+    s1x = crossmodal_group_labels(
         s1, id_col=id_col, phash=phash, caption=caption,
         max_hamming=max_hamming, n_bands=n_bands,
         hot_threshold=hot_threshold, max_bucket=max_bucket,
         drop_observation=drop_observation,
     )
-    # component == the cluster's min member id (min-label propagation
-    # contract), so the representative row IS the min_by row: one
-    # partial-agged hash shuffle replaces the join+window+filter form
-    # (a full-width exchange AND a per-partition sort at image
-    # cardinality — the stage-2 serial fraction in the scaling study).
     rep2 = [c for c in s1.columns if c != "n_exact"]
     s2 = (
-        s1.join(comp, id_col)
-        .groupBy("component")
+        s1x.groupBy("_xlabel")
         .agg(
             F.min_by(F.struct(*rep2), F.col(id_col)).alias("_rep"),
             F.sum("n_exact").alias("_csize"),
@@ -327,13 +333,12 @@ def _multimodal_cluster(ok: DataFrame,
         drop_observation=embed_drop_observation,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp2 = label_propagate(
-        s2.select(F.col(id_col).alias("node")), edges
-    )
-    # same agg-instead-of-window trick as stage 2: label == min member
-    # id, so min_by(struct, id) recovers the representative's columns
+    # label == min member id (label_map contract) and IS the output
+    # representative id here, so the sparse fold + one partial-agged
+    # min_by replaces the comp2 node-frame join of the earlier form
+    mapping, bc = label_map(edges)
     return (
-        s2.join(comp2, s2[id_col] == comp2["node"])
+        _fold_labels(s2, F.col(id_col), mapping, bc)
         .groupBy("label")
         .agg(
             F.min_by(F.struct(caption, "n_regions"), F.col(id_col)).alias("_rep"),

@@ -262,11 +262,12 @@ def test_multimodal_cascade_aggregates_not_windows(spark):
     """The multimodal collapse stages must be partial-agged hash
     shuffles, not window+filter rejoins: min_by(struct, id) with
     map-side partial aggregation at exact/crossmodal/embedding
-    collapse. Exactly ONE Window survives in the whole lineage — the
-    min-label rejoin inside crossmodal_components, which genuinely
-    needs a per-row result (every id gets its component) and a window
-    is its single-shuffle form. A second Window is a regression to
-    the full-width exchange + sort formulation."""
+    collapse. ZERO Windows in the whole lineage (round 8): the
+    crossmodal stage groups by the sparse-folded label key directly
+    (crossmodal_group_labels), so even the per-row component
+    materialization — the one Window round 7 still carried — is gone.
+    Any Window is a regression to a full-width exchange + sort
+    formulation."""
     from segment_rtree_spark.layer import PolygonLayer
     from segment_rtree_spark.pipelines import curate_multimodal
 
@@ -293,7 +294,7 @@ def test_multimodal_cascade_aggregates_not_windows(spark):
 
     p = plan_str(out, "simple")
     n_windows = len(re.findall(r"\bWindow \[", p))
-    assert n_windows == 1, p
+    assert n_windows == 0, p
     # map-side partial aggregation of the min_by collapses — the whole
     # point of the agg formulation (duplicates fold before the exchange)
     assert "partial_min_by" in p, p
