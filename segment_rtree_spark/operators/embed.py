@@ -94,6 +94,41 @@ def _dot_expr(a: str, b: str) -> str:
     return _DOT.format(a=a, b=b)
 
 
+def _list_matrix(col) -> np.ndarray:
+    """Arrow list<double> column -> float64 [n, dim] matrix via the
+    offsets/values buffers — one reshape over the contiguous values
+    buffer instead of one np.asarray per ROW (the pandas-object-array
+    path costs an interpreter round trip per vector; at 10^5-10^6
+    probe rows that loop dominated the kernel stages). Raises on
+    ragged rows (the np.stack path errored there too) and on NULL
+    vectors (callers filter them — same contract as before)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.list_(pa.float64()))
+    if col.null_count:
+        raise ValueError("NULL embedding in kernel input")
+    off = col.offsets.to_numpy()
+    widths = np.diff(off)
+    if len(widths) == 0:
+        return np.empty((0, 0), np.float64)
+    if not (widths == widths[0]).all():
+        raise ValueError("ragged embedding column")
+    vals = col.values.to_numpy(zero_copy_only=False)
+    return vals[off[0]: off[-1]].reshape(len(widths), int(widths[0]))
+
+
+def _col_np(col) -> np.ndarray:
+    """Arrow column -> numpy (object dtype for strings — the same
+    values the pandas path produced)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
 def cosine_topk(
     targets: DataFrame,
     queries: DataFrame,
@@ -169,22 +204,33 @@ def lsh_buckets(
     if keep_vec:
         schema += f", {vec} array<double>"
 
+    # Arrow-native kernel (mapInArrow): the embedding column reads as
+    # ONE contiguous values buffer + offsets (_list_matrix) and, with
+    # keep_vec, passes BACK as the same Arrow list array (cast to
+    # float64) — the pandas form paid one np.asarray per row on the
+    # way in and one list(map(float, row)) per row on the way out,
+    # millions of interpreter ops per 10^5-vector batch that this
+    # kernel spends in two buffer views instead. Bucket arithmetic is
+    # unchanged (bit_exact keeps the sequential fold the SQL oracle
+    # pins).
     def kernel(batches):
+        import pyarrow as pa
+
         planes = None
         vdim = dim
-        for pdf in batches:
-            if len(pdf) == 0:  # zero-row Arrow batches reach kernels
+        for batch in batches:
+            if batch.num_rows == 0:  # zero-row Arrow batches reach kernels
                 continue
-            emb = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec]], dtype=np.float64
-            )
+            names = batch.schema.names
+            vc = batch.column(names.index(vec)).cast(pa.list_(pa.float64()))
+            emb = _list_matrix(vc)
             if planes is None:
                 if vdim is None:
                     vdim = emb.shape[1]
                 planes = np.stack(
                     [hyperplane(i, vdim) for i in range(n_bits)]
                 )  # [bits, dim]
-            n = len(pdf)
+            n = batch.num_rows
             if bit_exact:
                 bucket = np.zeros(n, dtype=np.int64)
                 for b in range(n_bits):
@@ -195,12 +241,14 @@ def lsh_buckets(
             else:
                 acc = emb @ planes.T  # [n, bits]
                 bucket = ((acc > 0.0).astype(np.int64) * weights).sum(axis=1)
-            out = {id_col: pdf[id_col], "bucket": bucket}
+            cols = [batch.column(names.index(id_col)), pa.array(bucket)]
+            out_names = [id_col, "bucket"]
             if keep_vec:
-                out[vec] = [list(map(float, r)) for r in emb]
-            yield pd.DataFrame(out)
+                cols.append(vc)
+                out_names.append(vec)
+            yield pa.RecordBatch.from_arrays(cols, out_names)
 
-    return vectors.mapInPandas(kernel, schema)
+    return vectors.select(id_col, vec).mapInArrow(kernel, schema)
 
 
 def ann_bucket_stats(
@@ -374,6 +422,23 @@ def _probed_self(v: DataFrame, n_bits: int, n_probe: int) -> DataFrame:
     )
 
 
+def _pa_empty(names: list, types: list):
+    """Typed empty Arrow table (cogrouped kernels must return the
+    declared schema even for one-sided groups)."""
+    import pyarrow as pa
+
+    return pa.table({n: pa.array([], type=t) for n, t in zip(names, types)})
+
+
+def _pa_id_type(id_dtype: str):
+    import pyarrow as pa
+
+    return {
+        "string": pa.string(), "bigint": pa.int64(), "int": pa.int32(),
+        "smallint": pa.int16(), "tinyint": pa.int8(),
+    }[id_dtype]
+
+
 def _bucket_topk_kernel(id_col: str, id_dtype: str, k: int):
     """Per-bucket BLAS refine for ann_topk: one cogrouped kernel per
     bucket computes the FULL query x target cosine matrix with one
@@ -383,16 +448,25 @@ def _bucket_topk_kernel(id_col: str, id_dtype: str, k: int):
     bucket) instead of bucket_n — the candidate stream shrinks from
     N x probes x bucket_n to N x probes x k BEFORE the shuffle, and
     the scoring runs at BLAS speed instead of one interpreted Catalyst
-    fold per candidate (the refine='expr' path's cost)."""
-    def kernel(key, qpdf, tpdf):
+    fold per candidate (the refine='expr' path's cost). Arrow-native
+    (applyInArrow): the vector columns arrive as contiguous list
+    buffers and reshape in one view (_list_matrix) instead of one
+    np.asarray per row through pandas object arrays."""
+    import pyarrow as pa
+
+    idt = _pa_id_type(id_dtype)
+    empty = _pa_empty(["query_id", id_col, "score"],
+                      [idt, idt, pa.float64()])
+
+    def kernel(qtab, ttab):
         max_elems = REFINE_CHUNK_ELEMS
-        if len(qpdf) == 0 or len(tpdf) == 0:
-            return pd.DataFrame({"query_id": [], id_col: [], "score": []})
-        t_order = np.argsort(tpdf[id_col].to_numpy(), kind="stable")
-        tids = tpdf[id_col].to_numpy()[t_order]
-        T = np.stack([np.asarray(v, np.float64) for v in tpdf["v"]])[t_order]
-        Q = np.stack([np.asarray(v, np.float64) for v in qpdf["v"]])
-        qids = qpdf[id_col].to_numpy()
+        if qtab.num_rows == 0 or ttab.num_rows == 0:
+            return empty
+        t_order = np.argsort(_col_np(ttab.column(id_col)), kind="stable")
+        tids = _col_np(ttab.column(id_col))[t_order]
+        T = _list_matrix(ttab.column("v"))[t_order]
+        Q = _list_matrix(qtab.column("v"))
+        qids = _col_np(qtab.column(id_col))
         tn = np.linalg.norm(T, axis=1)[None, :]
         qn = np.linalg.norm(Q, axis=1)
         kk = min(k, len(tids))
@@ -420,16 +494,16 @@ def _bucket_topk_kernel(id_col: str, id_dtype: str, k: int):
             )
             scores = np.take_along_axis(S, idx, axis=1).ravel()
             keep = np.isfinite(scores)  # drop self rows that slipped in
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qids[s:e], kk)[keep],
-                        id_col: tids[idx].ravel()[keep],
-                        "score": scores[keep],
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True)
+            outs.append((
+                np.repeat(qids[s:e], kk)[keep],
+                tids[idx].ravel()[keep],
+                scores[keep],
+            ))
+        return pa.table({
+            "query_id": pa.array(np.concatenate([o[0] for o in outs]), type=idt),
+            id_col: pa.array(np.concatenate([o[1] for o in outs]), type=idt),
+            "score": pa.array(np.concatenate([o[2] for o in outs])),
+        })
 
     schema = f"query_id {id_dtype}, {id_col} {id_dtype}, score double"
     return kernel, schema
@@ -501,7 +575,7 @@ def ann_topk(
         scored = (
             a.groupBy("bucket")
             .cogroup(t.groupBy("bucket"))
-            .applyInPandas(kernel, schema)
+            .applyInArrow(kernel, schema)
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))
@@ -565,16 +639,25 @@ def embedding_neardup_pairs(
     )
     if refine == "kernel":
         id_dtype = dict(vectors.select(id_col).dtypes)[id_col]
+        import pyarrow as pa
 
-        def kernel(key, qpdf, tpdf):
+        idt = _pa_id_type(id_dtype)
+        empty = _pa_empty(["id_a", "id_b", "score"],
+                          [idt, idt, pa.float64()])
+
+        # Arrow-native (applyInArrow): vector columns reshape from the
+        # contiguous list buffers (_list_matrix) instead of paying one
+        # np.asarray per row via pandas object arrays — on the probe
+        # side that loop ran once per exploded row
+        def kernel(qtab, ttab):
             max_elems = REFINE_CHUNK_ELEMS
-            if len(qpdf) == 0 or len(tpdf) == 0:
-                return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
-            Q = np.stack([np.asarray(x, np.float64) for x in qpdf["v"]])
-            T = np.stack([np.asarray(x, np.float64) for x in tpdf["v"]])
-            qids = qpdf[id_col].to_numpy()
-            qown = qpdf["_own"].to_numpy(bool)
-            tids = tpdf[id_col].to_numpy()
+            if qtab.num_rows == 0 or ttab.num_rows == 0:
+                return empty
+            Q = _list_matrix(qtab.column("v"))
+            T = _list_matrix(ttab.column("v"))
+            qids = _col_np(qtab.column(id_col))
+            qown = _col_np(qtab.column("_own")).astype(bool)
+            tids = _col_np(ttab.column(id_col))
             qn = np.linalg.norm(Q, axis=1)
             tn = np.linalg.norm(T, axis=1)[None, :]
             outs = []
@@ -602,16 +685,20 @@ def embedding_neardup_pairs(
                     qi, ti = qi[keep], ti[keep]
                 qsel, tsel = qids[s:e][qi], tids[ti]
                 a_first = qsel < tsel
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": np.where(a_first, qsel, tsel),
-                            "id_b": np.where(a_first, tsel, qsel),
-                            "score": S[qi, ti],
-                        }
-                    )
-                )
-            return pd.concat(outs, ignore_index=True)
+                outs.append((
+                    np.where(a_first, qsel, tsel),
+                    np.where(a_first, tsel, qsel),
+                    S[qi, ti],
+                ))
+            return pa.table({
+                "id_a": pa.array(
+                    np.concatenate([o[0] for o in outs]), type=idt
+                ),
+                "id_b": pa.array(
+                    np.concatenate([o[1] for o in outs]), type=idt
+                ),
+                "score": pa.array(np.concatenate([o[2] for o in outs])),
+            })
 
         schema = f"id_a {id_dtype}, id_b {id_dtype}, score double"
         # fresh exprIds on the target side: a cogroup of two frames
@@ -621,7 +708,7 @@ def embedding_neardup_pairs(
             _probed_self(v, n_bits, n_probe)
             .groupBy("bucket")
             .cogroup(t.groupBy("bucket"))
-            .applyInPandas(kernel, schema)
+            .applyInArrow(kernel, schema)
             .distinct()
         )
     if refine != "expr":
@@ -719,16 +806,20 @@ def embedding_neardup_against(
     a = _probed(a, n_bits, n_probe)
     if refine == "kernel" and not streaming:
         id_dtype = dict(corpus.select(id_col).dtypes)[id_col]
+        import pyarrow as pa
 
-        def kernel(key, qpdf, tpdf):
-            if len(qpdf) == 0 or len(tpdf) == 0:
-                return pd.DataFrame(
-                    {"new_id": [], "corpus_id": [], "score": []}
-                )
-            Q = np.stack([np.asarray(x, np.float64) for x in qpdf["v"]])
-            T = np.stack([np.asarray(x, np.float64) for x in tpdf["v"]])
-            qids = qpdf[id_col].to_numpy()
-            tids = tpdf[id_col].to_numpy()
+        idt = _pa_id_type(id_dtype)
+        empty = _pa_empty(["new_id", "corpus_id", "score"],
+                          [idt, idt, pa.float64()])
+
+        # Arrow-native (applyInArrow; see embedding_neardup_pairs)
+        def kernel(qtab, ttab):
+            if qtab.num_rows == 0 or ttab.num_rows == 0:
+                return empty
+            Q = _list_matrix(qtab.column("v"))
+            T = _list_matrix(ttab.column("v"))
+            qids = _col_np(qtab.column(id_col))
+            tids = _col_np(ttab.column(id_col))
             qn = np.linalg.norm(Q, axis=1)
             tn = np.linalg.norm(T, axis=1)[None, :]
             outs = []
@@ -737,20 +828,23 @@ def embedding_neardup_against(
                 e = min(len(qids), s + step)
                 S = (Q[s:e] @ T.T) / (qn[s:e, None] * tn)
                 qi, ti = np.nonzero(S >= threshold)
-                outs.append(
-                    pd.DataFrame(
-                        {"new_id": qids[s:e][qi], "corpus_id": tids[ti],
-                         "score": S[qi, ti]}
-                    )
-                )
-            return pd.concat(outs, ignore_index=True)
+                outs.append((qids[s:e][qi], tids[ti], S[qi, ti]))
+            return pa.table({
+                "new_id": pa.array(
+                    np.concatenate([o[0] for o in outs]), type=idt
+                ),
+                "corpus_id": pa.array(
+                    np.concatenate([o[1] for o in outs]), type=idt
+                ),
+                "score": pa.array(np.concatenate([o[2] for o in outs])),
+            })
 
         schema = f"new_id {id_dtype}, corpus_id {id_dtype}, score double"
         t = b.select(*[F.col(c).alias(c) for c in b.columns])
         return (
             a.groupBy("bucket")
             .cogroup(t.groupBy("bucket"))
-            .applyInPandas(kernel, schema)
+            .applyInArrow(kernel, schema)
             .distinct()
         )
     if refine != "expr" and not streaming:
@@ -1036,7 +1130,7 @@ def ivf_topk(
         kernel, schema = _bucket_topk_kernel(id_col, id_dtype, k)
         t = v.select(*[F.col(c).alias(c) for c in v.columns])
         scored = (
-            v.groupBy("list").cogroup(t.groupBy("list")).applyInPandas(kernel, schema)
+            v.groupBy("list").cogroup(t.groupBy("list")).applyInArrow(kernel, schema)
         )
         wk = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col(id_col).asc()
