@@ -206,6 +206,32 @@ def _lsh_exploded(docs: DataFrame, id_col: str, text: str, rows_per_band: int,
     ).select(*out_cols)
 
 
+def _first_band_xor_pred(xor, band_col, n_bands: int):
+    """First-collision-band predicate for 64-bit-signature banding,
+    computed from the XOR of the two sides' signatures instead of
+    carried key arrays: band i collides exactly when the xor's i-th
+    width-bit window is zero (with a partition_col fold, the folded
+    fingerprints are equal by the join-band's key equality, so raw
+    band equality is folded-key equality for every band). A pair is
+    emitted only from its FIRST shared band: all earlier bands must
+    differ. This replaces the with_keys machinery for the phash
+    family — the keys array (n_bands longs + array header per
+    EXPLODED row) existed only to evaluate this predicate after the
+    join, and both signatures already ride the join for the hamming
+    verify; deriving the bands from the xor deletes those bytes from
+    the band-join shuffle and turns the filter into codegen'd integer
+    ops on one long."""
+    width = _band_width(n_bands)
+    mask = (1 << width) - 1
+    pred = F.lit(True)
+    for i in range(n_bands - 1):
+        pred = pred & (
+            (band_col <= F.lit(i))
+            | (F.shiftright(xor, i * width).bitwiseAND(F.lit(mask)) != F.lit(0))
+        )
+    return pred
+
+
 def _first_band_pred(n_bands: int) -> str:
     """First-collision-band predicate: a candidate pair colliding in
     several bands is emitted ONLY from the first one (no earlier band
@@ -766,14 +792,14 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
         carry = (verify_col,) if verify_col is not None else ()
         return _banded_explode(
             images, id_col, phash, n_bands, partition_col=partition_col,
-            with_keys=True, carry=carry,
+            carry=carry,
             rename={id_col: f"{side}_id", phash: f"ph_{side}",
                     **({verify_col: f"vc_{side}"} if verify_col else {})},
         )
 
     streaming = new_images.isStreaming
     a = banded(new_images, "new")
-    b = banded(corpus, "corpus").drop("bi")
+    b = banded(corpus, "corpus")
     if max_bucket is not None:
         b = _cap_buckets(b, max_bucket, drop_observation)  # corpus side
     xor = F.col("ph_new").bitwiseXOR(F.col("ph_corpus"))
@@ -792,23 +818,24 @@ def phash_neardup_against(new_images: DataFrame, corpus: DataFrame,
             )
         return out.select("new_id", "corpus_id", "hamming")
 
+    first_band = lambda j: j.filter(  # noqa: E731
+        _first_band_xor_pred(xor, F.col("band"), n_bands)
+    )
     if streaming:
         joined = a.alias("a").join(b.alias("b"), ["band", "bkey"])
         if max_bucket is None:
-            joined = joined.filter(F.expr(_first_band_pred(n_bands)))
+            joined = first_band(joined)
         # else: per-surviving-band emission (see docstring)
         return verify(joined)
     if max_bucket is not None:
-        # the capped path dedups with distinct(), so the first-band
-        # key arrays are dead weight — drop before the tiled join
-        a = _cap_buckets(a.drop("bi", "keys"), max_bucket)
+        # the capped path dedups with distinct() instead of the
+        # first-band rule (a pair's first shared band may be dropped)
+        a = _cap_buckets(a, max_bucket)
         return verify(
-            _tiled_join(a, b.drop("keys"), "new_id", "corpus_id", hot_threshold)
+            _tiled_join(a, b, "new_id", "corpus_id", hot_threshold)
         ).distinct()
     return verify(
-        _tiled_join(a, b, "new_id", "corpus_id", hot_threshold).filter(
-            F.expr(_first_band_pred(n_bands))
-        )
+        first_band(_tiled_join(a, b, "new_id", "corpus_id", hot_threshold))
     )
 
 
@@ -1320,12 +1347,14 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
     """
     capped = max_bucket is not None
     carry = (verify_col,) if verify_col is not None else ()
-    # with_keys only when the first-collision-band dedup applies: the
-    # capped path dedups with distinct() (a pair's first shared band
-    # may be a dropped bucket), so bi/keys would be dead weight there
+    # no key arrays anywhere: the first-collision-band dedup (uncapped
+    # path) derives band equality from the two signatures' XOR after
+    # the join (_first_band_xor_pred) — the capped path dedups with
+    # distinct() instead (a pair's first shared band may be a dropped
+    # bucket)
     ex = _banded_explode(
         images, id_col, phash, n_bands, partition_col=partition_col,
-        with_keys=not capped, carry=carry,
+        carry=carry,
     )
     if capped:
         ex = _cap_buckets(ex, max_bucket, drop_observation)
@@ -1337,9 +1366,11 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 8,
         # hash upstream and counted the survivors
         _tiled_self_join(ex, id_col, hot_threshold)
     )
-    if not capped:
-        joined = joined.filter(F.expr(_first_band_pred(n_bands)))
     xor = F.col(f"a.{phash}").bitwiseXOR(F.col(f"b.{phash}"))
+    if not capped:
+        joined = joined.filter(
+            _first_band_xor_pred(xor, F.col("band"), n_bands)
+        )
     out = joined.withColumn("hamming", F.bit_count(xor)).filter(
         F.col("hamming") <= max_hamming
     )
