@@ -112,11 +112,11 @@ def stages_curate_multimodal(spark, imgs):
 
     from segment_rtree_spark import pipelines as P
     from segment_rtree_spark.operators.dedup import (
-        crossmodal_components,
-        label_propagate,
+        _fold_labels,
+        crossmodal_group_labels,
+        label_map,
     )
     from segment_rtree_spark.operators.embed import embedding_neardup_pairs
-    from segment_rtree_spark.operators.pip_join import pip_join_broadcast
 
     layer = B.build_layer()
     corpus = imgs.withColumn(
@@ -162,17 +162,16 @@ def stages_curate_multimodal(spark, imgs):
     mark("s1 exact collapse", t0)
 
     t0 = time.time()
-    comp = crossmodal_components(
+    s1x = crossmodal_group_labels(
         s1, id_col=id_col, phash=phash, caption=caption,
         max_hamming=8, n_bands=4, hot_threshold=4096,
     ).localCheckpoint()
-    mark("crossmodal_components", t0)
+    mark("crossmodal_group_labels", t0)
 
     rep2 = [c for c in s1.columns if c != "n_exact"]
     t0 = time.time()
     s2 = (
-        s1.join(comp, id_col)
-        .groupBy("component")
+        s1x.groupBy("_xlabel")
         .agg(
             F.min_by(F.struct(*rep2), F.col(id_col)).alias("_rep"),
             F.sum("n_exact").alias("_csize"),
@@ -191,9 +190,9 @@ def stages_curate_multimodal(spark, imgs):
 
     t0 = time.time()
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp2 = label_propagate(s2.select(F.col(id_col).alias("node")), edges)
+    mapping, bc = label_map(edges)
     final = (
-        s2.join(comp2, s2[id_col] == comp2["node"])
+        _fold_labels(s2, F.col(id_col), mapping, bc)
         .groupBy("label")
         .agg(
             F.min_by(F.struct(caption, "n_regions"), F.col(id_col)).alias("_rep"),
@@ -202,7 +201,7 @@ def stages_curate_multimodal(spark, imgs):
         .select(F.col("label").alias(id_col), "_rep.*", "cluster_size")
     )
     n = final.count()
-    mark("label_propagate+final agg", t0)
+    mark("label fold+final agg", t0)
     print(json.dumps({"stages": t, "rows": n,
                       "total": round(sum(t.values()), 3)}))
 

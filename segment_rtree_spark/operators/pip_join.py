@@ -67,23 +67,41 @@ def pip_join_broadcast(
     schema = _result_schema(points, keep)
     spark = points.sparkSession
     blayer = spark.sparkContext.broadcast(layer)
-    # column-prune BEFORE the UDF: mapInPandas ships every input column
+    # column-prune BEFORE the UDF: the kernel ships every input column
     # through Arrow, so an unpruned image table would drag its pixel
     # blobs through the kernel for an id-only join output
     points = points.select(*dict.fromkeys([*keep, x, y]))
 
+    # Arrow-native kernel: the hit fan-out is a RecordBatch.take over
+    # the payload columns (one buffer gather, no pandas row
+    # materialization — the pdf.iloc form re-boxed every carried cell
+    # per hit, which at payload-carrying call sites like the curation
+    # pipelines was a per-row interpreter loop both ways)
     def kernel(batches):
-        lyr = blayer.value
-        for pdf in batches:
-            px = pdf[x].to_numpy(dtype=np.float64)
-            py = pdf[y].to_numpy(dtype=np.float64)
-            qi, pid, rel = lyr.pip(px, py, emit_exterior=emit_exterior)
-            out = pdf.iloc[qi][keep].reset_index(drop=True)
-            out["polygon_id"] = pid
-            out["relation"] = RELATION_NAMES[rel]
-            yield out
+        import pyarrow as pa
 
-    return points.mapInPandas(kernel, schema)
+        lyr = blayer.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            px = batch.column(names.index(x)).to_numpy(zero_copy_only=False)
+            py = batch.column(names.index(y)).to_numpy(zero_copy_only=False)
+            qi, pid, rel = lyr.pip(
+                np.asarray(px, np.float64), np.asarray(py, np.float64),
+                emit_exterior=emit_exterior,
+            )
+            if len(qi) == 0:
+                continue
+            out = batch.select(keep).take(qi)
+            yield pa.RecordBatch.from_arrays(
+                [*out.columns,
+                 pa.array(pid.astype(np.int64)),
+                 pa.array(RELATION_NAMES[rel])],
+                [*keep, "polygon_id", "relation"],
+            )
+
+    return points.mapInArrow(kernel, schema)
 
 
 def pip_count_broadcast(
@@ -112,21 +130,32 @@ def pip_count_broadcast(
     blayer = spark.sparkContext.broadcast(layer)
     points = points.select(*dict.fromkeys([*keep, x, y]))
 
+    # Arrow-native: the survivor gather is one RecordBatch.take over
+    # the payload columns (see pip_join_broadcast)
     def kernel(batches):
+        import pyarrow as pa
+
         lyr = blayer.value
-        for pdf in batches:
-            px = pdf[x].to_numpy(dtype=np.float64)
-            py = pdf[y].to_numpy(dtype=np.float64)
-            qi, _pid, _rel = lyr.pip(px, py)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            px = batch.column(names.index(x)).to_numpy(zero_copy_only=False)
+            py = batch.column(names.index(y)).to_numpy(zero_copy_only=False)
+            qi, _pid, _rel = lyr.pip(
+                np.asarray(px, np.float64), np.asarray(py, np.float64)
+            )
             if len(qi) == 0:
                 continue
-            counts = np.bincount(qi, minlength=len(pdf))
+            counts = np.bincount(qi, minlength=batch.num_rows)
             sel = np.flatnonzero(counts)
-            out = pdf.iloc[sel][keep].reset_index(drop=True)
-            out["n_regions"] = counts[sel].astype(np.int64)
-            yield out
+            out = batch.select(keep).take(sel)
+            yield pa.RecordBatch.from_arrays(
+                [*out.columns, pa.array(counts[sel].astype(np.int64))],
+                [*keep, "n_regions"],
+            )
 
-    return points.mapInPandas(kernel, schema)
+    return points.mapInArrow(kernel, schema)
 
 
 def _pack_polygon(poly) -> bytes:
