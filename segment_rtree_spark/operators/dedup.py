@@ -1481,6 +1481,52 @@ def crossmodal_neardup_against(new_images: DataFrame, corpus: DataFrame,
     )
 
 
+def phash_group_labels(images: DataFrame, id_col: str = "image_id",
+                       phash: str = "phash", max_hamming: int = 8,
+                       max_iter: int = 50, n_bands: int = 4,
+                       hot_threshold: int | None = 4096,
+                       max_bucket: int | None = None,
+                       drop_observation=None,
+                       out: str = "_plabel") -> DataFrame:
+    """images + one GROUP-KEY column `out` identifying each row's
+    phash near-dup cluster — the same partition of rows
+    phash_components labels, minus the per-image component
+    materialization: `out` is a struct group key (solo = own id for
+    NULL-hash singleton rows, lab = the min reachable hash value
+    otherwise), valid for aggregation but NOT an image id.
+
+    The curation pipelines' collapse primitive (see
+    crossmodal_group_labels for the rationale): their next step is a
+    groupBy + min_by that recovers the representative row and the
+    cluster size anyway, so phash_components' window at image
+    cardinality plus the component rejoin would compute a per-row
+    answer only to immediately re-aggregate it. Same two-level shape:
+    distinct hashes are the join nodes, the sparse label fold
+    attaches the cluster key map-side whenever the edge set fit the
+    driver union-find path."""
+    ph_nonnull = images.filter(F.col(phash).isNotNull())
+    distinct_ph = (
+        ph_nonnull.select(F.col(phash).alias("ph")).distinct()
+        .localCheckpoint(eager=False)
+    )
+    pairs = phash_neardup_pairs(
+        distinct_ph.withColumn("pid", F.col("ph")),
+        max_hamming=max_hamming, id_col="pid", phash="ph", n_bands=n_bands,
+        hot_threshold=hot_threshold, max_bucket=max_bucket,
+        drop_observation=drop_observation,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    mapping, bc = label_map(edges, max_iter)
+    lab = _fold_labels(images, F.col(phash), mapping, bc, out="_lab")
+    return lab.withColumn(
+        out,
+        F.struct(
+            F.when(F.col(phash).isNull(), F.col(id_col)).alias("solo"),
+            F.when(F.col(phash).isNotNull(), F.col("_lab")).alias("lab"),
+        ),
+    ).drop("_lab")
+
+
 def crossmodal_group_labels(images: DataFrame, id_col: str = "image_id",
                             phash: str = "phash", caption: str = "caption",
                             max_hamming: int = 8, max_iter: int = 50,

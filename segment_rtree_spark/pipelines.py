@@ -19,7 +19,6 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
 from .layer import PolygonLayer
-from .operators.dedup import phash_components
 from .operators.pip_join import pip_count_broadcast
 
 __all__ = [
@@ -102,32 +101,44 @@ def curate_images(images: DataFrame, layer: PolygonLayer,
         # audit test to inspect the scan, and by callers who prefer
         # their own persistence strategy)
         ok = ok.localCheckpoint()
-    comp = phash_components(
-        ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands,
-        hot_threshold=hot_threshold, max_bucket=max_bucket,
-        drop_observation=drop_observation,
+    return _collapse_by_phash(
+        ok, id_col, caption, phash, max_hamming, n_bands,
+        hot_threshold, max_bucket, drop_observation,
     )
-    return _keep_representatives(ok, comp, id_col, caption)
 
 
-def _keep_representatives(ok: DataFrame, comp: DataFrame,
-                          id_col: str, caption: str) -> DataFrame:
-    """One representative per cluster with its cluster_size.
+def _collapse_by_phash(ok: DataFrame, id_col: str, caption: str,
+                       phash: str, max_hamming: int, n_bands: int,
+                       hot_threshold: int | None,
+                       max_bucket: int | None,
+                       drop_observation=None) -> DataFrame:
+    """One representative per phash near-dup cluster with its
+    cluster_size, in ONE partial-agged groupBy: the cluster group key
+    folds onto the survivor rows map-side (phash_group_labels —
+    sparse label fold over distinct hashes) and min_by(struct, id)
+    recovers the representative row while count(*) sizes the cluster.
+    The earlier phash_components + rejoin formulation materialized a
+    per-image (id, component) frame — a window at image cardinality —
+    then joined the survivors against it and aggregated AGAIN for the
+    sizes; grouping by the label key directly deletes the window and
+    both joins (the output never exposes the component id, only the
+    representative row, whose id IS the cluster minimum)."""
+    from .operators.dedup import phash_group_labels
 
-    component == the cluster's MIN member id (the label-propagation
-    contract), so the representative rows are exactly the ok rows
-    whose id appears as a component value: aggregate comp to
-    (component, cluster_size) — a partial-agged hash shuffle of the
-    NARROW label frame — and inner-join it onto ok keyed by id. The
-    earlier window formulation joined ok against comp at full image
-    cardinality AND re-shuffled the joined (wide) stream a second
-    time to sort each component partition for the window count; this
-    shape shuffles the wide survivor rows once and never sorts."""
-    reps = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    ).withColumnRenamed("component", id_col)
-    return ok.join(reps, id_col).select(
-        id_col, caption, "n_regions", "cluster_size"
+    okx = phash_group_labels(
+        ok, id_col=id_col, phash=phash, max_hamming=max_hamming,
+        n_bands=n_bands, hot_threshold=hot_threshold,
+        max_bucket=max_bucket, drop_observation=drop_observation,
+    )
+    return (
+        okx.groupBy("_plabel")
+        .agg(
+            F.min_by(
+                F.struct(id_col, caption, "n_regions"), F.col(id_col)
+            ).alias("_rep"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select("_rep.*", "cluster_size")
     )
 
 
@@ -214,12 +225,10 @@ def curate_images_checkpointed(images: DataFrame, layer: PolygonLayer,
         ok = spark.createDataFrame(
             [], survivors(narrow.limit(0)).schema
         ).drop("cell")
-    comp = phash_components(
-        ok, id_col=id_col, phash=phash, max_hamming=max_hamming, n_bands=n_bands,
-        hot_threshold=hot_threshold, max_bucket=max_bucket,
-        drop_observation=drop_observation,
+    return done, _collapse_by_phash(
+        ok, id_col, caption, phash, max_hamming, n_bands,
+        hot_threshold, max_bucket, drop_observation,
     )
-    return done, _keep_representatives(ok, comp, id_col, caption)
 
 
 # -- multimodal curation (exact -> crossmodal -> optional embedding) ------
@@ -603,11 +612,10 @@ def curate_images_against(new_images: DataFrame, corpus: DataFrame,
     )
     if materialize:
         fresh = fresh.localCheckpoint(eager=False)
-    comp = phash_components(
-        fresh, id_col=id_col, phash=phash, max_hamming=max_hamming,
-        n_bands=n_bands, hot_threshold=hot_threshold, max_bucket=max_bucket,
+    return _collapse_by_phash(
+        fresh, id_col, caption, phash, max_hamming, n_bands,
+        hot_threshold, max_bucket,
     )
-    return _keep_representatives(fresh, comp, id_col, caption)
 
 
 def curate_images_against_checkpointed(new_images: DataFrame,
@@ -671,8 +679,7 @@ def curate_images_against_checkpointed(new_images: DataFrame,
     fresh = ok.join(
         matches.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     ).localCheckpoint(eager=False)
-    comp = phash_components(
-        fresh, id_col=id_col, phash=phash, max_hamming=max_hamming,
-        n_bands=n_bands, hot_threshold=hot_threshold, max_bucket=max_bucket,
+    return done, _collapse_by_phash(
+        fresh, id_col, caption, phash, max_hamming, n_bands,
+        hot_threshold, max_bucket,
     )
-    return done, _keep_representatives(fresh, comp, id_col, caption)
