@@ -439,6 +439,135 @@ def _pa_id_type(id_dtype: str):
     }[id_dtype]
 
 
+def _merge_topk(scored, id_col: str, k: int):
+    """Global per-query top-k over the per-bucket candidate stream by
+    (score desc — Spark orders NaN largest — then id asc), as ONE
+    partial-agged collect + per-query array sort instead of a
+    row_number window: the window shuffled the FULL candidate stream
+    (N x probes x k rows) and sorted every partition; the agg form
+    combines candidate lists map-side and sorts ~probes*k items per
+    query. The comparator replicates the window's total order
+    exactly, so the emitted (id, score, rank) rows are identical."""
+    cmp = (
+        "(l, r) -> case "
+        "when isnan(l.score) and isnan(r.score) then "
+        "case when l.id < r.id then -1 when l.id > r.id then 1 else 0 end "
+        "when isnan(l.score) then -1 "
+        "when isnan(r.score) then 1 "
+        "when l.score > r.score then -1 "
+        "when l.score < r.score then 1 "
+        "when l.id < r.id then -1 when l.id > r.id then 1 else 0 end"
+    )
+    g = scored.groupBy("query_id").agg(
+        F.collect_list(
+            F.struct(F.col("score"), F.col(id_col).alias("id"))
+        ).alias("cand")
+    )
+    top = F.expr(f"slice(array_sort(cand, {cmp}), 1, {k})")
+    return (
+        g.select("query_id", F.posexplode(top).alias("pos", "c"))
+        .select(
+            "query_id",
+            F.col("c.id").alias(id_col),
+            F.col("c.score").alias("score"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
+def _bucket_topk_kernel_bidir(id_col: str, id_dtype: str, k: int):
+    """Bidirectional per-bucket BLAS top-k for the HALVED self-probe
+    explosion (_probed_self, n_probe=1): with one-sided radius-1
+    probing a bucket's visitors cover only the flips where the
+    bucket's bit is 0, so the kernel emits BOTH directions of every
+    meeting — row-wise (each probe row's top-k over the bucket's
+    targets, exactly the classic kernel) and column-wise (each
+    TARGET's top-k over the bucket's VISITOR rows, recovering the
+    candidates whose one-sided probe landed here instead of being
+    probed from the target's side). Every ordered (query, candidate)
+    pair within bucket-Hamming <= 1 is emitted exactly once across
+    the two directions (visitors are never own-bucket rows, own-
+    bucket pairs emit from each member's own probe row), and both
+    directions prune with the SAME total order as the global merge
+    (-score, then id), so the merged top-k is identical to the
+    two-sided explosion's — while the probe side of the exchange
+    shrinks from (n_bits+1) x N to (n_bits/2+1) x N expected rows,
+    which is the bulk of the cogroup's shuffle and Arrow volume."""
+    import pyarrow as pa
+
+    idt = _pa_id_type(id_dtype)
+    empty = _pa_empty(["query_id", id_col, "score"],
+                      [idt, idt, pa.float64()])
+
+    def kernel(qtab, ttab):
+        max_elems = REFINE_CHUNK_ELEMS
+        if qtab.num_rows == 0 or ttab.num_rows == 0:
+            return empty
+        t_order = np.argsort(_col_np(ttab.column(id_col)), kind="stable")
+        tids = _col_np(ttab.column(id_col))[t_order]
+        T = _list_matrix(ttab.column("v"))[t_order]
+        Q = _list_matrix(qtab.column("v"))
+        qids = _col_np(qtab.column(id_col))
+        qown = _col_np(qtab.column("_own")).astype(bool)
+        tn = np.linalg.norm(T, axis=1)[None, :]
+        qn = np.linalg.norm(Q, axis=1)
+        kk = min(k, len(tids))
+        out_q, out_t, out_s = [], [], []
+        # column-wise candidates accumulate across row chunks and
+        # reduce at the end (k per column per chunk, tiny)
+        col_v, col_s = [], []
+        step = max(1, max_elems // max(1, len(tids)))
+        for s in range(0, len(qids), step):
+            e = min(len(qids), s + step)
+            S = (Q[s:e] @ T.T) / (qn[s:e, None] * tn)
+            S[qids[s:e, None] == tids[None, :]] = -np.inf  # exclude self
+            # row-wise: top-k per probe row (targets pre-sorted by id,
+            # stable argsort -> (-score, id) order, the merge's order)
+            part = np.sort(np.argpartition(-S, kk - 1, axis=1)[:, :kk], axis=1)
+            ps = np.take_along_axis(S, part, axis=1)
+            idx = np.take_along_axis(
+                part, np.argsort(-ps, axis=1, kind="stable"), axis=1
+            )
+            scores = np.take_along_axis(S, idx, axis=1).ravel()
+            keep = np.isfinite(scores)
+            out_q.append(np.repeat(qids[s:e], kk)[keep])
+            out_t.append(tids[idx].ravel()[keep])
+            out_s.append(scores[keep])
+            # column-wise: per TARGET top-k over this chunk's visitor
+            # rows (own rows excluded — their pairs emit row-wise)
+            vis = ~qown[s:e]
+            nv = int(vis.sum())
+            if nv:
+                Sv = S[vis]
+                vids = qids[s:e][vis]
+                kv = min(k, nv)
+                cpart = np.argpartition(-Sv, kv - 1, axis=0)[:kv]
+                col_v.append(vids[cpart])        # [kv, n_t]
+                col_s.append(np.take_along_axis(Sv, cpart, axis=0))
+        if col_v:
+            CV = np.concatenate(col_v, axis=0)   # [sum kv, n_t]
+            CS = np.concatenate(col_s, axis=0)
+            kc = min(k, CV.shape[0])
+            # per column: order candidates by (-score, id) — lexsort
+            # keys are (id, -score) with the LAST key primary
+            order = np.lexsort((CV, -CS), axis=0)[:kc]
+            cs = np.take_along_axis(CS, order, axis=0).ravel(order="F")
+            cv = np.take_along_axis(CV, order, axis=0).ravel(order="F")
+            cq = np.repeat(tids[None, :], kc, axis=0).ravel(order="F")
+            keep = np.isfinite(cs)
+            out_q.append(cq[keep])
+            out_t.append(cv[keep])
+            out_s.append(cs[keep])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=idt),
+            id_col: pa.array(np.concatenate(out_t), type=idt),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    schema = f"query_id {id_dtype}, {id_col} {id_dtype}, score double"
+    return kernel, schema
+
+
 def _bucket_topk_kernel(id_col: str, id_dtype: str, k: int):
     """Per-bucket BLAS refine for ann_topk: one cogrouped kernel per
     bucket computes the FULL query x target cosine matrix with one
@@ -565,11 +694,19 @@ def ann_topk(
     v = _bucketed_vectors(
         vectors, n_bits, id_col, vec, max_bucket, bit_exact, drop_observation
     )
-    a = _probed(v, n_bits, n_probe)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     if refine == "kernel":
         id_dtype = dict(vectors.select(id_col).dtypes)[id_col]
-        kernel, schema = _bucket_topk_kernel(id_col, id_dtype, k)
+        # HALVED probe explosion (_probed_self): at radius 1 only rows
+        # with the flip bit SET probe across it, and the bidirectional
+        # kernel emits the reverse direction column-wise — the probe
+        # side of the cogroup exchange (the dominant shuffle: every
+        # probe row carries the full vector) shrinks ~45% with an
+        # identical merged result. Radius 0/2 fall back to the full
+        # two-sided explosion inside _probed_self (all rows _own), in
+        # which case the column-wise pass is a no-op.
+        a = _probed_self(v, n_bits, n_probe)
+        kernel, schema = _bucket_topk_kernel_bidir(id_col, id_dtype, k)
         # fresh exprIds on the target side (self-cogroup ambiguity)
         t = v.select(*[F.col(c).alias(c) for c in v.columns])
         scored = (
@@ -577,10 +714,8 @@ def ann_topk(
             .cogroup(t.groupBy("bucket"))
             .applyInArrow(kernel, schema)
         )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
+        return _merge_topk(scored, id_col, k)
+    a = _probed(v, n_bits, n_probe)
     if refine != "expr":
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
     a = a.alias("a")
@@ -1132,13 +1267,7 @@ def ivf_topk(
         scored = (
             v.groupBy("list").cogroup(t.groupBy("list")).applyInArrow(kernel, schema)
         )
-        wk = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col(id_col).asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(wk))
-            .filter(F.col("rank") <= k)
-        )
+        return _merge_topk(scored, id_col, k)
     if refine != "expr":
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
     a, t = v.alias("a"), v.alias("b")
