@@ -634,20 +634,25 @@ def validate_images(images: DataFrame, check_phash: bool = False) -> DataFrame:
             ok = np.empty(n, bool)
             codes, details = [], []
             has_ph = "phash" in pdf.columns
+            # column-wise extraction once per batch (per-row .iloc is
+            # one pandas positional lookup per field per row)
+            bufs = pdf["bytes"].to_numpy()
+            fmts = pdf["fmt"].to_numpy()
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            if has_ph:
+                ph_null = pdf["_phash_null"].to_numpy()
+                phs = pdf["phash"].to_numpy()
             for r in range(n):
-                buf = pdf["bytes"].iloc[r]
-                fmt = pdf["fmt"].iloc[r]
-                wv, hv = pdf["w"].iloc[r], pdf["h"].iloc[r]
+                buf = bufs[r]
+                fmt = fmts[r]
+                wv, hv = ws[r], hs[r]
                 # phash arrives as (coalesced long, null flag), never a
                 # raw nullable long: Arrow->pandas widens a long column
                 # WITH nulls to float64, silently rounding any stored
                 # hash beyond 2^53 — a partially-phashed corpus would
                 # flag spurious PhashMismatch on every large hash
-                sp = (
-                    None
-                    if not has_ph or pdf["_phash_null"].iloc[r]
-                    else int(pdf["phash"].iloc[r])
-                )
+                sp = None if not has_ph or ph_null[r] else int(phs[r])
                 if buf is None:
                     code, detail = IMG_ERR_NULL_PAYLOAD, "bytes is NULL"
                 elif fmt is None or pd.isna(wv) or pd.isna(hv):
