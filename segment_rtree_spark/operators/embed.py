@@ -439,42 +439,6 @@ def _pa_id_type(id_dtype: str):
     }[id_dtype]
 
 
-def _merge_topk(scored, id_col: str, k: int):
-    """Global per-query top-k over the per-bucket candidate stream by
-    (score desc — Spark orders NaN largest — then id asc), as ONE
-    partial-agged collect + per-query array sort instead of a
-    row_number window: the window shuffled the FULL candidate stream
-    (N x probes x k rows) and sorted every partition; the agg form
-    combines candidate lists map-side and sorts ~probes*k items per
-    query. The comparator replicates the window's total order
-    exactly, so the emitted (id, score, rank) rows are identical."""
-    cmp = (
-        "(l, r) -> case "
-        "when isnan(l.score) and isnan(r.score) then "
-        "case when l.id < r.id then -1 when l.id > r.id then 1 else 0 end "
-        "when isnan(l.score) then -1 "
-        "when isnan(r.score) then 1 "
-        "when l.score > r.score then -1 "
-        "when l.score < r.score then 1 "
-        "when l.id < r.id then -1 when l.id > r.id then 1 else 0 end"
-    )
-    g = scored.groupBy("query_id").agg(
-        F.collect_list(
-            F.struct(F.col("score"), F.col(id_col).alias("id"))
-        ).alias("cand")
-    )
-    top = F.expr(f"slice(array_sort(cand, {cmp}), 1, {k})")
-    return (
-        g.select("query_id", F.posexplode(top).alias("pos", "c"))
-        .select(
-            "query_id",
-            F.col("c.id").alias(id_col),
-            F.col("c.score").alias("score"),
-            (F.col("pos") + 1).cast("int").alias("rank"),
-        )
-    )
-
-
 def _bucket_topk_kernel_bidir(id_col: str, id_dtype: str, k: int):
     """Bidirectional per-bucket BLAS top-k for the HALVED self-probe
     explosion (_probed_self, n_probe=1): with one-sided radius-1
@@ -714,7 +678,10 @@ def ann_topk(
             .cogroup(t.groupBy("bucket"))
             .applyInArrow(kernel, schema)
         )
-        return _merge_topk(scored, id_col, k)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     a = _probed(v, n_bits, n_probe)
     if refine != "expr":
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
@@ -1267,7 +1234,13 @@ def ivf_topk(
         scored = (
             v.groupBy("list").cogroup(t.groupBy("list")).applyInArrow(kernel, schema)
         )
-        return _merge_topk(scored, id_col, k)
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+        )
     if refine != "expr":
         raise ValueError(f"refine must be 'expr' or 'kernel', got {refine!r}")
     a, t = v.alias("a"), v.alias("b")

@@ -18,6 +18,14 @@ def get_spark(cores: int | None = None, app: str = "segment-rtree-spark",
     os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(32, cores)
+    # Heap scales with the task-slot count: local mode runs all slots
+    # in ONE JVM, so a flat 8g at 32 slots is 250 MB/slot — execution
+    # memory, broadcasts, and localCheckpoint blocks then evict/spill
+    # mid-run (measured ~5-15% drag across a 17-query bench vs a
+    # right-sized heap). 512 MB/slot matches ordinary executor sizing
+    # (e.g. 8 cores / 4 GB), so the same default is production-shaped,
+    # not a local[32] tune; SPARK_DRIVER_MEM still overrides.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cores // 2)}g")
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
@@ -27,7 +35,7 @@ def get_spark(cores: int | None = None, app: str = "segment-rtree-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
