@@ -333,21 +333,48 @@ def _pip_cogroup(
 
     _poly_cache: dict = {}
 
-    def refine(pts_pdf: pd.DataFrame, cov_pdf: pd.DataFrame) -> pd.DataFrame:
+    # Arrow-native cogroup refine: per matched polygon the hit gather
+    # is RecordBatch/Table.take over the point side's payload columns
+    # (one buffer gather) instead of a pandas iloc row materialization
+    # per polygon — the same §4.2 move as the broadcast kernels, on
+    # the partitioned path's per-cell groups
+    def refine(pts_tab, cov_tab):
         import pickle
+
+        import pyarrow as pa
 
         from ..kernels.pip import PreparedPolygon, PreparedRing, points_in_polygon
 
-        empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
-            [*keep, "polygon_id", "relation"],
-            [pts_pdf[c].dtype for c in keep] + ["int64", "object"],
-        )})
-        if len(pts_pdf) == 0 or len(cov_pdf) == 0:
-            return empty
-        px = pts_pdf[x].to_numpy(np.float64)
-        py = pts_pdf[y].to_numpy(np.float64)
+        empty = pa.table(
+            {
+                **{c: pts_tab.column(c).slice(0, 0) for c in keep},
+                "polygon_id": pa.array([], type=pa.int64()),
+                "relation": pa.array([], type=pa.string()),
+            }
+        ) if pts_tab.num_rows else None
+        if pts_tab.num_rows == 0 or cov_tab.num_rows == 0:
+            if empty is not None:
+                return empty
+            # no point rows: emit the declared schema, zero rows
+            return pa.table(
+                {
+                    **{c: pa.array([], type=pts_tab.schema.field(c).type)
+                       for c in keep},
+                    "polygon_id": pa.array([], type=pa.int64()),
+                    "relation": pa.array([], type=pa.string()),
+                }
+            )
+        px = np.asarray(
+            pts_tab.column(x).to_numpy(zero_copy_only=False), np.float64
+        )
+        py = np.asarray(
+            pts_tab.column(y).to_numpy(zero_copy_only=False), np.float64
+        )
+        payload = pts_tab.select(keep)
         outs = []
-        for pid, pack in zip(cov_pdf["polygon_id"], cov_pdf["pack"]):
+        pids = cov_tab.column("polygon_id").to_numpy(zero_copy_only=False)
+        packs = cov_tab.column("pack").to_numpy(zero_copy_only=False)
+        for pid, pack in zip(pids, packs):
             pid = int(pid)
             poly = _poly_cache.get(pid)
             if poly is None:
@@ -360,13 +387,22 @@ def _pip_cogroup(
             m = np.ones(len(rel), bool) if emit_exterior else rel != 0
             if not m.any():
                 continue
-            out = pts_pdf.iloc[np.nonzero(m)[0]][keep].reset_index(drop=True)
-            out["polygon_id"] = pid
-            out["relation"] = RELATION_NAMES[rel[m]]
-            outs.append(out)
-        return pd.concat(outs, ignore_index=True) if outs else empty
+            sel = np.flatnonzero(m)
+            out = payload.take(sel)
+            outs.append(
+                pa.table(
+                    {
+                        **{c: out.column(c) for c in keep},
+                        "polygon_id": pa.array(
+                            np.full(len(sel), pid, np.int64)
+                        ),
+                        "relation": pa.array(RELATION_NAMES[rel[m]]),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else empty
 
-    return pts.groupBy(*group_keys).cogroup(cover.groupBy(*group_keys)).applyInPandas(
+    return pts.groupBy(*group_keys).cogroup(cover.groupBy(*group_keys)).applyInArrow(
         lambda l, r: refine(l, r), schema
     )
 
