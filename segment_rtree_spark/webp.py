@@ -568,9 +568,20 @@ def _blend_over(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
     return out
 
 
-def webp_canvas_frames(buf: bytes, expect=None):
+def webp_canvas_frames(buf: bytes, expect=None, max_frames: int | None = None,
+                       snapshot_budget: int = 1 << 28):
     """RIFF/WEBP -> (w, h, [uint8[h,w,3] canvas snapshots]) — the
     animated twin of imageio._gif_canvas_frames (round 7).
+
+    Memory posture (round 8): snapshot RETENTION is bounded, decode
+    is not — every ANMF frame is still fully parsed, decoded and
+    composited (so corrupt later frames raise exactly as before),
+    but only the first `max_frames` canvas snapshots are kept
+    (None = all), and total retained snapshot bytes are capped at
+    `snapshot_budget` (default 256 MB) — a hostile animation of many
+    tiny frames on a metadata-approved large canvas can no longer
+    amplify memory to n_frames x canvas; past the budget the stream
+    is rejected as ValueError (CorruptStream tier).
 
     Animated containers (VP8X with the A flag + ANIM + ANMF*)
     composite each VP8L frame onto a persistent RGBA canvas per the
@@ -640,7 +651,13 @@ def webp_canvas_frames(buf: bytes, expect=None):
                 canvas[fy : fy + fh, fx : fx + fw] = src
             else:
                 canvas[fy : fy + fh, fx : fx + fw] = _blend_over(rect, src)
-            frames.append(canvas[:, :, :3].copy())
+            if max_frames is None or len(frames) < max_frames:
+                if (len(frames) + 1) * cw * ch * 3 > snapshot_budget:
+                    raise ValueError(
+                        "WEBP animation snapshot budget exceeded "
+                        f"({len(frames) + 1} frames at {cw}x{ch})"
+                    )
+                frames.append(canvas[:, :, :3].copy())
             if flags & 0x01:  # disposal method 1: dispose to background
                 canvas[fy : fy + fh, fx : fx + fw] = bg
         elif fourcc == b"VP8L":
@@ -695,8 +712,11 @@ def decode_webp(buf: bytes, expect=None) -> np.ndarray:
     contract). Lossy VP8 declines as NotImplementedError
     (CodecUnavailable tier). `expect=(w, h)` bounds allocations by
     the table metadata (checked against the VP8L/VP8X header before
-    buffers are sized from it)."""
-    _, _, frames = webp_canvas_frames(buf, expect)
+    buffers are sized from it). Only the FIRST snapshot is retained
+    (max_frames=1 — later frames still decode so corrupt tails raise
+    identically, but the still-decode path holds one canvas, not
+    n_frames of them)."""
+    _, _, frames = webp_canvas_frames(buf, expect, max_frames=1)
     return frames[0]
 
 

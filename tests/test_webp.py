@@ -473,3 +473,41 @@ def test_animated_webp_compositing():
     good = build_anim_webp((cw, ch), [(0, 0, f0, True, False)])
     with pytest.raises(DimensionMismatchError):
         webp_canvas_frames(good, expect=(cw + 1, ch))
+
+
+def test_animated_webp_snapshot_bounds():
+    """Round 8 memory posture: snapshot RETENTION is bounded, decode
+    is not. max_frames keeps only the leading snapshots while later
+    frames still decode (corrupt tails raise identically), and the
+    snapshot byte budget rejects animations whose retained frames
+    would amplify memory past the cap."""
+    from segment_rtree_spark.webp import decode_webp, webp_canvas_frames
+
+    rng = np.random.default_rng(5)
+    cw, ch = 16, 12
+    f0 = rng.integers(0, 256, size=(ch, cw, 3)).astype(np.uint8)
+    f1 = rng.integers(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    buf = build_anim_webp(
+        (cw, ch), [(0, 0, f0, True, False), (4, 2, f1, True, False)]
+    )
+    # max_frames=1 retains only the first snapshot...
+    w, h, frames = webp_canvas_frames(buf, max_frames=1)
+    assert len(frames) == 1 and (frames[0] == f0).all()
+    assert (decode_webp(buf) == f0).all()
+    # ...but later frames still DECODE: corrupt a later frame's VP8L
+    # payload and the still-decode path must still raise
+    anmf2 = buf.rindex(b"ANMF")
+    vp8l2 = buf.index(b"VP8L", anmf2)
+    bad = bytearray(buf)
+    bad[vp8l2 + 12 :vp8l2 + 20] = b"\xff" * 8
+    with pytest.raises(ValueError):
+        decode_webp(bytes(bad))
+    # snapshot byte budget: a second retained frame over the cap is
+    # rejected loudly (budget below two canvases, above one)
+    with pytest.raises(ValueError, match="snapshot budget"):
+        webp_canvas_frames(buf, snapshot_budget=cw * ch * 3 + 1)
+    # one frame fits the same budget
+    _, _, frames = webp_canvas_frames(
+        buf, max_frames=1, snapshot_budget=cw * ch * 3 + 1
+    )
+    assert len(frames) == 1
