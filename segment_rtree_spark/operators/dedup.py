@@ -931,12 +931,18 @@ def label_map(edges: DataFrame,
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    n_edges = und.count()  # same one job isEmpty would cost
-    if n_edges == 0:
+    # ONE bounded job decides the path AND transfers the edges when
+    # small: limit-collect up to the driver cap + 1 (from the already
+    # checkpointed frame, so this never recomputes the band join) —
+    # the earlier count-then-collect shape paid a second scheduler
+    # round trip per invocation, and the composed cascade invokes
+    # label_map three times per run
+    head = und.limit(2 * driver_edges + 1).collect() if driver_edges else []
+    if driver_edges and len(head) == 0:
         # all-isolated (the common case for discriminating thresholds
         # on realistic corpora): no mapping, skip the fold entirely
         return None, True
-    if n_edges <= 2 * driver_edges:  # und carries both directions
+    if driver_edges and len(head) <= 2 * driver_edges:
         from pyspark.sql.types import StructField, StructType
 
         parent: dict = {}
@@ -949,7 +955,7 @@ def label_map(edges: DataFrame,
                 parent[x], x = r, parent[x]
             return r
 
-        for s, d in und.collect():
+        for s, d in head:
             parent.setdefault(s, s)
             parent.setdefault(d, d)
             rs, rd = find(s), find(d)
@@ -974,6 +980,11 @@ def label_map(edges: DataFrame,
     # the re-checkpoint materializes the small copy once. At cluster
     # scale p grows with the edges, so wide graphs keep their
     # parallelism — this only trims scheduler latency on small ones.
+    # distributed path (or driver_edges=0 forcing it): the exact edge
+    # count is only needed for partition right-sizing
+    n_edges = und.count()
+    if n_edges == 0:
+        return None, True
     p = max(1, min(und.rdd.getNumPartitions(), 1 + n_edges // 200_000))
     if p < und.rdd.getNumPartitions():
         und = und.coalesce(p).localCheckpoint()
