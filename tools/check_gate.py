@@ -67,9 +67,11 @@ def main() -> int:
             f"driver record (a regression there would be invisible): {missing}"
         )
     if unknown:
-        # renamed/merged entries leave stale rows behind in OLD records —
-        # informational against a historical record, an error against the
-        # current round's
+        # renamed/merged entries leave stale rows behind in OLD records;
+        # always informational (exit stays 0): the gate's job is "no
+        # registry entry is unrecorded/red", and a stale extra row in
+        # any record cannot hide a regression — it can only overstate
+        # historical coverage, which the note surfaces
         print(f"note: {len(unknown)} record rows not in the live registry: {unknown}")
     if bad:
         ok = False
