@@ -451,8 +451,12 @@ def curate_multimodal(images: DataFrame, layer: PolygonLayer,
     ok = _survivors_multimodal(
         narrow, layer, min_caption_tokens, how, keep, id_col, caption, x, y
     )
-    if materialize:
-        ok = ok.localCheckpoint()
+    # No survivor checkpoint here (round 8): the survivor frame has
+    # exactly ONE consumer — the exact collapse s1 — and s1 itself
+    # checkpoints under `materialize`, so pinning ok too just wrote
+    # and re-read the full survivor set (payload + embedding) once
+    # for nothing. curate_images/curate_against keep their survivor
+    # checkpoints: their survivor frames feed multiple subtrees.
     return _multimodal_cluster(
         ok, max_hamming, n_bands, hot_threshold, max_bucket,
         drop_observation, embedding, embed_threshold, embed_n_bits,
