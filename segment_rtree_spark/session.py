@@ -33,6 +33,20 @@ def get_spark(cores: int | None = None, app: str = "segment-rtree-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash joins over sort-merge when sizes allow
+        # (guide §3.1): the band self-joins shuffle millions of narrow
+        # rows whose sort-merge sort is pure overhead — bucket sizes
+        # are bounded by construction (tiling/cap guards), and AQE's
+        # skew handling still applies. The static flag alone rarely
+        # fires (mid-plan stats are unknown), so AQE's runtime
+        # SMJ->SHJ rewrite is armed too: it converts only when every
+        # post-shuffle partition is measured below the threshold, so
+        # the per-task hash map is bounded by actual bytes, not
+        # estimates — safe at any scale by definition of the check.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", driver_mem)
