@@ -1538,6 +1538,49 @@ def phash_group_labels(images: DataFrame, id_col: str = "image_id",
     ).drop("_lab")
 
 
+def _crossmodal_node_edges(nodes: DataFrame, max_hamming: int,
+                           n_bands: int, hot_threshold: int | None,
+                           max_bucket: int | None,
+                           drop_observation) -> DataFrame:
+    """Verified crossmodal edges over a DISTINCT (nid, cap, ph) node
+    frame — the internal pair generator crossmodal_components /
+    crossmodal_group_labels share.
+
+    The node key nid = cap || '|' || ph embeds the caption, so exact
+    caption equality can be checked on the PAIR STREAM from the two
+    nids (the phash suffix contains no '|', so the LAST '|' always
+    splits unambiguously) instead of carrying the caption through the
+    banded explode as a verify column — that carry cost caption bytes
+    x n_bands x nodes x 2 sides through the band-join exchange
+    (~20-25% of the exploded row) and existed only to be compared
+    once per CANDIDATE, of which there are orders of magnitude fewer.
+    The public crossmodal_neardup_pairs keeps the carried verify: its
+    callers need the caption as an output column and the streaming
+    form cannot re-derive it from arbitrary ids."""
+    from .text import with_fingerprint
+
+    fp = with_fingerprint(nodes, text="cap", out="_cap_fp")
+    pairs = phash_neardup_pairs(
+        fp.select("nid", "ph", "_cap_fp"), max_hamming=max_hamming,
+        id_col="nid", phash="ph", n_bands=n_bands,
+        hot_threshold=hot_threshold, max_bucket=max_bucket,
+        drop_observation=drop_observation, partition_col="_cap_fp",
+    )
+
+    def cap_of(c):
+        return F.expr(
+            f"left({c}, length({c}) - "
+            f"length(substring_index({c}, '|', -1)) - 1)"
+        )
+
+    # fingerprint equality admitted the candidate, the exact caption
+    # (recovered from the node keys) decides — same verify semantics
+    # as the carried-column form, evaluated per candidate pair
+    return pairs.filter(cap_of("id_a") == cap_of("id_b")).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+
+
 def crossmodal_group_labels(images: DataFrame, id_col: str = "image_id",
                             phash: str = "phash", caption: str = "caption",
                             max_hamming: int = 8, max_iter: int = 50,
@@ -1573,12 +1616,10 @@ def crossmodal_group_labels(images: DataFrame, id_col: str = "image_id",
         )
         .localCheckpoint(eager=False)
     )
-    pairs = crossmodal_neardup_pairs(
-        nodes, max_hamming=max_hamming, id_col="nid", phash="ph",
-        caption="cap", n_bands=n_bands, hot_threshold=hot_threshold,
-        max_bucket=max_bucket, drop_observation=drop_observation,
+    edges = _crossmodal_node_edges(
+        nodes, max_hamming, n_bands, hot_threshold, max_bucket,
+        drop_observation,
     )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     mapping, bc = label_map(edges, max_iter)
     nid = F.when(
         nonnull, F.concat_ws("|", F.col(caption), F.col(phash).cast("string"))
@@ -1644,12 +1685,10 @@ def crossmodal_components(images: DataFrame, id_col: str = "image_id",
         )
         .localCheckpoint(eager=False)
     )
-    pairs = crossmodal_neardup_pairs(
-        nodes, max_hamming=max_hamming, id_col="nid", phash="ph",
-        caption="cap", n_bands=n_bands, hot_threshold=hot_threshold,
-        max_bucket=max_bucket, drop_observation=drop_observation,
+    edges = _crossmodal_node_edges(
+        nodes, max_hamming, n_bands, hot_threshold, max_bucket,
+        drop_observation,
     )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     mapping, bc = label_map(edges, max_iter)
     # sparse fold at row cardinality (see phash_components): untouched
     # node keys coalesce to themselves, no per-node component frame
