@@ -300,4 +300,15 @@ def images_df_fast(spark, n: int, seed: int = SEED, skew_frac: float = 0.0,
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
                 yield synth_partition_fast(int(lo), int(hi), seed, skew_frac, size)
 
-    return bdf.mapInPandas(gen, IMAGES_SCHEMA)
+    out = bdf.mapInPandas(gen, IMAGES_SCHEMA)
+    par = spark.sparkContext.defaultParallelism
+    if len(bounds) < par:
+        # Fewer slices than task slots (bench-scale corpora: 300k rows
+        # = 15 slices on 32 cores): every downstream scan of the cached
+        # frame would run at slice parallelism, idling half the machine
+        # on CPU-heavy kernel stages. Spread the rows once at build
+        # time — slice content is (seed, lo, hi)-deterministic, so the
+        # shuffle changes partitioning only, never values. Corpora with
+        # >= par slices already scan wide and skip the extra shuffle.
+        out = out.repartition(par)
+    return out
