@@ -216,6 +216,16 @@ def knn_join_broadcast(
             out_pt, out_id, out_d = [], [], []
             active = np.arange(n, dtype=np.int64)
             radius = np.full(n, r0)
+            # cross-round memo of computed (point, polygon) distances:
+            # the radius box only grows, so a still-active point's
+            # candidate set each round is a SUPERSET of its last
+            # round's — without the memo every non-final round re-runs
+            # exact_dists for pairs it already measured. Keyed by
+            # point*m+polygon; per-point distances are elementwise in
+            # the kernel, so a memoized value is bit-identical to a
+            # recompute.
+            seen_keys = np.empty(0, np.int64)
+            seen_d = np.empty(0)
             for _ in range(64):
                 if len(active) == 0:
                     break
@@ -225,7 +235,23 @@ def knn_join_broadcast(
                 )
                 apt = active[q]
                 apos = lyr.order[pos]
-                d = exact_dists(px, py, apt, apos) if len(apt) else np.empty(0)
+                if len(apt):
+                    key = apt * np.int64(m) + apos
+                    d = np.empty(len(key))
+                    if len(seen_keys):
+                        loc = np.minimum(
+                            np.searchsorted(seen_keys, key), len(seen_keys) - 1
+                        )
+                        known = seen_keys[loc] == key
+                        d[known] = seen_d[loc[known]]
+                    else:
+                        known = np.zeros(len(key), bool)
+                    new = ~known
+                    if new.any():
+                        d[new] = exact_dists(px, py, apt[new], apos[new])
+                else:
+                    key = np.empty(0, np.int64)
+                    d = np.empty(0)
 
                 # candidate count per active point; points whose box
                 # already sees every polygon finalize unconditionally
@@ -251,6 +277,17 @@ def knn_join_broadcast(
                     out_pt.append(fpt[keep_m])
                     out_id.append(fids[keep_m])
                     out_d.append(fd[keep_m])
+
+                # memo only pairs whose point stays active; this
+                # round's pair set already supersets the old memo's
+                # active entries, so replacing (not merging) is exact
+                if len(apt):
+                    still = ~fin[apt]
+                    sk, sd = key[still], d[still]
+                    o_m = np.argsort(sk)
+                    seen_keys, seen_d = sk[o_m], sd[o_m]
+                else:
+                    seen_keys, seen_d = np.empty(0, np.int64), np.empty(0)
 
                 radius[active] *= 2.0
                 active = active[~fin[active]]

@@ -47,6 +47,19 @@ def get_spark(cores: int | None = None, app: str = "segment-rtree-spark",
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m"
         )
+        # AQE's parallelism-first coalescing sizes post-shuffle stages
+        # by BYTES (>= minPartitionSize each); stages that shuffle few
+        # compressed bytes but expand into heavy per-row kernel work
+        # (per-bucket BLAS refine, banded verifies, label folds) get
+        # squeezed below the core count — measured 16 of 32 slots busy
+        # across the curation cascade's mid stages at the 1m default.
+        # 256k keeps such stages at full width while still coalescing
+        # truly tiny shuffles; byte-heavy stages are governed by the
+        # 64m advisory target as before, at any scale.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", driver_mem)

@@ -45,6 +45,10 @@ def ui_session(cores: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", driver_mem)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("PROFILE_MIN_PARTITION_SIZE", "1m"),
+        )
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4049")
         .config("spark.ui.retainedJobs", "4000")
